@@ -1,0 +1,291 @@
+"""Batch twins of the reference's operator inventory (SURVEY §2.2-§2.4).
+
+All run on the ``events`` table (FIXTURES.md "Batch twins"): ``view`` rows
+play displays, ``click`` rows play clicks, ``user_id`` is the Kafka key,
+W = 1 hour. Each query cites the reference span it re-expresses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.payload import join_payload
+from ..operators.interval_join import JoinWindow, interval_join, shift_event_time
+from ..sources.parquet import load_table
+from .registry import register
+
+WINDOW = JoinWindow(before="1 hour")  # JoinWindows.of(...).before(W), TimeoutJoinTest.scala:78
+WINDOW_AFTER = JoinWindow(after="1 hour")  # .after(W), TimeoutJoinTest.scala:85
+
+
+def _typed(spark: SparkSession, sf_dir: str, event_type: str, prefix: str) -> DataFrame:
+    """One side of the self-join: events of one type, role-prefixed columns.
+
+    The filter + projection sit directly on the scan so Catalyst pushes the
+    ``event_type = X`` predicate and prunes to 4 columns at the parquet level.
+    """
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == event_type)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("props").alias(f"{prefix}_props"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P1 / P2 — filter + mapValues projection (TimeoutJoinTest.scala:86-91)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "p1_filter",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value, props
+    FROM events
+    WHERE event_type = 'click' AND value >= 50.0
+    """,
+)
+def p1_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — predicate filter (Predicate[K,V], TimeoutJoinTest.scala:86-88)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "click") & (F.col("value") >= 50.0))
+        .select("event_id", "user_id", "ts", "event_type", "value", "props")
+    )
+
+
+@register(
+    "p2_mapvalues",
+    oracle="""
+    SELECT event_id, user_id, props AS value
+    FROM events
+    """,
+)
+def p2_mapvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — mapValues projection (ValueMapper, TimeoutJoinTest.scala:89-91)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("props").alias("value")
+    )
+
+
+@register(
+    "p3_value_construction",
+    oracle="""
+    SELECT event_id,
+           '{"type":"' || event_type || '","props":' || props || '}' AS payload
+    FROM events
+    """,
+)
+def p3_value_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — composite value by string interpolation (TimeoutJoinTest.scala:76-78).
+
+    Byte-exact concat, not to_json — mirrors the reference's interpolation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.concat(
+            F.lit('{"type":"'),
+            F.col("event_type"),
+            F.lit('","props":'),
+            F.col("props"),
+            F.lit("}"),
+        ).alias("payload"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J1-J4 — the windowed joins (TimeoutJoinTest.scala:75-92)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j1_interval_join_inner",
+    oracle="""
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id, c.ts AS click_ts,
+           v.event_id AS view_id,  v.ts AS view_ts,
+           '{"display":' || v.props || ',"click":' || c.props || '}' AS payload
+    FROM events c
+    JOIN events v
+      ON c.user_id = v.user_id
+     AND v.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+    """,
+)
+def j1_interval_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — windowed inner join, "clicked displays" (TimeoutJoinTest.scala:75-79).
+
+    Equi on key + band [t-W, t] on event time; payload is the byte-exact P3
+    interpolation. Plans as a shuffled join partitioned by user_id — the band
+    is a within-key filter, so state/work per key is window-bounded at scale.
+    """
+    clicks = _typed(spark, sf_dir, "click", "click")
+    views = _typed(spark, sf_dir, "view", "view")
+    j = interval_join(
+        clicks, views, on="user_id", window=WINDOW,
+        left_ts="click_ts", right_ts="view_ts",
+    )
+    return j.select(
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_click_id").alias("click_id"),
+        F.col("l_click_ts").alias("click_ts"),
+        F.col("r_view_id").alias("view_id"),
+        F.col("r_view_ts").alias("view_ts"),
+        join_payload(F.col("r_view_props"), F.col("l_click_props")).alias("payload"),
+    )
+
+
+@register(
+    "j2_interval_join_left_outer",
+    oracle="""
+    SELECT v.user_id AS user_id,
+           v.event_id AS view_id, v.ts AS view_ts, v.props AS view_props,
+           c.event_id AS click_id, c.ts AS click_ts, c.props AS click_props
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts BETWEEN v.ts AND v.ts + INTERVAL 1 HOUR
+    """,
+)
+def j2_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — windowed left-outer join, "display, maybe click"
+    (TimeoutJoinTest.scala:82-85): clicks in [t, t+W], null-padded when absent.
+    """
+    views = _typed(spark, sf_dir, "view", "view")
+    clicks = _typed(spark, sf_dir, "click", "click")
+    j = interval_join(
+        views, clicks, on="user_id", window=WINDOW_AFTER,
+        left_ts="view_ts", right_ts="click_ts", how="left_outer",
+    )
+    return j.select(
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_view_id").alias("view_id"),
+        F.col("l_view_ts").alias("view_ts"),
+        F.col("l_view_props").alias("view_props"),
+        F.col("r_click_id").alias("click_id"),
+        F.col("r_click_ts").alias("click_ts"),
+        F.col("r_click_props").alias("click_props"),
+    )
+
+
+@register(
+    "j3_missed_anti",
+    oracle="""
+    SELECT v.event_id AS view_id, v.user_id AS user_id, v.ts AS view_ts,
+           v.props AS value
+    FROM events v
+    WHERE v.event_type = 'view'
+      AND NOT EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = v.user_id
+          AND c.ts BETWEEN v.ts AND v.ts + INTERVAL 1 HOUR
+      )
+    """,
+)
+def j3_missed_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — absence/timeout detection as a left-anti interval join
+    (the whole MissedDisplay pipeline, TimeoutJoinTest.scala:82-92 +
+    TopicShifter.scala:22-52, collapsed to the anti-join it denotes).
+    Output = original display value verbatim (mapValues, :89-91).
+    """
+    views = _typed(spark, sf_dir, "view", "view")
+    clicks = _typed(spark, sf_dir, "click", "click")
+    missed = interval_join(
+        views, clicks, on="user_id", window=WINDOW_AFTER,
+        left_ts="view_ts", right_ts="click_ts", how="left_anti",
+    )
+    return missed.select(
+        F.col("view_id"),
+        F.col("user_id"),
+        F.col("view_ts"),
+        F.col("view_props").alias("value"),
+    )
+
+
+@register(
+    "j3_missed_outer_null",
+    oracle="""
+    SELECT v.user_id AS user_id, v.event_id AS view_id, v.props AS value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts BETWEEN v.ts AND v.ts + INTERVAL 1 HOUR
+    WHERE c.event_id IS NULL
+    """,
+)
+def j3_missed_outer_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3, literal composition — leftJoin → filter(right isEmpty) → mapValues,
+    exactly as the reference writes it (TimeoutJoinTest.scala:82-91).
+    The outer join null-pads only when NO click matched, so the IS NULL
+    filter yields each missed display exactly once.
+    """
+    views = _typed(spark, sf_dir, "view", "view")
+    clicks = _typed(spark, sf_dir, "click", "click")
+    j = interval_join(
+        views, clicks, on="user_id", window=WINDOW_AFTER,
+        left_ts="view_ts", right_ts="click_ts", how="left_outer",
+    )
+    return (
+        j.filter(F.col("r_click_id").isNull())  # P1: right side absent
+        .select(  # P2: project back to the display value
+            F.col("l_user_id").alias("user_id"),
+            F.col("l_view_id").alias("view_id"),
+            F.col("l_view_props").alias("value"),
+        )
+    )
+
+
+@register(
+    "j4_clicked_semi",
+    oracle="""
+    SELECT v.event_id AS view_id, v.user_id AS user_id, v.ts AS view_ts
+    FROM events v
+    WHERE v.event_type = 'view'
+      AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = v.user_id
+          AND c.ts BETWEEN v.ts AND v.ts + INTERVAL 1 HOUR
+      )
+    """,
+)
+def j4_clicked_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — semi-join flavor: displays that WERE clicked (SURVEY §2.3 J4)."""
+    views = _typed(spark, sf_dir, "view", "view")
+    clicks = _typed(spark, sf_dir, "click", "click")
+    hit = interval_join(
+        views, clicks, on="user_id", window=WINDOW_AFTER,
+        left_ts="view_ts", right_ts="click_ts", how="left_semi",
+    )
+    return hit.select("view_id", "user_id", "view_ts")
+
+
+# --------------------------------------------------------------------------
+# T1 — event-time shift (TopicShifter.scala:22-37, batch twin)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "t1_shift_event_time",
+    oracle="""
+    SELECT event_id, user_id, ts + INTERVAL 1 SECOND AS ts, event_type
+    FROM events
+    """,
+)
+def t1_shift_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — the TopicShifter's only event-time-visible effect: ts + Δ.
+
+    (Wall-clock delayed *delivery* is the streaming variant,
+    streaming/shifter.py; a watermark subsumes it for correctness.)
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return shift_event_time(ev, "1 second")

@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Run every registered query against its DuckDB oracle and report parity.
+
+Usage: python tools/check_parity.py [sf_dir] [name_filter ...]
+Default sf_dir = /root/testdata/sf0.01 (the driver's correctness scale).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_streams_join_spark.oracle import check_parity, duckdb_connection
+from kafka_streams_join_spark.queries import ORACLES, QUERIES
+from kafka_streams_join_spark.session import get_spark
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+    spark = get_spark("check_parity")
+    con = duckdb_connection(sf_dir)
+    failures = 0
+    for name, fn in QUERIES.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        if name not in ORACLES:
+            n = fn(spark, sf_dir).count()
+            print(f"  rows-only  {name}: {n} rows  ({time.time() - t0:.1f}s)")
+            continue
+        try:
+            r = check_parity(spark, con, name, fn, ORACLES[name], sf_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"✗ ERROR     {name}: {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        status = "✓ PASS" if r.match else "✗ FAIL"
+        print(f"{status}      {name}: {r.spark_rows} rows  ({time.time() - t0:.1f}s)  {r.detail[:400]}")
+        failures += 0 if r.match else 1
+    print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
