@@ -1,1 +1,175 @@
-"""Placeholder — filled in a later milestone."""
+"""Multimodal-column operators (SURVEY §2.7).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed metadata.
+The container has no image/audio libraries, so the *decode* step is a
+clearly-marked deterministic stub (``_fake_decode``) — but everything Spark
+owns is real and tested: binary column construction, metadata schemas,
+Arrow-batched ``mapInPandas`` plumbing, per-frame explode, partition-safe
+batch shapes.
+
+The corpus has no binary table, so ``documents.text`` is encoded to UTF-8
+bytes as the stand-in payload — the pipeline is byte-agnostic, which is the
+point of treating media as opaque binary.
+
+Scale design (100 TB of media): decode/feature-extract runs inside
+mapInPandas — one Arrow batch in, one out, no driver involvement, no
+shuffle; only the (small) extracted features ever move. Frame sampling
+explodes server-side AFTER the stride filter, so unsampled bytes never
+leave the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .registry import register
+
+FRAME_STRIDE = 64  # bytes per sampled "frame" window
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))  AS n_bytes,
+           sha256(text)                AS content_sha,
+           hex(substr(text, 1, 8))     AS magic_hex
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary ingest metadata: payload size, content digest, leading-bytes
+    magic — the columns a media manifest table carries. Pure JVM expressions
+    over the binary column (oracle hashes the identical UTF-8 bytes via the
+    string form; DuckDB can't digest blobs)."""
+    doc = load_table(spark, sf_dir, "documents")
+    bin_col = F.encode(F.col("text"), "UTF-8")
+    return doc.select(
+        "doc_id",
+        F.octet_length(bin_col).alias("n_bytes"),
+        F.sha2(bin_col, 256).alias("content_sha"),
+        F.hex(F.substring(F.col("text"), 1, 8)).alias("magic_hex"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes, text FROM documents)
+    SELECT doc_id, frame_idx,
+           (frame_idx - 1) * {FRAME_STRIDE} AS byte_offset,
+           md5(substr(text, (frame_idx - 1) * {FRAME_STRIDE} + 1, {FRAME_STRIDE})) AS frame_sig
+    FROM b, unnest(generate_series(1, CAST(ceil(n_bytes * 1.0 / {FRAME_STRIDE}) AS BIGINT))) AS t(frame_idx)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: split each payload into fixed-stride windows, one row
+    per frame with its offset + content signature — the video-keyframe /
+    audio-chunk access pattern. Explode happens after the scan projection, so
+    only (doc_id, text) columns are read."""
+    doc = load_table(spark, sf_dir, "documents")
+    n_frames = F.ceil(F.octet_length(F.encode(F.col("text"), "UTF-8")) / FRAME_STRIDE)
+    return (
+        doc.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(1), n_frames.cast("long"))).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            ((F.col("frame_idx") - 1) * FRAME_STRIDE).alias("byte_offset"),
+            F.md5(
+                F.expr(
+                    f"substring(text, (frame_idx - 1) * {FRAME_STRIDE} + 1, {FRAME_STRIDE})"
+                )
+            ).alias("frame_sig"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# mapInPandas decode pipeline (rows-only — not SQL-expressible)
+# --------------------------------------------------------------------------
+
+_DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, fake_width int, fake_height int, "
+    "byte_mean double, byte_min int, byte_max int"
+)
+
+
+def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decode: a real deployment would call PIL/ffmpeg here
+    (`NotImplementedError` territory in this container). The deterministic
+    fake derives 'image' properties from the raw bytes so the Spark-side
+    plumbing — Arrow batch in/out, schema contract, partition independence —
+    is fully exercised and testable."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n = payloads.map(len)
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n.astype("int64"),
+                # fake dimensions: deterministic function of the byte length
+                "fake_width": (n % 640 + 1).astype("int32"),
+                "fake_height": (n // 640 + 1).astype("int32"),
+                "byte_mean": payloads.map(
+                    lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                ),
+                "byte_min": payloads.map(lambda b: int(min(b)) if len(b) else 0).astype(
+                    "int32"
+                ),
+                "byte_max": payloads.map(lambda b: int(max(b)) if len(b) else 0).astype(
+                    "int32"
+                ),
+            }
+        )
+        yield out
+
+
+@register("mm_decode_features")  # rows-only: mapInPandas, not SQL-expressible
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract over binary payloads via Arrow-batched
+    mapInPandas (the UDF slow path, used only where built-ins can't express
+    the op — SURVEY §2.6 UDF row). Decode itself is stubbed
+    (no media libs in-container); batch shape and schema contract are real."""
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return doc.mapInPandas(_fake_decode, schema=_DECODE_SCHEMA)
+
+
+@register(
+    "mm_modality_route",
+    oracle="""
+    SELECT CASE WHEN n_chars % 3 = 0 THEN 'image'
+                WHEN n_chars % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           count(*)                    AS n_assets,
+           sum(octet_length(encode(text))) AS total_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def mm_modality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality routing: tag each asset (synthetic tag from n_chars — the
+    corpus has one modality) and aggregate per-modality byte budgets — the
+    fan-out planning step before modality-specific decode stages."""
+    doc = load_table(spark, sf_dir, "documents")
+    return (
+        doc.select(
+            F.when(F.col("n_chars") % 3 == 0, "image")
+            .when(F.col("n_chars") % 3 == 1, "audio")
+            .otherwise("video")
+            .alias("modality"),
+            F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("nb"),
+        )
+        .groupBy("modality")
+        .agg(F.count(F.lit(1)).alias("n_assets"), F.sum("nb").alias("total_bytes"))
+    )

@@ -1,0 +1,100 @@
+"""Deterministic streaming test harness (SURVEY §5.2 item 2).
+
+Replaces the reference's live-Kafka choreography (``KafkaUtils.scala``) with
+file sources and memory sinks: timestamps live in the *data*, so windows and
+watermarks advance deterministically — no sleeps racing a broker (the
+flakiness called out in SURVEY §5.1).
+
+Micro-batch control: each ``add_batch`` call writes one JSON file; the
+source reads with ``maxFilesPerTrigger=1``, so file N = micro-batch N.
+Watermarks advance *between* batches (computed at batch end from max event
+time), and watermark-driven outer-join emission happens in the batch AFTER
+the watermark passes — tests append future-dated flush batches to drive
+eviction, mirroring how a live pipeline's ongoing traffic does it.
+
+``read_until`` reproduces the reference's read-until-N-or-deadline idiom
+(``KafkaUtils.scala:88-91``) against the memory sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+RECORD_SCHEMA = "key STRING, value STRING, ts TIMESTAMP"
+
+
+@dataclass
+class FileStream:
+    """A file-backed input stream with explicit micro-batch boundaries."""
+
+    spark: SparkSession
+    root: str
+    name: str
+    schema: str = RECORD_SCHEMA
+    _n: int = field(default=0, init=False)
+
+    def __post_init__(self) -> None:
+        self.dir = os.path.join(self.root, self.name)
+        os.makedirs(self.dir, exist_ok=True)
+
+    def add_batch(self, rows: list[dict]) -> None:
+        """One file == one micro-batch (maxFilesPerTrigger=1)."""
+        path = os.path.join(self.dir, f"batch-{self._n:05d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(tmp, path)  # atomic: the source never sees partial files
+        self._n += 1
+
+    def df(self) -> DataFrame:
+        return (
+            self.spark.readStream.schema(self.schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(self.dir)
+        )
+
+
+def start_memory_sink(
+    df: DataFrame, name: str | None = None, checkpoint_root: str | None = None
+) -> tuple[StreamingQuery, str]:
+    """Append-mode memory sink; returns (query, sink table name)."""
+    sink = name or f"sink_{uuid.uuid4().hex[:8]}"
+    writer = df.writeStream.format("memory").queryName(sink).outputMode("append")
+    if checkpoint_root:
+        writer = writer.option(
+            "checkpointLocation", os.path.join(checkpoint_root, sink)
+        )
+    return writer.start(), sink
+
+
+def process_available(query: StreamingQuery, timeout_s: float = 60.0) -> None:
+    """Run the query until all currently-available input is consumed."""
+    deadline = time.time() + timeout_s
+    query.processAllAvailable()
+    if time.time() > deadline:  # pragma: no cover — processAllAvailable blocks
+        raise TimeoutError(f"streaming query {query.name} did not drain in {timeout_s}s")
+
+
+def read_until(
+    spark: SparkSession, sink: str, expect: int, wait_s: float = 5.0
+) -> list[Row]:
+    """Poll the memory sink until ≥ ``expect`` rows or deadline — the
+    reference's consumer idiom (fresh group, earliest, stop at expect/timeout,
+    ``KafkaUtils.scala:70-94``). ``expect=0`` waits out the full deadline to
+    assert emptiness (how the reference proves a topic stayed empty)."""
+    deadline = time.time() + wait_s
+    rows = spark.sql(f"SELECT * FROM {sink}").collect()
+    while len(rows) < expect or expect == 0:
+        if time.time() >= deadline:
+            break
+        time.sleep(0.1)
+        rows = spark.sql(f"SELECT * FROM {sink}").collect()
+    return rows
