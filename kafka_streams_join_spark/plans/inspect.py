@@ -1,0 +1,81 @@
+"""Inspect formatted physical plans for scale-critical properties.
+
+Works on ``df._jdf.queryExecution()`` output via ``explain`` capture — no
+private APIs beyond the stable explain formats.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (what ``df.explain(mode)`` prints)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
+    """Every fragment must appear in a PushedFilters clause of the scan.
+
+    A filter that isn't pushed re-reads every row group at 100 TB; this is
+    the difference between scanning a partition and scanning the lake.
+    """
+    plan = explain_str(df)
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    missing = [f for f in fragments if f not in pushed]
+    if missing:
+        raise AssertionError(
+            f"filters not pushed to scan: {missing}\nPushedFilters found: {pushed or '(none)'}"
+        )
+
+
+def assert_read_schema_pruned(df: DataFrame, max_columns: int) -> None:
+    """The parquet ReadSchema must carry at most ``max_columns`` columns —
+    column pruning reached the scan."""
+    plan = explain_str(df)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    if not schemas:
+        raise AssertionError(f"no ReadSchema in plan:\n{plan[:2000]}")
+    for s in schemas:
+        ncols = len([c for c in s.split(",") if ":" in c])
+        if ncols > max_columns:
+            raise AssertionError(
+                f"scan reads {ncols} columns (> {max_columns}): struct<{s}>"
+            )
+
+
+def assert_broadcast_join(df: DataFrame, expect: bool = True) -> None:
+    """Assert a BroadcastHashJoin is (or is not) in the plan — dimension
+    joins must broadcast; fact-fact joins must not."""
+    plan = explain_str(df)
+    has = "BroadcastHashJoin" in plan
+    if has != expect:
+        raise AssertionError(
+            f"BroadcastHashJoin {'missing' if expect else 'present'} in plan:\n"
+            + plan[:2000]
+        )
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    """No CartesianProduct / BroadcastNestedLoopJoin on the data path (the
+    O(n²) plans that never survive a scale-up)."""
+    plan = explain_str(df)
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if bad in plan:
+            raise AssertionError(f"{bad} in plan:\n{plan[:2000]}")
+
+
+def assert_wholestage_codegen(df: DataFrame) -> None:
+    """At least one WholeStageCodegen span — expression work stays JVM-side.
+
+    The simple explain marks codegen stages with ``*(n)``; formatted mode
+    uses ``(codegen id : n)`` — accept either.
+    """
+    formatted = explain_str(df)
+    simple = explain_str(df, "simple")
+    if "codegen id" not in formatted and "*(" not in simple:
+        raise AssertionError(f"no WholeStageCodegen span:\n{simple[:2000]}")

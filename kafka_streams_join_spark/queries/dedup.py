@@ -48,14 +48,24 @@ COSINE_DUP_THRESHOLD = 0.4
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs — 3-word shingles."""
-    doc = load_table(spark, sf_dir, "documents")
+    """Distinct (doc_id, shingle) pairs — 3-word shingles.
+
+    ``toks`` is materialized as a column first so the regex split runs once
+    per row, not once per lambda element (3× per shingle otherwise — it was
+    the hot spot in the sf0.1 bench). The CASE guards <3-token docs:
+    ``sequence(1, 0)`` in Spark counts DOWN ([1,0]), which would fabricate
+    shingles DuckDB's generate_series(1,0)=[] does not.
+    """
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKS).alias("toks")
+    )
     return doc.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size({_TOKS}) - 2, 0)),"
-                f" i -> concat_ws(' ', {_TOKS}[i - 1], {_TOKS}[i], {_TOKS}[i + 1]))"
+                "CASE WHEN size(toks) < 3 THEN array()"
+                " ELSE transform(sequence(1, size(toks) - 2),"
+                "   i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1])) END"
             )
         ).alias("shingle"),
     ).distinct()
@@ -136,44 +146,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, band_sig): LSH band signatures from K minhashes."""
-    sh = _shingles(spark, sf_dir)
+def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs32, hs60): distinct shingle-hash sets per document.
+
+    Hashing happens on the exploded rows — a whole-stage-codegen'd tight
+    loop — NOT inside array lambdas after collection (the interpreted-lambda
+    md5 was the sf0.1 hot spot). One groupBy builds both sets: the 32-bit
+    hashes feed the minhash permutations (products stay < 2^62), the 60-bit
+    hashes give collision-free (~2^-61/pair) exact-Jaccard verification.
+    """
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKS).alias("toks")
+    )
+    sh = doc.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 3 THEN array()"
+                " ELSE transform(sequence(1, size(toks) - 2),"
+                "   i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1])) END"
+            )
+        ).alias("shingle"),
+    ).select("doc_id", F.md5("shingle").alias("m"))
     hashed = sh.select(
         "doc_id",
-        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("h"),
+        F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("h32"),
+        F.conv(F.substring("m", 1, 15), 16, 10).cast("long").alias("h60"),
     )
-    params = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b")
-            )
-            for i, (a, b) in enumerate(_HASH_PARAMS)
-        ]
+    # minhash minima as K plain min() aggregate columns — partial+final hash
+    # aggregate, fully whole-stage-codegen'd (no interpreted array lambdas),
+    # map-side combined before the single shuffle on doc_id
+    minhash_cols = [
+        F.min(((F.lit(a) * F.col("h32") + F.lit(b)) % _P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_HASH_PARAMS)
+    ]
+    return hashed.groupBy("doc_id").agg(
+        *minhash_cols, F.collect_set("h60").alias("hs60")
     )
-    perm = hashed.select(
-        "doc_id", "h", F.explode(params).alias("p")
-    ).select(
-        "doc_id",
-        F.col("p.i").alias("hash_idx"),
-        ((F.col("p.a") * F.col("h") + F.col("p.b")) % _P).alias("hv"),
-    )
-    mh = perm.groupBy("doc_id", "hash_idx").agg(F.min("hv").alias("mh"))
+
+
+def _minhash_bands(docsets: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) from the K minhash columns: md5 over each
+    band's comma-joined minima, one explode per band, zero extra shuffles —
+    at 100 TB the whole signature pipeline is map-side."""
     rows_per_band = _K // _BANDS
-    return (
-        mh.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.expr(
-                        "transform(array_sort(collect_list(struct(hash_idx, mh))),"
-                        " x -> cast(x.mh as string))"
-                    ),
-                )
-            ).alias("band_sig")
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'band_sig', md5(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"cast(mh{b * rows_per_band + r} as string)" for r in range(rows_per_band)
+            ),
         )
+        for b in range(_BANDS)
+    )
+    return (
+        docsets.select("doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     )
 
 
@@ -186,12 +214,14 @@ _MINHASH_SQL_PARAMS = ", ".join(
     oracle=f"""
     {_SHINGLES_SQL},
     hashed AS (
-      SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)  AS h32,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h60
       FROM sh
     ),
     params(i, a, b) AS (VALUES {_MINHASH_SQL_PARAMS}),
     mh AS (
-      SELECT doc_id, i AS hash_idx, min((a * h + b) % {_P}) AS mh
+      SELECT doc_id, i AS hash_idx, min((a * h32 + b) % {_P}) AS mh
       FROM hashed, params GROUP BY doc_id, i
     ),
     bands AS (
@@ -204,12 +234,12 @@ _MINHASH_SQL_PARAMS = ", ".join(
       FROM bands x JOIN bands y
         ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(DISTINCT h60) AS n FROM hashed GROUP BY doc_id),
     inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS c
+      SELECT c.doc_a, c.doc_b, count(DISTINCT a.h60) AS c
       FROM cand c
-      JOIN sh a ON a.doc_id = c.doc_a
-      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      JOIN hashed a ON a.doc_id = c.doc_a
+      JOIN hashed b ON b.doc_id = c.doc_b AND b.h60 = a.h60
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
@@ -220,11 +250,16 @@ _MINHASH_SQL_PARAMS = ", ".join(
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup: shingle → 32 minhashes → 8 bands of 4 →
+    """MinHash + LSH near-dup: shingle sets → 32 minhashes → 8 bands of 4 →
     candidates collide on a band signature → exact-Jaccard verification of
-    candidates only. The scale path: no all-pairs stage anywhere; shuffles are
-    (shingle), (doc,hash), (band,sig) — all key-bounded."""
-    bands = _minhash_sigs(spark, sf_dir)
+    candidates only, via array_intersect on the collected shingle sets.
+
+    Scale path: ONE shuffle builds the per-doc sets; signatures are pure
+    map-side expressions; the only joins are the (band, sig) self-join —
+    key-bounded, bucket-sized state — and two broadcast-sized lookups of the
+    (tiny) candidate list back onto the sets. No all-pairs stage anywhere."""
+    docsets = _doc_shingle_sets(spark, sf_dir)
+    bands = _minhash_bands(docsets)
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
@@ -237,21 +272,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(b, (F.col("doc_b") == F.col("b.doc_id")) & (F.col("b.shingle") == F.col("a.shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    sa = docsets.alias("sa")
+    sb = docsets.alias("sb")
+    inter = F.size(F.expr("array_intersect(sa.hs60, sb.hs60)"))
+    union = F.size(F.col("sa.hs60")) + F.size(F.col("sb.hs60")) - inter
+    jac = inter / union
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))

@@ -225,12 +225,13 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 bigrams — n-gram statistics via explode + hash agg +
     TakeOrdered (no full sort). Deterministic tie-break on the bigram."""
-    doc = load_table(spark, sf_dir, "documents")
+    doc = load_table(spark, sf_dir, "documents").select(F.expr(_TOKS).alias("toks"))
     bg = doc.select(
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size({_TOKS}) - 1, 0)),"
-                f" i -> concat_ws(' ', {_TOKS}[i - 1], {_TOKS}[i]))"
+                "CASE WHEN size(toks) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(toks) - 1),"
+                "   i -> concat_ws(' ', toks[i - 1], toks[i])) END"
             )
         ).alias("bigram")
     )

@@ -1,0 +1,88 @@
+"""Scale-property tests: the plans Catalyst produces for our queries must be
+the plans we'd want at 100 TB (SURVEY §4.3, brief's efficiency bar).
+
+These are regression gates, not benchmarks: losing predicate pushdown or a
+broadcast changes cost by orders of magnitude at scale while staying
+invisible at test scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_join_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema_pruned,
+    assert_wholestage_codegen,
+    explain_str,
+)
+from kafka_streams_join_spark.queries import QUERIES
+from kafka_streams_join_spark.sources.parquet import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_typed_event_scan_pushes_filter_and_prunes(spark):
+    """The J1 side-scan must push event_type to parquet and read 4 columns."""
+    df = QUERIES["j1_interval_join_inner"](spark, SF_SMOKE)
+    assert_pushed_filters(df, "IsNotNull(event_type)")
+    # events has 6 columns; each side needs 4 + the filter column (value is
+    # the only fully-pruned one, and the scan must not read it)
+    assert_read_schema_pruned(df, max_columns=5)
+
+
+def test_p1_filter_pushed(spark):
+    df = QUERIES["p1_filter"](spark, SF_SMOKE)
+    assert_pushed_filters(df, "IsNotNull(event_type)", "IsNotNull(value)")
+    assert_wholestage_codegen(df)
+
+
+def test_interval_join_is_not_cartesian(spark):
+    """The band predicate rides on the key equi-join — never a cross
+    product."""
+    for name in ("j1_interval_join_inner", "j2_interval_join_left_outer", "j3_missed_anti"):
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert_no_cartesian(df)
+        plan = explain_str(df)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dim_join_broadcasts(spark):
+    """Dimension-sized sides must broadcast (nation is 25 rows)."""
+    cust = load_table(spark, SF_SMOKE, "customer")
+    nation = load_table(spark, SF_SMOKE, "nation")
+    j = cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
+    assert_broadcast_join(j, expect=True)
+
+
+def test_topk_uses_take_ordered(spark):
+    """Global ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full sort."""
+    df = QUERIES["sort_topk_limit"](spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_agg_is_partial_final(spark):
+    """Aggregations must run partial (map-side) + final — two HashAggregate
+    nodes around the exchange."""
+    df = QUERIES["agg_pricing_summary"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert plan.count("HashAggregate") >= 2
+    assert_pushed_filters(df, "IsNotNull(l_shipdate)")
+
+
+def test_documents_scan_prunes_for_token_count(spark):
+    """text ops project before the scan: ≤3 of documents' 5 columns read."""
+    df = QUERIES["text_token_count"](spark, SF_SMOKE)
+    assert_read_schema_pruned(df, max_columns=3)
+
+
+def test_lsh_ann_join_is_hash_on_bucket(spark):
+    """The ANN candidate join keys on the LSH bucket — an equi-join, not a
+    cross join over the corpus."""
+    df = QUERIES["sim_lsh_ann_topk"](spark, SF_SMOKE)
+    assert_no_cartesian(df)
