@@ -499,3 +499,164 @@ def scalar_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           round(median(l_quantity), 4)                   AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles/median per group. Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` both linearly interpolate, so values agree.
+    Exact percentile is a sort-based agg (one shuffle on the group key); the
+    scale path swaps in ``approx_percentile`` (t-digest, mergeable sketch)
+    when a bounded-error answer suffices — see ``agg_approx_distinct`` for
+    the rows-only sketch pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+    )
+
+
+@register(
+    "window_sliding_agg",
+    oracle="""
+    WITH slid AS (
+      SELECT value,
+             make_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                             - k * 1800) * 1000000) AS win_start,
+             ts
+      FROM events, unnest([0, 1]) AS t(k)
+    )
+    SELECT win_start,
+           win_start + INTERVAL 1 HOUR AS win_end,
+           count(*)                    AS n_events,
+           round(sum(value), 2)        AS sum_value
+    FROM slid
+    WHERE ts >= win_start AND ts < win_start + INTERVAL 1 HOUR
+    GROUP BY win_start
+    """,
+)
+def window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h window, 30 min slide) — each event
+    lands in exactly 2 overlapping windows. Spark's ``window()`` expands the
+    row (a projection, no join) then hash-aggregates; epoch-aligned starts
+    are mirrored manually in the oracle. This is the batch twin of the
+    streaming sliding-window aggregation (same ``window()`` call under
+    ``readStream``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "pivot_status_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS rev_f,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS rev_o,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS rev_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (rows → columns): revenue per priority × status. Explicit pivot
+    values keep the plan a single pass (no extra distinct-values job) — at
+    100 TB an unlisted pivot would scan the fact table twice."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .withColumnRenamed("F", "rev_f")
+        .withColumnRenamed("O", "rev_o")
+        .withColumnRenamed("P", "rev_p")
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                   AS dim,
+           round(CAST(list_max(embedding) AS DOUBLE), 4)    AS vmax,
+           round(CAST(list_min(embedding) AS DOUBLE), 4)    AS vmin,
+           round(CAST(embedding[1] AS DOUBLE), 4)           AS first_v,
+           round(CAST(embedding[-1] AS DOUBLE), 4)          AS last_v,
+           round(CAST(list_sort(embedding)[5] AS DOUBLE), 4) AS sorted_5th,
+           round(list_sum(list_transform(embedding[1:8],
+                 x -> CAST(x AS DOUBLE))), 4)               AS head8_sum
+    FROM embeddings
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface over the embedding column: size, min/max,
+    element_at (positive + negative index), array_sort, slice + fold. All
+    JVM-side lambda expressions — no Python in the loop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("vmax"),
+        F.round(F.array_min("embedding").cast("double"), 4).alias("vmin"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_v"),
+        F.round(F.element_at("embedding", -1).cast("double"), 4).alias("last_v"),
+        F.round(F.element_at(F.array_sort("embedding"), 5).cast("double"), 4).alias(
+            "sorted_5th"
+        ),
+        F.round(
+            F.expr(
+                "aggregate(slice(embedding, 1, 8), cast(0 as double),"
+                " (acc, x) -> acc + cast(x as double))"
+            ),
+            4,
+        ).alias("head8_sum"),
+    )
+
+
+@register(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           len(json_keys(props))                             AS n_keys,
+           array_to_string(json_keys(props), ',')            AS keys_csv
+    FROM events
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function surface: parse the props JSON into a real
+    ``map<string,bigint>`` then element_at / map_keys / array_join — the
+    typed-map path the reference's opaque-JSON values map onto (SURVEY
+    §1.2). The oracle checks the same facts via DuckDB's JSON functions."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )

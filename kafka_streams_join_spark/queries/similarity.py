@@ -217,3 +217,106 @@ def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_IVF_NPROBE = 2
+
+_DIST2_SPARK = (
+    "aggregate(zip_with(embedding, centroid, (x, c) ->"
+    " (cast(x as double) - c) * (cast(x as double) - c)),"
+    " cast(0 as double), (acc, v) -> acc + v)"
+)
+_DIST2_SQL = (
+    "list_sum(list_transform(list_zip(e.embedding, c.centroid), p ->"
+    " (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+)
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH cells AS (
+      SELECT label, d, avg(CAST(embedding[d] AS DOUBLE)) AS c
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(d)
+      GROUP BY label, d
+    ),
+    centroids AS (
+      SELECT label, list(c ORDER BY d) AS centroid FROM cells GROUP BY label
+    ),
+    dists AS (
+      SELECT e.vec_id, e.embedding, c.label,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_DIST2_SQL} ASC, c.label) AS crnk
+      FROM embeddings e CROSS JOIN centroids c
+    ),
+    assigned AS (SELECT vec_id, embedding, label AS cell FROM dists WHERE crnk = 1),
+    probes AS (
+      SELECT vec_id, embedding, label AS cell
+      FROM dists WHERE crnk <= {_IVF_NPROBE} AND vec_id % {QUERY_STRIDE} = 0
+    )
+    SELECT query_id, neighbor_id, rnk, cos FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_COS_SQL}, 3) AS cos,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COS_SQL} DESC, b.vec_id) AS rnk
+      FROM probes a JOIN assigned b
+        ON a.cell = b.cell AND b.vec_id != a.vec_id
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer of 10 centroids (per-label
+    means — a deterministic stand-in for a k-means codebook), every vector
+    assigned to its nearest cell, queries probing their nprobe=2 nearest
+    cells and ranking candidates by exact cosine.
+
+    Scale path: the codebook is tiny and **broadcast** (10 rows), so cell
+    assignment is a map-side pass over the corpus — no shuffle until the
+    one hash partition by cell. Candidates per query shrink to ~nprobe/K of
+    the corpus. At 100 TB the assignment is written once as a bucketed
+    column (partitionBy(cell)) and queries touch only probed partitions —
+    partition pruning does the inverted-file lookup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select("label", F.posexplode("embedding").alias("d0", "x")).select(
+        "label", (F.col("d0") + 1).alias("d"), F.col("x").cast("double").alias("x")
+    )
+    centroids = (
+        cells.groupBy("label", "d")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)").alias(
+                "centroid"
+            )
+        )
+        .withColumnRenamed("label", "cell_id")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell_id"))
+    dists = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(centroids))
+        .select("vec_id", "embedding", "cell_id", F.expr(_DIST2_SPARK).alias("dist2"))
+        .withColumn("crnk", F.row_number().over(w_cell))
+    )
+    assigned = dists.filter(F.col("crnk") == 1).select(
+        "vec_id", "embedding", F.col("cell_id").alias("cell")
+    )
+    probes = dists.filter(
+        (F.col("crnk") <= _IVF_NPROBE) & (F.col("vec_id") % QUERY_STRIDE == 0)
+    ).select("vec_id", "embedding", F.col("cell_id").alias("cell"))
+    a = probes.alias("a")
+    b = assigned.alias("b")
+    cos = F.expr(_COS_SPARK)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    scored = a.join(
+        b, (F.col("a.cell") == F.col("b.cell")) & (F.col("b.vec_id") != F.col("a.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        cos.alias("cos_raw"),
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", F.round("cos_raw", 3).alias("cos"))
+    )
