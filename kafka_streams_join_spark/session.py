@@ -28,6 +28,17 @@ def get_spark(
     to ``local[$SPARK_GRAFT_CPUS]``.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Python workers (incl. the transformWithStateInPandas driver worker,
+    # which unpickles StatefulProcessor classes by module reference) must be
+    # able to import this package. Locally that means the repo root on
+    # PYTHONPATH before the JVM forks workers; on a cluster the same thing
+    # is done by shipping a wheel via --py-files.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")

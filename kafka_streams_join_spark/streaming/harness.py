@@ -52,6 +52,12 @@ class FileStream:
             for r in rows:
                 f.write(json.dumps(r) + "\n")
         os.rename(tmp, path)  # atomic: the source never sees partial files
+        # FileStreamSource orders files by modification time; same-ms writes
+        # tie arbitrarily, which can reorder micro-batches and turn earlier
+        # batches into dropped late data. Strictly increasing mtimes pin the
+        # order to batch number.
+        mtime = 1_700_000_000 + self._n
+        os.utime(path, (mtime, mtime))
         self._n += 1
 
     def df(self) -> DataFrame:
