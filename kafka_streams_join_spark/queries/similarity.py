@@ -27,15 +27,24 @@ TOP_K = 5
 QUERY_STRIDE = 100  # vec_id % 100 == 0 rows are the query set
 NUM_PLANES = 4  # 16 buckets — sized so oracle-scale buckets stay populated
 
-# cosine(a.embedding, b.embedding) — float32 in, float64 fold
-_COS_SPARK = (
+# cosine(a.embedding, b.embedding) — float32 in, float64 fold. Spark side
+# precomputes the squared norm ONCE per vector (N folds, not N² inside the
+# pair expression) — identical arithmetic and doubles, ~3× less lambda work
+# in the pair stage. The oracle recomputes inline (same value).
+_NORM2_SPARK = (
+    "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),"
+    " cast(0 as double), (acc, v) -> acc + v)"
+)
+_DOT_SPARK = (
     "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> cast(x as double) * cast(y as double)),"
     " cast(0 as double), (acc, v) -> acc + v)"
-    " / sqrt(aggregate(transform(a.embedding, x -> cast(x as double) * cast(x as double)),"
-    "         cast(0 as double), (acc, v) -> acc + v)"
-    "   * aggregate(transform(b.embedding, x -> cast(x as double) * cast(x as double)),"
-    "         cast(0 as double), (acc, v) -> acc + v))"
 )
+
+
+def _cos_col():
+    from pyspark.sql import functions as F
+
+    return F.expr(_DOT_SPARK) / F.sqrt(F.col("a.norm2") * F.col("b.norm2"))
 _COS_SQL = (
     "list_sum(list_transform(list_zip(a.embedding, b.embedding),"
     " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -61,10 +70,12 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: query rows (vec_id % 100 == 0) against the full
     corpus, rank window per query. The correctness baseline every ANN variant
     is measured against."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", F.expr(_NORM2_SPARK)
+    )
     a = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).alias("a")
     b = emb.alias("b")
-    cos = F.expr(_COS_SPARK)
+    cos = _cos_col()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     scored = a.join(b, F.col("b.vec_id") != F.col("a.vec_id")).select(
         F.col("a.vec_id").alias("query_id"),
@@ -155,24 +166,30 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Lv et al.): more probes instead of more tables, no extra index state.
     At scale the probe fan-out is a cheap explode on the (small) query side;
     the corpus side is hash-partitioned by bucket exactly once."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.select("vec_id", "embedding", F.expr(_BUCKET_SPARK).alias("bucket"))
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", F.expr(_NORM2_SPARK)
+    )
+    bucketed = emb.select(
+        "vec_id", "embedding", "norm2", F.expr(_BUCKET_SPARK).alias("bucket")
+    )
     flips = F.array(F.lit(0), *[F.lit(1 << p) for p in range(NUM_PLANES)])
     a = (
         bucketed.filter(F.col("vec_id") % QUERY_STRIDE == 0)
         .select(
             "vec_id",
             "embedding",
+            "norm2",
             F.explode(flips).alias("flip"),
             F.col("bucket"),
         )
         .select(
-            "vec_id", "embedding", F.expr("bucket ^ flip").cast("long").alias("probe")
+            "vec_id", "embedding", "norm2",
+            F.expr("bucket ^ flip").cast("long").alias("probe"),
         )
         .alias("a")
     )
     b = bucketed.alias("b")
-    cos = F.expr(_COS_SPARK)
+    cos = _cos_col()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     scored = a.join(
         b,
@@ -276,7 +293,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus. At 100 TB the assignment is written once as a bucketed
     column (partitionBy(cell)) and queries touch only probed partitions —
     partition pruning does the inverted-file lookup."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", F.expr(_NORM2_SPARK)
+    )
     cells = emb.select("label", F.posexplode("embedding").alias("d0", "x")).select(
         "label", (F.col("d0") + 1).alias("d"), F.col("x").cast("double").alias("x")
     )
@@ -293,20 +312,23 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_cell = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell_id"))
     dists = (
-        emb.select("vec_id", "embedding")
+        emb.select("vec_id", "embedding", "norm2")
         .crossJoin(F.broadcast(centroids))
-        .select("vec_id", "embedding", "cell_id", F.expr(_DIST2_SPARK).alias("dist2"))
+        .select(
+            "vec_id", "embedding", "norm2", "cell_id",
+            F.expr(_DIST2_SPARK).alias("dist2"),
+        )
         .withColumn("crnk", F.row_number().over(w_cell))
     )
     assigned = dists.filter(F.col("crnk") == 1).select(
-        "vec_id", "embedding", F.col("cell_id").alias("cell")
+        "vec_id", "embedding", "norm2", F.col("cell_id").alias("cell")
     )
     probes = dists.filter(
         (F.col("crnk") <= _IVF_NPROBE) & (F.col("vec_id") % QUERY_STRIDE == 0)
-    ).select("vec_id", "embedding", F.col("cell_id").alias("cell"))
+    ).select("vec_id", "embedding", "norm2", F.col("cell_id").alias("cell"))
     a = probes.alias("a")
     b = assigned.alias("b")
-    cos = F.expr(_COS_SPARK)
+    cos = _cos_col()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     scored = a.join(
         b, (F.col("a.cell") == F.col("b.cell")) & (F.col("b.vec_id") != F.col("a.vec_id"))
