@@ -660,3 +660,117 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).alias("n_keys"),
         F.array_join(F.map_keys(m), ",").alias("keys_csv"),
     )
+
+
+# --------------------------------------------------------------------------
+# Join taxonomy beyond the reference (SURVEY §2.3 notes the reference has no
+# right/full outer, cross, or lookup joins — the engine surface fills them)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer equi-join — customers kept even with no orders. The dim
+    side is broadcast-sized; Catalyst picks BroadcastHashJoin and the fact
+    side never shuffles."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right_outer").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH buyers AS (
+      SELECT o_custkey, count(*) AS n_orders FROM orders
+      WHERE o_totalprice > 400000 GROUP BY o_custkey
+    ),
+    big AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000
+    )
+    SELECT coalesce(b.o_custkey, g.c_custkey) AS custkey,
+           b.n_orders, g.c_acctbal
+    FROM buyers b FULL JOIN big g ON b.o_custkey = g.c_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two derived sets with partial overlap — both
+    unmatched sides survive with nulls. Full outer can't broadcast (both
+    sides must see all unmatched keys), so this is the one join here that
+    must shuffle both inputs — exactly what a planner should pick."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    buyers = (
+        o.filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    big = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_acctbal")
+    j = buyers.join(big, buyers.o_custkey == big.c_custkey, "full_outer")
+    return j.select(
+        F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+        "n_orders",
+        "c_acctbal",
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT n.n_name, r.r_name
+    FROM nation n CROSS JOIN region r
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two tiny dims (25 x 5). Legitimate only
+    when one side is broadcast-tiny; anything larger must be an error, which
+    is why plans.assert_no_cartesian exists for the data path."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.crossJoin(r).select("n_name", "r_name")
+
+
+@register(
+    "join_star_revenue",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup (TPC-H Q5 shape): fact ⋈ three dimension tables →
+    two-level group-by. The scale plan: every dim broadcasts (hinted
+    explicitly — at 100 TB the fact table is the only thing that moves, and
+    only once, into the final aggregation shuffle); the date filter pushes
+    to the parquet scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1995-01-01"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

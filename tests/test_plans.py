@@ -86,3 +86,34 @@ def test_lsh_ann_join_is_hash_on_bucket(spark):
     cross join over the corpus."""
     df = QUERIES["sim_lsh_ann_topk"](spark, SF_SMOKE)
     assert_no_cartesian(df)
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    """Every dimension in the star rollup must broadcast, the date filter
+    must reach the parquet scan, and nothing may plan cartesian."""
+    df = QUERIES["join_star_revenue"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert_pushed_filters(df, "IsNotNull(o_orderdate)")
+    assert_no_cartesian(df)
+
+
+def test_full_outer_join_shuffles_both_sides(spark):
+    """Full outer can't broadcast — the plan must be a shuffle join (SMJ or
+    shuffled hash), with the derived-set filters pushed to the scans."""
+    df = QUERIES["join_full_outer"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan
+    assert_pushed_filters(df, "IsNotNull(o_totalprice)", "IsNotNull(c_acctbal)")
+
+
+def test_sliding_window_is_single_scan(spark):
+    """The sliding window expands rows via a projection (window explode) —
+    no self-join, one scan of events."""
+    df = QUERIES["window_sliding_agg"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
