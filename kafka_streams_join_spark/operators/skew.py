@@ -1,0 +1,86 @@
+"""Skew mitigation: salted joins and two-phase salted aggregation.
+
+AQE's skew-join splitting (on in ``session.get_spark``) handles most batch
+skew at runtime by splitting oversized shuffle partitions. Salting is the
+explicit fallback for the cases AQE can't touch: streaming stateful ops
+(AQE is disabled under stateful workloads), a single hot key that no
+partition split can spread (all rows share one shuffle key), and
+aggregations where the partial-combine still funnels one key's partials
+into one reducer.
+
+The pattern: append a deterministic salt in [0, S) to the skewed side's
+key (fanning one hot key across S reducers), and replicate the other side
+S× so every (key, salt) pair still meets its match. Replication costs
+S × |small side| — use it when the small side is dimension-sized but too
+big (or too dynamic) to broadcast outright.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def _salt_expr(df: DataFrame, buckets: int) -> Column:
+    """Deterministic per-row salt: hash of the full row, mod buckets.
+    Deterministic (unlike rand()) so retried/recomputed tasks salt
+    identically — a nondeterministic salt can lose or duplicate rows when
+    a stage retries after shuffle-fetch failure."""
+    return F.pmod(
+        F.xxhash64(F.struct(*[F.col(c) for c in df.columns])), F.lit(buckets)
+    ).cast("int")
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | list[str],
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed``'s hot keys are spread over ``buckets``
+    reducers and ``other`` is replicated ``buckets``× to compensate.
+    Result is row-identical to ``skewed.join(other, on, how)``."""
+    keys = [on] if isinstance(on, str) else list(on)
+    s = skewed.withColumn(SALT_COL, _salt_expr(skewed, buckets))
+    o = other.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    joined = s.join(o, on=keys + [SALT_COL], how=how)
+    return joined.drop(SALT_COL)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for hot group keys: partial agg on
+    (keys + salt) — spreading each hot key over ``buckets`` reducers —
+    then final agg on keys. Supports the algebraic aggregates whose
+    partials compose: count, sum, min, max.
+
+    (Catalyst's partial+final hash agg already does map-side combining;
+    this adds a *reduce-side* split for the case where one key's partials
+    alone overwhelm a single reducer — e.g. billions of rows under one
+    key at 100 TB.)
+    """
+    composable = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    for col, fn in aggs.items():
+        if fn not in composable:
+            raise ValueError(
+                f"{fn!r} is not algebraic-composable; use count/sum/min/max"
+            )
+    salted = df.withColumn(SALT_COL, _salt_expr(df, buckets))
+    partial = salted.groupBy(*keys, SALT_COL).agg(
+        *[getattr(F, fn)(col).alias(f"__p_{col}_{fn}") for col, fn in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            getattr(F, composable[fn])(f"__p_{col}_{fn}").alias(f"{fn}_{col}")
+            for col, fn in aggs.items()
+        ]
+    )

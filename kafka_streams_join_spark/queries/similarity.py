@@ -26,6 +26,7 @@ from .registry import register
 TOP_K = 5
 QUERY_STRIDE = 100  # vec_id % 100 == 0 rows are the query set
 NUM_PLANES = 4  # 16 buckets — sized so oracle-scale buckets stay populated
+_TOPK_BLOCK = 500  # corpus vectors per GEMM block in the brute-force path
 
 # cosine(a.embedding, b.embedding) — float32 in, float64 fold. Spark side
 # precomputes the squared norm ONCE per vector (N folds, not N² inside the
@@ -53,6 +54,53 @@ _COS_SQL = (
 )
 
 
+def _topk_block_batches(it):
+    """mapInPandas kernel: each row pairs the (broadcast-small) query block
+    with one corpus block; one float64 GEMM scores it, and only the block's
+    top-K per query (ties broken by neighbor_id asc, matching the final
+    window) survive — the partial-top-k half of a distributed TakeOrdered."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "cos_raw": pd.Series(dtype="float64"),
+        }
+    )
+    for pdf in it:
+        outs = []
+        for _, row in pdf.iterrows():
+            idq = np.array([r["vec_id"] for r in row["q_rows"]], dtype=np.int64)
+            idb = np.array([r["vec_id"] for r in row["b_rows"]], dtype=np.int64)
+            Q = np.stack(
+                [np.asarray(r["embedding"], dtype=np.float64) for r in row["q_rows"]]
+            )
+            B = np.stack(
+                [np.asarray(r["embedding"], dtype=np.float64) for r in row["b_rows"]]
+            )
+            cos = (Q @ B.T) / np.sqrt(
+                (Q * Q).sum(1)[:, None] * (B * B).sum(1)[None, :]
+            )
+            for qi in range(len(idq)):
+                mask = idb != idq[qi]
+                cands_id = idb[mask]
+                cands_cos = cos[qi][mask]
+                order = np.lexsort((cands_id, -cands_cos))[:TOP_K]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": idq[qi],
+                            "neighbor_id": cands_id[order],
+                            "cos_raw": cands_cos[order],
+                        }
+                    )
+                )
+        yield pd.concat(outs) if outs else empty
+
+
+
 @register(
     "sim_topk_bruteforce",
     oracle=f"""
@@ -68,20 +116,30 @@ _COS_SQL = (
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: query rows (vec_id % 100 == 0) against the full
-    corpus, rank window per query. The correctness baseline every ANN variant
-    is measured against."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "norm2", F.expr(_NORM2_SPARK)
+    corpus — the correctness baseline every ANN variant is measured against.
+
+    Executed as a blocked GEMM (like ``dedup_embedding_cosine``): the query
+    set is one broadcast-small block, the corpus is split into blocks of
+    ``_TOPK_BLOCK``; each (queries × block) pair is one NumPy matmul that
+    keeps only its block-local top-K per query, and a final rank window
+    merges the per-block winners — a distributed TakeOrdered, so the merge
+    input is Q × K × n_blocks rows, never Q × N."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qblk = (
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .groupBy()
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("q_rows"))
     )
-    a = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).alias("a")
-    b = emb.alias("b")
-    cos = _cos_col()
+    bblks = (
+        emb.withColumn("blk", (F.col("vec_id") / _TOPK_BLOCK).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("b_rows"))
+    )
+    pairs = bblks.crossJoin(F.broadcast(qblk))
+    scored = pairs.mapInPandas(
+        _topk_block_batches, "query_id bigint, neighbor_id bigint, cos_raw double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    scored = a.join(b, F.col("b.vec_id") != F.col("a.vec_id")).select(
-        F.col("a.vec_id").alias("query_id"),
-        F.col("b.vec_id").alias("neighbor_id"),
-        cos.alias("cos_raw"),
-    )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
