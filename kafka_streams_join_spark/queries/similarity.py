@@ -1,18 +1,19 @@
 """Similarity search over the ``embeddings`` table (SURVEY §2.7).
 
-Brute-force cosine top-k as the oracle-checkable baseline, plus a
-random-hyperplane-LSH bucketed ANN as the scale path. Cosine/dot products are
-pure JVM lambda expressions (zip_with/aggregate fold, left-to-right — the
-same order DuckDB's list_sum uses, so doubles agree to the last bit modulo
-one rounding guard). Hyperplanes are Rademacher (±1) weights derived from
-md5(plane, dim) — deterministic, identical in Spark and the oracle, no
-stored model.
+Three search strategies over one contract (query set = vec_id % 100 == 0,
+cosine top-5): **brute force** (exact baseline, blocked-GEMM mapInPandas
+with per-block partial top-k), **multi-probe LSH** (Rademacher hyperplanes
+from md5(plane, dim) — deterministic, identical in Spark and the oracle, no
+stored model), and **IVF** (broadcast centroid codebook, nprobe cell
+probing). The LSH/IVF candidate scoring stays in JVM lambda expressions
+(zip_with/aggregate fold, left-to-right — the same order DuckDB's list_sum
+uses) with per-vector norms precomputed once.
 
-Scale design (100 TB): brute force is O(Q·N) — fine for Q small, the
-benchmark baseline. The LSH path buckets every vector once (narrow shuffle
-on bucket), then searches only within buckets: candidate sets shrink by the
-bucket fan-out (16 here; thousands at scale with more planes), which is the
-IVF trade — recall for throughput.
+Scale design (100 TB): brute force is O(Q·N) — the correctness baseline and
+the measuring stick. LSH/IVF bucket every vector exactly once (one narrow
+shuffle), then search only probed buckets/cells: candidates shrink by the
+fan-out (16 buckets / 10 cells here; thousands at scale), the classic
+recall-for-throughput trade.
 """
 
 from __future__ import annotations
