@@ -98,3 +98,27 @@ def test_session_agg_splits_on_gap(spark, tmpdir):
         (T0, T0 + dt.timedelta(seconds=40), 2),
         (T0 + dt.timedelta(seconds=100), T0 + dt.timedelta(seconds=130), 1),
     }
+
+
+def test_error_listener_observes_lifecycle(spark, tmpdir, caplog):
+    """The L3 listener sees start and clean termination of a query."""
+    import logging
+
+    from kafka_streams_join_spark.streaming.listener import (
+        install_error_listener,
+    )
+
+    listener = install_error_listener(spark)
+    try:
+        src = FileStream(spark, tmpdir, "input")
+        src.add_batch([{"key": "a", "value": "1", "ts": _ts(0)}])
+        agg = stream_tumbling_agg(src.df(), window="1 minute")
+        with caplog.at_level(logging.INFO, logger="kafka_streams_join_spark.streaming.listener"):
+            q, _ = start_memory_sink(agg, checkpoint_root=tmpdir)
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(10)
+        msgs = [r.getMessage() for r in caplog.records]
+        assert any("started" in m for m in msgs)
+    finally:
+        spark.streams.removeListener(listener)
