@@ -14,7 +14,7 @@ parquet row-group with no driver involvement.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
@@ -240,4 +240,67 @@ def text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
+    )
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, source, lang, text,
+             len({_TOKS_SQL}) AS n_tokens,
+             len(list_filter({_TOKS_SQL}, t -> list_contains({_STOP_SQL}, t))) AS n_stop,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rnk
+      FROM documents
+    ),
+    flagged AS (
+      SELECT source, lang, n_tokens,
+             (dup_rnk = 1 AND n_tokens BETWEEN 10 AND 5000
+              AND 20 * n_stop >= n_tokens) AS kept
+      FROM feat
+    )
+    SELECT source, lang,
+           count(*)                                        AS n_docs,
+           count(*) FILTER (WHERE kept)                    AS n_kept,
+           coalesce(sum(n_tokens) FILTER (WHERE kept), 0)  AS kept_tokens
+    FROM flagged
+    GROUP BY source, lang
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation funnel as ONE composed plan:
+    exact dedup (first doc per content hash wins) → length gate (10..5000
+    tokens) → stopword-ratio gate (>= 5%, computed as the integer comparison
+    ``20·n_stop >= n_tokens`` so no float boundary can disagree between
+    engines) → per-(source, lang) yield accounting.
+
+    Composition is the point: dedup rank, gates, and rollup fuse into scan →
+    window-on-hash → hash agg. At 100 TB the content-hash window is the only
+    wide stage, and it shuffles (hash, doc_id) pairs, not documents."""
+    doc = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    feat = doc.select(
+        "source",
+        "lang",
+        F.expr(f"size({_TOKS})").alias("n_tokens"),
+        F.expr(f"size(filter({_TOKS}, t -> array_contains({_STOP}, t)))").alias(
+            "n_stop"
+        ),
+        F.row_number().over(w).alias("dup_rnk"),
+    )
+    flagged = feat.select(
+        "source",
+        "lang",
+        "n_tokens",
+        (
+            (F.col("dup_rnk") == 1)
+            & F.col("n_tokens").between(10, 5000)
+            & (20 * F.col("n_stop") >= F.col("n_tokens"))
+        ).alias("kept"),
+    )
+    kept_tokens = F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+    return flagged.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+        kept_tokens.alias("kept_tokens"),
     )
