@@ -64,3 +64,19 @@ def test_partitioned_parquet_prunes(spark, tmpdir, sample):
     assert [r["id"] for r in _rows(got)] == [2]
     # partition filter prunes directories, not rows: one partition dir read
     assert "PartitionFilters: [isnotnull(part" in explain_str(got)
+
+
+def test_idempotent_writer_replay_is_harmless(spark, tmpdir, sample):
+    """Replaying a micro-batch (the at-least-once failure mode) must leave
+    the sink byte-identical — no duplicate rows."""
+    from kafka_streams_join_spark.streaming.sinks import IdempotentParquetWriter
+
+    path = os.path.join(tmpdir, "sink")
+    writer = IdempotentParquetWriter(path)
+    writer(sample, batch_id=0)
+    writer(sample.limit(2), batch_id=1)
+    # simulate checkpoint replay of batch 1
+    writer(sample.limit(2), batch_id=1)
+    got = spark.read.parquet(path)
+    assert got.count() == 5
+    assert got.filter(F.col("batch_id") == 1).count() == 2
