@@ -774,3 +774,21 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register("agg_approx_percentile")  # rows-only: t-digest internals differ per engine
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of ``agg_percentiles``: approx_percentile is a mergeable
+    sketch — partial sketches combine map-side, so the exact path's
+    per-group sort never happens. At 100 TB this is the default and the
+    exact percentile is the special case (rows-only check: sketch
+    internals aren't cross-engine comparable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4
+        ).alias("p50_approx"),
+        F.round(
+            F.expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 4
+        ).alias("p95_approx"),
+    )
