@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.payload import join_payload
+from ..operators.asof_join import asof_join
 from ..operators.interval_join import JoinWindow, interval_join, shift_event_time
 from ..sources.parquet import load_table
 from .registry import register
@@ -289,3 +290,148 @@ def t1_shift_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "event_type"
     )
     return shift_event_time(ev, "1 second")
+
+
+# --------------------------------------------------------------------------
+# As-of joins — nearest-match completion of the JoinWindows family.
+# The reference's band join (TimeoutJoinTest.scala:75-79) emits EVERY match
+# in [t-W, t]; the as-of join emits only the nearest one. operators/asof_join
+# does it with one shuffle + sort (no band blowup) — see its module docstring.
+# --------------------------------------------------------------------------
+
+
+def _asof_sides(spark: SparkSession, sf_dir: str, left_type: str, right_type: str):
+    left = _typed(spark, sf_dir, left_type, left_type).drop(f"{left_type}_props")
+    right = _typed(spark, sf_dir, right_type, right_type).drop(f"{right_type}_props")
+    return left, right
+
+
+def _asof_project(df: DataFrame, left_type: str, right_type: str) -> DataFrame:
+    return df.select(
+        F.col(f"l_user_id").alias("user_id"),
+        F.col(f"l_{left_type}_id").alias(f"{left_type}_id"),
+        F.col(f"l_{left_type}_ts").alias(f"{left_type}_ts"),
+        F.col(f"r_{right_type}_id").alias(f"{right_type}_id"),
+        F.col(f"r_{right_type}_ts").alias(f"{right_type}_ts"),
+    )
+
+
+@register(
+    "asof_latest_view",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+         j AS (
+           SELECT c.user_id, c.click_id, c.click_ts, v.view_id, v.view_ts,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY c.click_id
+                    ORDER BY v.view_ts DESC NULLS LAST, v.view_id DESC NULLS LAST
+                  ) AS rn
+           FROM c LEFT JOIN v
+             ON c.user_id = v.user_id AND v.view_ts <= c.click_ts
+         )
+    SELECT user_id, click_id, click_ts, view_id, view_ts FROM j WHERE rn = 1
+    """,
+)
+def asof_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of: for each click, THE latest view at-or-before it.
+
+    Ties on view_ts break to the max view_id (right_tiebreak), matching the
+    oracle's ORDER BY ts DESC, id DESC / rn = 1.
+    """
+    clicks, views = _asof_sides(spark, sf_dir, "click", "view")
+    return _asof_project(
+        asof_join(
+            clicks,
+            views,
+            on="user_id",
+            left_ts="click_ts",
+            right_ts="view_ts",
+            right_tiebreak="view_id",
+        ),
+        "click",
+        "view",
+    )
+
+
+@register(
+    "asof_latest_view_tolerance",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+         j AS (
+           SELECT c.user_id, c.click_id, c.click_ts, v.view_id, v.view_ts,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY c.click_id
+                    ORDER BY v.view_ts DESC NULLS LAST, v.view_id DESC NULLS LAST
+                  ) AS rn
+           FROM c LEFT JOIN v
+             ON c.user_id = v.user_id
+            AND v.view_ts <= c.click_ts
+            AND v.view_ts >= c.click_ts - INTERVAL 2 HOUR
+         )
+    SELECT user_id, click_id, click_ts, view_id, view_ts FROM j WHERE rn = 1
+    """,
+)
+def asof_latest_view_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 2 h tolerance (pandas merge_asof ``tolerance``).
+
+    Nearest-then-filter ≡ filter-then-nearest for a one-sided direction, so
+    the post-hoc tolerance null-out matches the oracle's banded join.
+    """
+    clicks, views = _asof_sides(spark, sf_dir, "click", "view")
+    return _asof_project(
+        asof_join(
+            clicks,
+            views,
+            on="user_id",
+            left_ts="click_ts",
+            right_ts="view_ts",
+            tolerance="2 hours",
+            right_tiebreak="view_id",
+        ),
+        "click",
+        "view",
+    )
+
+
+@register(
+    "asof_next_purchase",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT v.user_id, v.view_id, v.view_ts, p.purchase_id, p.purchase_ts,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY v.view_id
+                    ORDER BY p.purchase_ts ASC NULLS LAST, p.purchase_id DESC NULLS LAST
+                  ) AS rn
+           FROM v LEFT JOIN p
+             ON v.user_id = p.user_id AND p.purchase_ts >= v.view_ts
+         )
+    SELECT user_id, view_id, view_ts, purchase_id, purchase_ts FROM j WHERE rn = 1
+    """,
+)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of (attribution): for each view, the next purchase by the
+    same user at-or-after it."""
+    views, purchases = _asof_sides(spark, sf_dir, "view", "purchase")
+    return _asof_project(
+        asof_join(
+            views,
+            purchases,
+            on="user_id",
+            left_ts="view_ts",
+            right_ts="purchase_ts",
+            direction="forward",
+            right_tiebreak="purchase_id",
+        ),
+        "view",
+        "purchase",
+    )
