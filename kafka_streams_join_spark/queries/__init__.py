@@ -10,6 +10,7 @@ from .registry import ORACLES, QUERIES, register
 
 from . import reference  # noqa: E402,F401  (registration side effects)
 from . import relational  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import text  # noqa: E402,F401

@@ -117,3 +117,30 @@ def test_sliding_window_is_single_scan(spark):
         assert join not in plan
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_tpch_queries_broadcast_dims_no_cartesian(spark):
+    """Q3/Q5/Q10: every dimension side broadcasts; the fact table never
+    feeds a cartesian/nested-loop; date+segment filters reach the scans."""
+    for name in (
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier",
+        "tpch_q10_returned_items",
+    ):
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert_no_cartesian(df)
+        assert_broadcast_join(df, expect=True)
+        plan = explain_str(df)
+        assert "SortMergeJoin" not in plan, f"{name} shuffled a dim join:\n{plan[:1500]}"
+    q3 = QUERIES["tpch_q3_shipping_priority"](spark, SF_SMOKE)
+    assert_pushed_filters(q3, "IsNotNull(l_shipdate)", "IsNotNull(c_mktsegment)")
+
+
+def test_tpch_q17_single_fact_shuffle(spark):
+    """Q17's decorrelated subquery: the per-part average is one partial+final
+    agg; part (brand-filtered) broadcasts into lineitem."""
+    df = QUERIES["tpch_q17_small_quantity"](spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, expect=True)
+    plan = explain_str(df)
+    assert "HashAggregate" in plan
