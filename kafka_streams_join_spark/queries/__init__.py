@@ -15,5 +15,6 @@ from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import pipeline  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

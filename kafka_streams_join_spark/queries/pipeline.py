@@ -1,0 +1,151 @@
+"""Training-data pipeline operators over the documents corpus.
+
+The reference stops at stream joins; a corpus pipeline at 100 TB also needs
+deterministic splitting, stratified sampling, and chunking before anything
+reaches a trainer. All three are pure built-in-function plans (no Python on
+the data path) and — the part that actually matters operationally — fully
+DETERMINISTIC: re-running the pipeline on the same corpus yields the same
+split/sample/chunks on any cluster size, because the "randomness" is an
+arithmetic hash of the stable doc_id, not rand() (which is per-task and
+per-execution). That's also what makes them oracle-checkable.
+
+The hash is a multiplicative LCG step ``(doc_id * 40503 + 17) mod m``:
+identical integer semantics in Spark and DuckDB, and the multiplier is small
+enough that ``doc_id * 40503`` stays far from int64 overflow for any realistic
+id space (ids to ~2e14), so no engine-specific wraparound can diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .registry import register
+
+CHUNK = 256  # characters per chunk in pipeline_chunk_documents
+
+
+def _bucket(id_col: str, mod: int) -> F.Column:
+    return (F.col(id_col) * 40503 + 17) % mod
+
+
+@register(
+    "pipeline_train_test_split",
+    oracle="""
+    SELECT lang,
+           CASE WHEN (doc_id * 40503 + 17) % 1000 < 900
+                THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/10 train/test split by hashed doc_id, summarized per language.
+
+    Scale: the split column is a per-row projection (no shuffle, no state);
+    the only Exchange is the final small rollup. Assigning by id-hash rather
+    than rand() means train/test membership is stable across reruns,
+    backfills, and partition layouts — the property audits actually need.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "split",
+            F.when(_bucket("doc_id", 1000) < 900, F.lit("train")).otherwise(
+                F.lit("test")
+            ),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "pipeline_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 40503 + 17) % 1000000 ASC, doc_id ASC
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn <= 50
+    """,
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50 documents per language, picked by deterministic hash order.
+
+    The idiomatic scale plan for "n per stratum": one shuffle on the stratum
+    key, a rank window, a rank filter — same shape as window_topk_per_group,
+    with the hash as the (stable) random order. sampleBy() would be cheaper
+    by a shuffle but gives only a fraction, not an exact per-stratum count,
+    and is not deterministic across executions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        _bucket("doc_id", 1_000_000).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "pipeline_chunk_documents",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id, text,
+             unnest(generate_series(
+               0, CAST(floor((length(text) - 1) / {CHUNK}) AS BIGINT)
+             )) AS chunk_id
+      FROM documents
+      WHERE length(text) > 0
+    )
+    SELECT doc_id, chunk_id,
+           substr(text, CAST(chunk_id * {CHUNK} + 1 AS BIGINT), {CHUNK}) AS chunk,
+           least({CHUNK}, length(text) - chunk_id * {CHUNK}) AS chunk_chars
+    FROM e
+    """,
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size character chunking (the pre-tokenization step of every
+    training pipeline), as a lateral explode of substring offsets.
+
+    Scale: explode is a narrow transformation — chunking never shuffles, and
+    output size is input size + one small int per chunk. The alternative
+    (a Python UDF slicing strings) moves every byte through Arrow twice;
+    sequence+explode+substring stays entirely in the JVM.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.length("text") - 1) / CHUNK).cast("long"),
+                )
+            ).alias("chunk_id"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.expr(f"substring(text, CAST(chunk_id * {CHUNK} + 1 AS INT), {CHUNK})").alias(
+                "chunk"
+            ),
+            F.least(
+                F.lit(CHUNK), F.length("text") - F.col("chunk_id") * CHUNK
+            ).alias("chunk_chars"),
+        )
+    )
