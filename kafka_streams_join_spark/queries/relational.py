@@ -792,3 +792,48 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 4
         ).alias("p95_approx"),
     )
+
+
+@register(
+    "udaf_geomean_price",
+    oracle="""
+    SELECT l_returnflag,
+           round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF surface (SURVEY §2.6): a grouped-agg pandas_udf — the Spark
+    analogue of the reference's Processor-API extension point
+    (TopicShifter.scala:22-37), but vectorized over Arrow batches.
+
+    Scale: grouped-agg pandas UDFs get the partial/final split from Spark's
+    AggregateInPandas only per full group, so the shuffle carries raw rows —
+    fine for a true custom aggregate, which is the one case that earns
+    Python on the data path. (Anything expressible as built-ins — including
+    this geomean, used here precisely because an exp(avg(ln)) oracle can
+    verify the UDAF machinery — should stay JVM-side.)
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType instead of type hints: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf's signature inference can't resolve.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # Spark disallows mixing pandas and built-in aggregates in one agg(), so
+    # the row count is a second pandas UDAF rather than F.count.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(geomean("l_extendedprice"), 4).alias("geomean_price"),
+        n_rows("l_extendedprice").alias("n"),
+    )
