@@ -26,6 +26,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.components import connected_components
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -439,3 +440,79 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         _block_cosine_batches, "vec_a bigint, vec_b bigint, cos_raw double"
     )
     return scored.select("vec_a", "vec_b", F.round("cos_raw", 3).alias("cos"))
+
+
+_CC_PAIRS_SQL = f"""
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  pairs AS (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {JACCARD_THRESHOLD}
+  ),
+  edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+  ),
+  reach AS (
+    SELECT DISTINCT s AS n, s AS m FROM edges
+    UNION
+    SELECT e.s AS n, r.m FROM edges e JOIN reach r ON r.n = e.d
+  ),
+  comp AS (SELECT n AS doc_id, min(m) AS canonical_id FROM reach GROUP BY n)
+"""
+
+
+@register(
+    "dedup_cluster_canonical",
+    # WITH RECURSIVE: the shingle fragment opens the WITH list; reach is the
+    # recursive member (UNION dedup terminates it on cyclic components).
+    oracle=_SHINGLES_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ","
+    + _CC_PAIRS_SQL
+    + """
+    SELECT d.doc_id AS doc_id,
+           coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+           CAST(c.canonical_id IS NOT NULL AND c.canonical_id <> d.doc_id
+                AS INTEGER) AS is_duplicate
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup pair graph: every document labeled
+    with its cluster's canonical (minimum) doc_id. Pair detection alone
+    under-deletes — if A~B and B~C, the corpus keeps two of the three unless
+    clusters are closed transitively, which is why corpus dedup ends with
+    connected components.
+
+    Scale design: distributed min-label propagation — per iteration one
+    edges⋈labels shuffle and a min-aggregate, converging in O(graph
+    diameter) rounds (near-dup components are shallow; the cap is a safety
+    rail). Lineage is truncated every round with localCheckpoint(), the
+    make-or-break detail for iterative DataFrame algorithms (an uncut plan
+    doubles per round and the final job replans 2^rounds of joins). The
+    driver-side loop only ever sees a scalar `changed` count — all data
+    stays distributed.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).toDF("doc_id", "label")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("label", F.col("doc_id")).alias("canonical_id"),
+        (
+            F.col("label").isNotNull() & (F.col("label") != F.col("doc_id"))
+        )
+        .cast("int")
+        .alias("is_duplicate"),
+    )
