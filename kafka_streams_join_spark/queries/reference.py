@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.payload import join_payload
 from ..operators.asof_join import asof_join
+from ..operators.range_join import bucketed_range_join
 from ..operators.interval_join import JoinWindow, interval_join, shift_event_time
 from ..sources.parquet import load_table
 from .registry import register
@@ -434,4 +435,83 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "view",
         "purchase",
+    )
+
+
+# --------------------------------------------------------------------------
+# Keyless range joins — the band predicate WITHOUT the reference's key
+# equality. A bare theta join would plan BroadcastNestedLoop (O(n·m));
+# operators/range_join.py rewrites it to a bucket equi-join.
+# --------------------------------------------------------------------------
+
+
+def _range_sides(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("error_end"),
+    )
+    return purchases, errors
+
+
+@register(
+    "range_join_error_window",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
+           e.event_id AS error_id, e.ts AS error_start
+    FROM events p
+    JOIN events e
+      ON p.ts >= e.ts AND p.ts < e.ts + INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+    """,
+)
+def range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases made during ANY error window [error_ts, error_ts + 30 min) —
+    no join key, pure range predicate. Bucketed at 30 min so each error
+    window explodes to ≤ 2 buckets; the join is hash-on-bucket, never a
+    nested loop (gated in test_plans)."""
+    purchases, errors = _range_sides(spark, sf_dir)
+    return bucketed_range_join(
+        purchases,
+        errors,
+        point_ts="purchase_ts",
+        interval_start="error_start",
+        interval_end="error_end",
+        bucket_seconds=1800,
+        point_prefix="",
+        interval_prefix="",
+    ).select("purchase_id", "purchase_ts", "error_id", "error_start")
+
+
+@register(
+    "range_join_quiet_purchases",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (
+        SELECT 1 FROM events e
+        WHERE e.event_type = 'error'
+          AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 30 MINUTE
+      )
+    """,
+)
+def range_join_quiet_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti flavor: purchases inside NO error window — absence detection
+    (J3's shape) with the key equality removed."""
+    purchases, errors = _range_sides(spark, sf_dir)
+    return bucketed_range_join(
+        purchases,
+        errors,
+        point_ts="purchase_ts",
+        interval_start="error_start",
+        interval_end="error_end",
+        bucket_seconds=1800,
+        how="left_anti",
+        point_prefix="",
+        interval_prefix="",
     )

@@ -144,3 +144,27 @@ def test_tpch_q17_single_fact_shuffle(spark):
     assert_broadcast_join(df, expect=True)
     plan = explain_str(df)
     assert "HashAggregate" in plan
+
+
+def test_keyless_range_join_is_hash_not_nested_loop(spark):
+    """The bucketed rewrite's reason to exist: the same predicate as a bare
+    theta join plans BroadcastNestedLoopJoin; ours must plan a hash/SMJ on
+    the bucket id."""
+    df = QUERIES["range_join_error_window"](spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+    # the naive formulation, for contrast, is the O(n·m) plan we refuse
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    e = ev.filter(F.col("event_type") == "error").alias("e")
+    naive = p.join(
+        e,
+        (F.col("p.ts") >= F.col("e.ts"))
+        & (F.col("p.ts") < F.col("e.ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    assert "BroadcastNestedLoopJoin" in explain_str(naive)
