@@ -837,3 +837,43 @@ def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geomean("l_extendedprice"), 4).alias("geomean_price"),
         n_rows("l_extendedprice").alias("n"),
     )
+
+
+@register(
+    "latest_state_per_user",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type
+    FROM (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (a KTable, in the reference's vocabulary): the
+    newest record per key, ties broken by event_id so the winner is unique.
+
+    Scale: one shuffle on the key with a rank window — the same plan as
+    window_topk_per_group with k=1. At 100 TB this is how a CDC stream
+    becomes a queryable snapshot; the streaming twin is dropDuplicates over
+    a watermark (streaming/topology.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
