@@ -149,3 +149,88 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_chars"),
         )
     )
+
+
+N_SHARDS = 32  # packing parallelism: sequences never cross a shard
+SEQ_TOKENS = 2048  # target tokens per packed training sequence
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id, text,
+             unnest(generate_series(
+               0, CAST(floor((length(text) - 1) / {CHUNK}) AS BIGINT)
+             )) AS chunk_id
+      FROM documents
+      WHERE length(text) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             CAST(ceil(least({CHUNK}, length(text) - chunk_id * {CHUNK}) / 4.0)
+                  AS BIGINT) AS n_tokens,
+             doc_id % {N_SHARDS} AS shard
+      FROM e
+    ),
+    packed AS (
+      SELECT shard, n_tokens,
+             (sum(n_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id, chunk_id
+                ROWS UNBOUNDED PRECEDING
+              ) - n_tokens) // {SEQ_TOKENS} AS seq_id
+      FROM chunks
+    )
+    SELECT shard, seq_id,
+           count(*) AS n_chunks,
+           sum(n_tokens) AS seq_tokens
+    FROM packed
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack chunked documents into ~{SEQ_TOKENS}-token training sequences.
+
+    The last pre-trainer step: chunks are laid end-to-end and cut every
+    SEQ_TOKENS tokens (chunks may straddle a cut — exactly how causal-LM
+    packing works). A single global running sum would serialize the corpus
+    through one partition, so packing is sharded by doc_id hash: each shard
+    packs independently (one shuffle, {N_SHARDS}-way parallel), sequences
+    never cross shards, and the layout is reproducible because shard and
+    order are functions of stable ids — not of partition layout. Output is
+    the per-sequence manifest a loader would consume.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chunks = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).alias("shard"),
+        F.explode(
+            F.sequence(
+                F.lit(0), F.floor((F.length("text") - 1) / CHUNK).cast("long")
+            )
+        ).alias("chunk_id"),
+        F.length("text").alias("text_len"),
+    ).select(
+        "doc_id",
+        "shard",
+        "chunk_id",
+        F.ceil(
+            F.least(F.lit(CHUNK), F.col("text_len") - F.col("chunk_id") * CHUNK)
+            / 4.0
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = chunks.withColumn(
+        "seq_id",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / SEQ_TOKENS).cast("long"),
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )
