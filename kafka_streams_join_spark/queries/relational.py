@@ -877,3 +877,41 @@ def latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("last_type"),
         )
     )
+
+
+@register(
+    "window_trailing_1h",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_events_1h,
+           max(value) OVER w AS max_value_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id
+      ORDER BY CAST(epoch(ts) AS BIGINT)
+      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row trailing-hour features via a RANGE frame over epoch seconds —
+    the sliding-feature shape ML pipelines compute per event (the ROW-frame
+    windows elsewhere count rows, not time). Count and max only: both are
+    order-insensitive, so the hash is engine-stable without rounding.
+
+    Scale: one shuffle on user_id + a per-partition sort; the frame is
+    time-bounded, so window state is O(events-per-hour-per-user), not
+    O(history)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.max("value").over(w).alias("max_value_1h"),
+    )
