@@ -79,6 +79,10 @@ def check_parity(
             name, len(sdf), len(odf), False,
             f"columns differ: spark={list(sdf.columns)} oracle={list(odf.columns)}",
         )
+    if len(sdf) == 0:
+        # both empty: equals() would still compare dtypes, which differ
+        # between an empty toPandas() and an empty duckdb .df()
+        return ParityResult(name, 0, 0, True)
     if not sdf.equals(odf):
         neq = (sdf != odf).any(axis=1)
         idx = neq[neq].index[:3].tolist()

@@ -888,7 +888,9 @@ def latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WINDOW w AS (
       PARTITION BY user_id
-      ORDER BY CAST(epoch(ts) AS BIGINT)
+      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)  -- floor: Spark's
+        -- unix_timestamp truncates sub-second parts; a bare BIGINT cast in
+        -- DuckDB ROUNDS the epoch double, shifting frame boundaries by 1 s
       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
     )
     """,

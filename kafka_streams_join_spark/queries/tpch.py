@@ -36,8 +36,11 @@ def _rev4():
 
 
 # Dollar total from the summed 10^-4 units: integer half-up, then an exact
-# 2-decimal double. Spark `div` ≡ DuckDB `//` for non-negative longs.
-_REV_TOTAL = "((rev4 + 50) div 100) / 100.0"
+# 2-decimal double. Spark `div` ≡ DuckDB `//` for non-negative longs. The
+# outer CAST matters: Spark parses the `100.0` literal as DECIMAL, and a
+# decimal revenue column canonicalizes with trailing zeros ('7162675.000000')
+# where DuckDB's double prints '7162675' — type parity, not just value parity.
+_REV_TOTAL = "CAST(((rev4 + 50) div 100) / 100.0 AS DOUBLE)"
 _REV4_SQL = (
     "CAST(round(l.l_extendedprice * 100) AS BIGINT)"
     " * (100 - CAST(round(l.l_discount * 100) AS BIGINT))"
