@@ -2,9 +2,11 @@
 
 The reference has no relational engine at all (SURVEY §2.6), so these queries
 exist to prove the rebuild's planner-facing surface on the classic shapes:
-selective fact/dim joins (Q3), a five-way join with a co-location predicate
-(Q5), a group-by over a three-way join (Q10), and a correlated scalar
-subquery (Q17). Predicates are adapted to the corpus's 1995-2001 date range.
+selective fact/dim joins (Q3), an EXISTS decorrelated to a semi join (Q4),
+a five-way join with a co-location predicate (Q5), a group-by over a
+three-way join (Q10), conditional aggregation (Q14), a correlated scalar
+subquery (Q17), and disjunctive cross-table predicates (Q19). Predicates are
+adapted to the corpus's 1995-2001 date range.
 
 Scale notes: each query is written so Catalyst gets to make the right calls —
 filters sit directly on scans (pushdown), dimensions are broadcast-hinted
@@ -217,4 +219,126 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(limits, li.l_partkey == limits.t_partkey)
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q4_priority_returns",
+    oracle="""
+    SELECT o.o_orderpriority AS o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY 1
+    """,
+)
+def tpch_q4_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape — orders (one quarter) having at least one returned line,
+    counted by priority. The EXISTS subquery IS a left-semi join — written
+    as one directly, which is the decorrelation every optimizer performs.
+    At scale the semi join only ships lineitem's join key (filtered to 'R'
+    rows at the scan), never its payload, and duplicates die before the
+    aggregate instead of inflating it."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q14_promo_share",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO' THEN
+               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+               ELSE 0 END)
+             / sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))),
+             4
+           ) AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 — promo revenue share: conditional aggregation (CASE inside SUM)
+    over a broadcast part join. Both sums are exact integer cents, so the
+    quotient is built from bit-identical numerators in any engine."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", _rev4()).otherwise(F.lit(0)))
+    total = F.sum(_rev4())
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(F.lit(100.0) * promo / total, 4).alias("promo_share_pct"))
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    oracle="""
+    SELECT ((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50) // 100)
+           / 100.0 AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 — the disjunctive-predicate join: three OR'd brand/size/quantity
+    conjunctions spanning both tables. Catalyst extracts the common
+    single-table conjuncts from the OR (brand ∈ {...}, size <= 15,
+    quantity <= 30) and pushes them below the join, so the broadcast build
+    side carries only candidate parts; the residual OR evaluates post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        j.filter(clause)
+        .agg(F.sum(_rev4()).alias("rev4"), F.count(F.lit(1)).alias("n_lines"))
+        .withColumn("revenue", F.expr(_REV_TOTAL))
+        .drop("rev4")
+        .select("revenue", "n_lines")
     )
