@@ -168,3 +168,25 @@ def test_keyless_range_join_is_hash_not_nested_loop(spark):
         & (F.col("p.ts") < F.col("e.ts") + F.expr("INTERVAL 30 MINUTES")),
     )
     assert "BroadcastNestedLoopJoin" in explain_str(naive)
+
+
+def test_pipeline_chunking_never_shuffles(spark):
+    """Chunking is a narrow transformation: explode+substring with ZERO
+    Exchange — at 100 TB any shuffle here would move the whole corpus."""
+    plan = explain_str(QUERIES["pipeline_chunk_documents"](spark, SF_SMOKE), "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_pipeline_split_single_rollup_shuffle(spark):
+    """The split label is a projection; the only Exchange is the final
+    (lang, split) rollup."""
+    plan = explain_str(QUERIES["pipeline_train_test_split"](spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_pipeline_packing_shuffles_only_on_shard(spark):
+    """Packing: one Exchange into the per-shard running-sum window, one into
+    the per-sequence rollup — never a global sort."""
+    plan = explain_str(QUERIES["pipeline_pack_sequences"](spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange") <= 2, plan
+    assert "rangepartitioning" not in plan.lower(), plan
