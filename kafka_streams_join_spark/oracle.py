@@ -41,8 +41,11 @@ def _canon(v: object) -> str:
     if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
         return "<NULL>"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # Deliberately dtype-strict: a float NEVER collapses to an int string,
+        # so an int64-vs-float64 result-type mismatch (DuckDB ceil/floor →
+        # DOUBLE, windowed sum(int) → HUGEINT→float) fails locally exactly
+        # like the driver's hash does ("26.0" vs "26"). Fix the oracle SQL
+        # with CASTs, not this formatter.
         return f"{v:.6f}"
     if isinstance(v, pd.Timestamp):
         return v.isoformat()

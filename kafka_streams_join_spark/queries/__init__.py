@@ -1,20 +1,41 @@
 """Driver-facing query registry.
 
 Every implemented operator from SURVEY.md §2 registers a (PySpark callable,
-DuckDB oracle SQL) pair here; ``__spark_entry__.py`` re-exports them. Import
-order groups the inventory: reference core → relational surface → scale
-extensions (dedup / similarity / text / multimodal).
+DuckDB oracle SQL) pair here; ``__spark_entry__.py`` re-exports them.
+
+Registration order is deliberate: the driver's correctness sweep processes
+registrations in order and round 1 covered only the first 50, leaving the
+whole §2.7 surface (dedup / similarity / text / multimodal / pipeline) and
+four TPC-H queries unswept. Those register FIRST now; the relational tail —
+every one of its queries already driver-green in CORRECTNESS_r01.json —
+registers last, so a capped sweep still certifies the unproven surface.
 """
 
 from .registry import ORACLES, QUERIES, register
 
-from . import reference  # noqa: E402,F401  (registration side effects)
-from . import relational  # noqa: E402,F401
-from . import tpch  # noqa: E402,F401
-from . import dedup  # noqa: E402,F401
+from . import dedup  # noqa: E402,F401  (registration side effects)
 from . import similarity  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
+from . import reference  # noqa: E402,F401
+from . import relational  # noqa: E402,F401
+
+# Hoisted into the sweep window ahead of the reference/relational tail: the
+# two queries whose r01 hash failed on oracle result types — their fixes need
+# fresh driver rows to be proven. Everything they displace is green in r01.
+_SWEEP_HOIST = ["sessionize_events", "scalar_math_funcs"]
+_names = list(QUERIES)
+_tpch_end = max(i for i, n in enumerate(_names) if n.startswith("tpch_")) + 1
+_ordered = _names[:_tpch_end] + _SWEEP_HOIST + [
+    n for n in _names[_tpch_end:] if n not in _SWEEP_HOIST
+]
+_q = {n: QUERIES[n] for n in _ordered}
+QUERIES.clear()
+QUERIES.update(_q)
+_o = {n: ORACLES[n] for n in _ordered if n in ORACLES}
+ORACLES.clear()
+ORACLES.update(_o)
 
 __all__ = ["QUERIES", "ORACLES", "register"]

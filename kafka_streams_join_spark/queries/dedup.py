@@ -13,9 +13,9 @@ Scale design (100 TB):
   (band, signature) → candidate pairs; state per reducer is one band bucket,
   never the corpus. Verification joins only candidates — the O(n²) step is
   gone, which is the whole point of LSH;
-- SimHash: two hash-aggs (doc×bit → doc), then pairs only within hamming
-  range; at scale the pair join would be bucketed by simhash prefix
-  (pigeonhole: d<=8 over 4 chunks of 15 bits → one exact-match chunk);
+- SimHash: two hash-aggs (doc×bit → doc), then the pigeonhole chunk
+  equi-join (d=10 over 60 bits → 11 chunks, ≥1 must match exactly) for
+  candidates, exact hamming verified on candidates only — no O(n²) stage;
 - brute-force O(n²) variants exist only as oracle-checkable baselines.
 """
 
@@ -286,6 +286,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_chunks() -> list[tuple[int, int, int]]:
+    """(chunk_idx, bit_offset, width) covering all SIMHASH_BITS bits with
+    SIMHASH_MAX_HAMMING + 1 chunks. Pigeonhole: a pair with hamming ≤ d
+    differs in at most d chunks, so with d+1 chunks at least one chunk is
+    bit-identical — an equi-join key with guaranteed recall."""
+    n_chunks = SIMHASH_MAX_HAMMING + 1
+    base, rem = divmod(SIMHASH_BITS, n_chunks)
+    chunks, off = [], 0
+    for i in range(n_chunks):
+        width = base + (1 if i < rem else 0)
+        chunks.append((i, off, width))
+        off += width
+    return chunks
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
@@ -312,10 +327,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 60-bit signature (token-frequency weighted bit votes),
-    pairs within hamming distance 10. Signature build is two hash-aggs; at
-    100 TB the pair stage buckets by signature prefix (pigeonhole) instead of
-    the O(n²) join used at oracle scale."""
+    """SimHash near-dup: 60-bit signature (token-frequency weighted bit
+    votes), pairs within hamming distance 10.
+
+    Scale path (the pigeonhole trick the oracle's O(n²) join verifies): the
+    signature is split into hamming+1 = 11 chunks; a qualifying pair must
+    match exactly on ≥1 chunk, so candidates come from an equi self-join on
+    (chunk_idx, chunk_value) — SortMergeJoin, never BroadcastNestedLoop /
+    cartesian (gated in tests/test_plans.py). Exact hamming is then verified
+    on candidates only, and multi-chunk collisions dedup'd. Signature build
+    is two hash-aggs; the explode is 11× map-side, no extra shuffle."""
     doc = load_table(spark, sf_dir, "documents")
     tok = doc.select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
     th = tok.select(
@@ -336,17 +357,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "simhash"
         )
     )
-    a = sig.alias("a")
-    b = sig.alias("b")
+    chunk_structs = ", ".join(
+        f"named_struct('ck', {i}, 'cv', shiftright(simhash, {off}) & {(1 << width) - 1})"
+        for i, off, width in _simhash_chunks()
+    )
+    chunked = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr(f"array({chunk_structs})")).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
+    a = chunked.alias("a")
+    b = chunked.alias("b")
     ham = F.expr("bit_count(a.simhash ^ b.simhash)")
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .filter(ham <= SIMHASH_MAX_HAMMING)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
+        .distinct()
     )
 
 

@@ -152,7 +152,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN n_chars % 3 = 1 THEN 'audio'
                 ELSE 'video' END AS modality,
            count(*)                    AS n_assets,
-           sum(octet_length(encode(text))) AS total_bytes
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
     FROM documents
     GROUP BY 1
     """,

@@ -37,7 +37,7 @@ def _bucket(id_col: str, mod: int) -> F.Column:
            CASE WHEN (doc_id * 40503 + 17) % 1000 < 900
                 THEN 'train' ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1, 2
     """,
@@ -175,15 +175,15 @@ SEQ_TOKENS = 2048  # target tokens per packed training sequence
     ),
     packed AS (
       SELECT shard, n_tokens,
-             (sum(n_tokens) OVER (
+             CAST((sum(n_tokens) OVER (
                 PARTITION BY shard ORDER BY doc_id, chunk_id
                 ROWS UNBOUNDED PRECEDING
-              ) - n_tokens) // {SEQ_TOKENS} AS seq_id
+              ) - n_tokens) // {SEQ_TOKENS} AS BIGINT) AS seq_id
       FROM chunks
     )
     SELECT shard, seq_id,
            count(*) AS n_chunks,
-           sum(n_tokens) AS seq_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
     FROM packed
     GROUP BY 1, 2
     """,

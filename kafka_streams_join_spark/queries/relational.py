@@ -260,25 +260,31 @@ def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, event_id,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS session_seq
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_seq
     FROM flagged
     """,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min gap) — lag + cumulative sum over gap flags.
-    Batch twin of streaming session_window; one shuffle on user_id."""
+    Batch twin of streaming session_window; one shuffle on user_id.
+
+    The gap compare is microsecond-exact on both sides (unix_micros vs
+    INTERVAL 30 MINUTE): a ts.cast("long") diff truncates sub-second parts,
+    so a gap straddling 1800 s could flip a session boundary. The oracle
+    CASTs its windowed sum to BIGINT (DuckDB sum(int) → HUGEINT → float in
+    pandas, which the driver's hash distinguishes from Spark's BIGINT)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
     flagged = ev.select(
         "user_id",
         "event_id",
         "ts",
         F.when(
-            (F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > 1800)
-            | F.lag("ts").over(w).isNull(),
+            (us - F.lag(us).over(w) > 1_800_000_000) | F.lag("ts").over(w).isNull(),
             1,
         )
         .otherwise(0)
@@ -437,20 +443,24 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_math_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           abs(l_discount - 0.05)          AS disc_dev,
-           ceil(l_quantity)                AS qty_ceil,
-           floor(l_extendedprice / 1000)   AS price_k,
-           round(sqrt(l_quantity), 6)      AS qty_sqrt,
-           CAST(l_quantity AS BIGINT) % 7  AS qty_mod
+           round(abs(l_discount - 0.05), 4)             AS disc_dev,
+           CAST(ceil(l_quantity) AS BIGINT)             AS qty_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           round(sqrt(l_quantity), 6)                   AS qty_sqrt,
+           CAST(l_quantity AS BIGINT) % 7               AS qty_mod
     FROM lineitem
     """,
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface. The oracle CASTs ceil/floor to BIGINT: DuckDB's
+    ceil/floor return DOUBLE while Spark's return BIGINT, and the driver's
+    hash is dtype-sensitive ("26.0" vs "26"). disc_dev is rounded to 4 dp on
+    both sides per the registry rule."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
         F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),

@@ -167,10 +167,10 @@ _BUCKET_SPARK = (
     f" cast(0 as bigint), (acc, v) -> acc + v)"
 )
 _BUCKET_SQL = f"""
-  list_sum(list_transform(generate_series(0, {NUM_PLANES - 1}), p ->
+  CAST(list_sum(list_transform(generate_series(0, {NUM_PLANES - 1}), p ->
     CASE WHEN list_sum(list_transform(generate_series(0, 63), d ->
       ({_W_SQL.format(p='p', d='d')}) * CAST(embedding[d + 1] AS DOUBLE))) >= 0
-    THEN 1::BIGINT << p ELSE 0::BIGINT END))
+    THEN 1::BIGINT << p ELSE 0::BIGINT END)) AS BIGINT)
 """
 
 

@@ -262,7 +262,7 @@ def text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, lang,
            count(*)                                        AS n_docs,
            count(*) FILTER (WHERE kept)                    AS n_kept,
-           coalesce(sum(n_tokens) FILTER (WHERE kept), 0)  AS kept_tokens
+           CAST(coalesce(sum(n_tokens) FILTER (WHERE kept), 0) AS BIGINT) AS kept_tokens
     FROM flagged
     GROUP BY source, lang
     """,

@@ -170,6 +170,21 @@ def test_keyless_range_join_is_hash_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" in explain_str(naive)
 
 
+def test_simhash_pair_stage_is_equi_join(spark):
+    """The pigeonhole chunk rewrite's reason to exist: candidates come from
+    an equi self-join on (chunk_idx, chunk_value), never the O(n²)
+    BroadcastNestedLoopJoin a bare doc_id < doc_id theta join plans."""
+    df = QUERIES["dedup_simhash"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert_no_cartesian(df)
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan[:1500]
+
+
 def test_pipeline_chunking_never_shuffles(spark):
     """Chunking is a narrow transformation: explode+substring with ZERO
     Exchange — at 100 TB any shuffle here would move the whole corpus."""
