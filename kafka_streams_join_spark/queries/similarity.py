@@ -119,16 +119,22 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: query rows (vec_id % 100 == 0) against the full
     corpus — the correctness baseline every ANN variant is measured against.
 
-    Executed as a blocked GEMM (like ``dedup_embedding_cosine``): the query
-    set is one broadcast-small block, the corpus is split into blocks of
-    ``_TOPK_BLOCK``; each (queries × block) pair is one NumPy matmul that
-    keeps only its block-local top-K per query, and a final rank window
-    merges the per-block winners — a distributed TakeOrdered, so the merge
-    input is Q × K × n_blocks rows, never Q × N."""
+    Executed as a blocked GEMM (like ``dedup_embedding_cosine``): BOTH sides
+    are blocked — the corpus into blocks of ``_TOPK_BLOCK`` vectors, the
+    query set into blocks of the same bound (queries are every
+    QUERY_STRIDE-th vec_id, so one query block spans QUERY_STRIDE·B ids).
+    Each (query block × corpus block) pair is one NumPy matmul that keeps
+    only its block-local top-K per query, and a final rank window merges the
+    per-block winners — a distributed TakeOrdered, so the merge input is
+    Q × K × n_blocks rows, never Q × N. Bounding the query side matters at
+    scale: a single collect_list of all query vectors is a one-row, zero-
+    parallelism build side that hits Spark's 2 GB row limit at ~100× query
+    volume; blocked, every task holds at most two blocks."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qblk = (
+    qblks = (
         emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
-        .groupBy()
+        .withColumn("qblk", (F.col("vec_id") / (QUERY_STRIDE * _TOPK_BLOCK)).cast("int"))
+        .groupBy("qblk")
         .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("q_rows"))
     )
     bblks = (
@@ -136,7 +142,9 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("blk")
         .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("b_rows"))
     )
-    pairs = bblks.crossJoin(F.broadcast(qblk))
+    # every query block must meet every corpus block — the all-pairs here is
+    # over BLOCKS (the intended (Q/B)·(N/B) pair space), not rows
+    pairs = bblks.crossJoin(F.broadcast(qblks))
     scored = pairs.mapInPandas(
         _topk_block_batches, "query_id bigint, neighbor_id bigint, cos_raw double"
     )

@@ -100,6 +100,16 @@ def _timeout_fn(window_ms: int):
                 state.setTimeoutTimestamp(
                     max(min(t + window_ms for _, t in pending), wm + 1)
                 )
+            else:
+                # click-only keys must also self-evict: with no timeout the
+                # buffered clicks would outlive the watermark whenever no
+                # further record arrives for the key — unbounded state growth
+                # in the number of click-only keys. Fire once every click has
+                # aged past cancel-eligibility; the timed-out invocation finds
+                # pending and (post-prune) clicks empty and removes the state.
+                state.setTimeoutTimestamp(
+                    max(max(t for _, t in clicks) + window_ms, wm + 1)
+                )
         elif state.exists:
             state.remove()
 

@@ -23,6 +23,19 @@ def _default_aggs() -> list[Column]:
     return [F.count(F.lit(1)).alias("n")]
 
 
+def _flatten_window(out: DataFrame, key: str | None) -> DataFrame:
+    """(w, key?, aggs...) → (win_start, win_end, key?, aggs...). The agg
+    columns are listed explicitly — a ``F.col(key), "*"`` select would emit
+    the key twice and make any downstream by-name reference ambiguous."""
+    agg_cols = [c for c in out.columns if c != "w" and c != key]
+    return out.select(
+        F.col("w.start").alias("win_start"),
+        F.col("w.end").alias("win_end"),
+        *([F.col(key)] if key else []),
+        *agg_cols,
+    )
+
+
 def stream_tumbling_agg(
     df: DataFrame,
     window: str = "1 minute",
@@ -35,18 +48,12 @@ def stream_tumbling_agg(
     windows finalize (append-mode emission) when the watermark passes their
     end."""
     keys = [F.window(ts, window).alias("w")] + ([F.col(key)] if key else [])
-    return (
+    out = (
         df.withWatermark(ts, watermark_delay or window)
         .groupBy(*keys)
         .agg(*(aggs or _default_aggs()))
-        .select(
-            F.col("w.start").alias("win_start"),
-            F.col("w.end").alias("win_end"),
-            *([F.col(key)] if key else []),
-            "*",
-        )
-        .drop("w")
     )
+    return _flatten_window(out, key)
 
 
 def stream_sliding_agg(
@@ -61,18 +68,12 @@ def stream_sliding_agg(
     """Sliding event-time windows (window/slide overlapping copies per
     record) — the streaming twin of ``window_sliding_agg``."""
     keys = [F.window(ts, window, slide).alias("w")] + ([F.col(key)] if key else [])
-    return (
+    out = (
         df.withWatermark(ts, watermark_delay or window)
         .groupBy(*keys)
         .agg(*(aggs or _default_aggs()))
-        .select(
-            F.col("w.start").alias("win_start"),
-            F.col("w.end").alias("win_end"),
-            *([F.col(key)] if key else []),
-            "*",
-        )
-        .drop("w")
     )
+    return _flatten_window(out, key)
 
 
 def stream_session_agg(
@@ -86,15 +87,9 @@ def stream_session_agg(
     """Session windows: per-key sessions split on ``gap`` of event-time
     silence (``session_window`` — dynamic, data-driven window bounds; the
     streaming twin of the gaps-and-islands ``sessionize_events``)."""
-    return (
+    out = (
         df.withWatermark(ts, watermark_delay)
         .groupBy(F.session_window(ts, gap).alias("w"), F.col(key))
         .agg(*(aggs or _default_aggs()))
-        .select(
-            F.col("w.start").alias("win_start"),
-            F.col("w.end").alias("win_end"),
-            F.col(key),
-            "*",
-        )
-        .drop("w")
     )
+    return _flatten_window(out, key)

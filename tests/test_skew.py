@@ -65,3 +65,15 @@ def test_salted_agg_matches_plain_agg(spark):
         assert s[k]["count_event_id"] == p[k]["count_event_id"]
         assert s[k]["max_ts"] == p[k]["max_ts"]
         assert abs(s[k]["sum_value"] - p[k]["sum_value"]) < 1e-6
+
+
+def test_salted_join_rejects_replication_unsafe_how(spark):
+    """right/full outer would emit each unmatched ``other`` row buckets×
+    null-padded — the helper must refuse rather than silently duplicate."""
+    import pytest
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    dim = ev.select("user_id").distinct()
+    for how in ("right", "right_outer", "full", "full_outer", "outer", "cross"):
+        with pytest.raises(ValueError, match="not replication-safe"):
+            salted_join(ev, dim, on="user_id", how=how)

@@ -153,3 +153,45 @@ def test_stream_dedup_within_watermark(spark, tmpdir):
         (KEY, "v1"),
         (OTHER_KEY, "w1"),
     ]
+
+
+def test_click_only_key_registers_cleanup_timeout():
+    """A key that has seen only clicks must still register a timeout, so the
+    buffered-click state self-evicts once no display can still match —
+    otherwise state grows with the number of click-only keys forever."""
+    import pandas as pd
+
+    from kafka_streams_join_spark.streaming.stateful import _timeout_fn
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def __init__(self):
+            self.timeout_ms = None
+            self.updated = None
+            self.removed = False
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutTimestamp(self, t):
+            self.timeout_ms = t
+
+        def remove(self):
+            self.removed = True
+
+    fn = _timeout_fn(1000)
+    click_ts = pd.Timestamp("2024-01-01T00:00:05")
+    pdf = pd.DataFrame(
+        {"side": ["click"], "value": [CLICK], "ts": pd.to_datetime([click_ts])}
+    )
+    st = FakeState()
+    out = list(fn((KEY,), iter([pdf]), st))
+    assert out == []  # nothing emitted for a click-only key
+    assert st.updated is not None  # click buffered (may cancel a late display)
+    # cleanup fires once the click can no longer cancel anything: ts + W
+    assert st.timeout_ms == click_ts.value // 1_000_000 + 1000

@@ -122,3 +122,24 @@ def test_error_listener_observes_lifecycle(spark, tmpdir, caplog):
         assert any("started" in m for m in msgs)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_window_helpers_emit_unique_columns(spark):
+    """The flattened output must contain each column exactly once — a
+    duplicated key column makes any downstream by-name reference ambiguous.
+    (withWatermark + window() are no-ops on a batch frame, so schema can be
+    checked without running a query.)"""
+    from kafka_streams_join_spark.streaming.windows import stream_sliding_agg
+
+    df = spark.createDataFrame(
+        [("k1", dt.datetime(2024, 1, 1, 0, 0, 30), 1.0)], "key string, ts timestamp, v double"
+    )
+    for out in (
+        stream_tumbling_agg(df, window="1 minute"),
+        stream_sliding_agg(df, window="1 minute", slide="30 seconds"),
+        stream_session_agg(df, gap="30 seconds"),
+    ):
+        assert len(out.columns) == len(set(out.columns)), out.columns
+        assert out.columns[:2] == ["win_start", "win_end"]
+        # by-name reference must resolve (raises AMBIGUOUS_REFERENCE if dup'd)
+        out.select("key", "n")
