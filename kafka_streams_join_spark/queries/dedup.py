@@ -145,45 +145,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     by dedup_exact) or below the 0.8 bar; the uncapped DuckDB oracle proves
     the cap loses nothing on this corpus, and DF_CAP is sized an order of
     magnitude above the corpus's true near-dup cluster width."""
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # shingles as 60-bit hashes: the inverted index and all joins key on a
+    # long, not the 3-word string — same shuffle topology, ~10× less key data
+    # (collision odds ~2^-61/pair; the oracle's string-keyed twin certifies
+    # no collision bites at this corpus)
+    hashed = _shingles(spark, sf_dir).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    docsets = hashed.groupBy("doc_id").agg(
+        F.collect_set("h").alias("hs"), F.count(F.lit(1)).alias("n")
+    )
     # document frequency per shingle; the rare (sub-cap) index drives
     # candidate generation only
-    rare = sh.join(
-        sh.groupBy("shingle")
+    rare = hashed.join(
+        hashed.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= SHINGLE_DF_CAP)
-        .select("shingle"),
-        "shingle",
+        .select("h"),
+        "h",
     )
     a = rare.alias("a")
     b = rare.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    x = sh.alias("x")
-    y = sh.alias("y")
-    inter = (
-        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
-        .join(
-            y,
-            (F.col("doc_b") == F.col("y.doc_id"))
-            & (F.col("x.shingle") == F.col("y.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    # exact verify on candidates only, against the FULL per-doc sets
+    sa = docsets.alias("sa")
+    sb = docsets.alias("sb")
+    inter = F.size(F.expr("array_intersect(sa.hs, sb.hs)"))
+    jac = inter / (F.col("sa.n") + F.col("sb.n") - inter)
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))

@@ -13,7 +13,12 @@ from pyspark.sql import functions as F
 from ..functions.payload import join_payload
 from ..operators.asof_join import asof_join
 from ..operators.range_join import bucketed_range_join
-from ..operators.interval_join import JoinWindow, interval_join, shift_event_time
+from ..operators.interval_join import (
+    JoinWindow,
+    interval_join,
+    missed_join,
+    shift_event_time,
+)
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -515,3 +520,100 @@ def range_join_quiet_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         point_prefix="",
         interval_prefix="",
     )
+
+
+# --------------------------------------------------------------------------
+# Golden scenarios (TimeoutJoinTest.scala:106-164) as a driver-checkable
+# batch twin — FIXTURES.md scenarios 1-3 with byte-exact payloads
+# --------------------------------------------------------------------------
+
+_GOLDEN_KEY = "0f1f53a0-44f5-4b84-9699-fe853c90ed1c"
+_GOLDEN_OTHER_KEY = "9750c569-44c2-49e6-854e-01e0eae04bb6"
+_GOLDEN_DISPLAY = '{"type":"display"}'
+_GOLDEN_CLICK = '{"type":"click"}'
+
+
+@register(
+    "golden_scenarios",
+    oracle=f"""
+    WITH displays(scenario, k, val, ts) AS (VALUES
+      (1, '{_GOLDEN_KEY}', '{_GOLDEN_DISPLAY}', TIMESTAMP '2024-01-01 00:00:00'),
+      (2, '{_GOLDEN_KEY}', '{_GOLDEN_DISPLAY}', TIMESTAMP '2024-01-01 00:00:00'),
+      (3, '{_GOLDEN_KEY}', '{_GOLDEN_DISPLAY}', TIMESTAMP '2024-01-01 00:00:00')
+    ),
+    clicks(scenario, k, val, ts) AS (VALUES
+      (1, '{_GOLDEN_KEY}',       '{_GOLDEN_CLICK}', TIMESTAMP '2024-01-01 00:00:00.5'),
+      (2, '{_GOLDEN_KEY}',       '{_GOLDEN_CLICK}', TIMESTAMP '2024-01-01 00:00:02'),
+      (3, '{_GOLDEN_OTHER_KEY}', '{_GOLDEN_CLICK}', TIMESTAMP '2024-01-01 00:00:00.5')
+    ),
+    clicked AS (
+      SELECT c.scenario AS scenario, 'clicked-display' AS topic,
+             c.k AS key, '{{"display":' || d.val || ',"click":' || c.val || '}}' AS value
+      FROM clicks c JOIN displays d
+        ON d.scenario = c.scenario AND d.k = c.k
+       AND d.ts BETWEEN c.ts - INTERVAL 1 SECOND AND c.ts
+    ),
+    missed AS (
+      SELECT d.scenario AS scenario, 'missed-display' AS topic,
+             d.k AS key, d.val AS value
+      FROM displays d
+      WHERE NOT EXISTS (
+        SELECT 1 FROM clicks c
+        WHERE c.scenario = d.scenario AND c.k = d.k
+          AND c.ts BETWEEN d.ts AND d.ts + INTERVAL 1 SECOND
+      )
+    )
+    SELECT * FROM clicked UNION ALL SELECT * FROM missed
+    """,
+)
+def golden_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's three golden scenarios (TimeoutJoinTest.scala:106-164)
+    as batch twins through the REAL operators, hash-checked by the driver:
+
+    1. in-window click  → exactly one clicked-display row with the byte-exact
+       interpolated payload (TimeoutJoinTest.scala:121);
+    2. out-of-window click → the display lands on missed-display verbatim
+       (:143);
+    3. same-time click under a different key → still missed (:163) — key
+       equality is part of the join predicate.
+
+    Inputs are the FIXTURES.md literals (W = 1 second), not corpus rows, so
+    the check certifies the flagship semantics end-to-end: interval_join
+    (equi + band), missed_join (anti composition), and join_payload
+    (byte-exact concat) — the same code paths the streaming topologies call.
+    """
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "scenario int, k string, val string, ts timestamp"
+    displays = spark.createDataFrame(
+        [(s, _GOLDEN_KEY, _GOLDEN_DISPLAY, t0) for s in (1, 2, 3)], schema
+    )
+    clicks = spark.createDataFrame(
+        [
+            (1, _GOLDEN_KEY, _GOLDEN_CLICK, t0 + dt.timedelta(seconds=0.5)),
+            (2, _GOLDEN_KEY, _GOLDEN_CLICK, t0 + dt.timedelta(seconds=2)),
+            (3, _GOLDEN_OTHER_KEY, _GOLDEN_CLICK, t0 + dt.timedelta(seconds=0.5)),
+        ],
+        schema,
+    )
+    # scenarios are independent topologies; the composite key keeps them so
+    keyed = lambda df: df.withColumn("jk", F.concat_ws("|", "scenario", "k"))  # noqa: E731
+    w = JoinWindow(before="1 second")  # JoinWindows.of(...).before(W), :78
+    clicked = interval_join(
+        keyed(clicks), keyed(displays), on="jk", window=w
+    ).select(
+        F.col("l_scenario").alias("scenario"),
+        F.lit("clicked-display").alias("topic"),
+        F.col("l_k").alias("key"),
+        join_payload(F.col("r_val"), F.col("l_val")).alias("value"),
+    )
+    missed = missed_join(
+        keyed(displays), keyed(clicks), on="jk", window=JoinWindow(after="1 second")
+    ).select(
+        F.col("scenario"),
+        F.lit("missed-display").alias("topic"),
+        F.col("k").alias("key"),
+        F.col("val").alias("value"),
+    )
+    return clicked.unionByName(missed)

@@ -39,6 +39,13 @@ class DelayedDeliveryWriter:
     Parity note: the reference sleeps per record (``TopicShifter.scala:31``);
     holding per micro-batch gives the same delivery guarantee ("visible no
     earlier than ts + Δ") at batch granularity without serializing records.
+
+    NOT for production: this exists only as the wall-clock parity twin of the
+    reference's demo shifter. The per-batch ``collect()`` of the 1-row max
+    aggregate is driver-side O(1), but the deliberate sleep stalls the whole
+    micro-batch pipeline — real pipelines express delay with watermarks
+    (``stream_timeout_join``) or event-time timers (``stream_timeout_timer``),
+    which keep the delay declarative and the executors busy.
     """
 
     def __init__(self, delta_seconds: float, writer_fn) -> None:

@@ -170,6 +170,20 @@ def test_keyless_range_join_is_hash_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" in explain_str(naive)
 
 
+def test_tpch_q17_runs_under_aqe(spark):
+    """Q17's fact-fact (lineitem ⋈ per-part-avg) shuffle must execute under
+    AQE: the adaptive plan re-optimizes with runtime shuffle statistics
+    (partition coalescing, skew split) — the 100 TB safety net for the one
+    join here whose both sides are fact-sized. Executing the query and
+    checking the FINAL adaptive plan proves AQE engaged, not just that the
+    conf is set."""
+    df = QUERIES["tpch_q17_small_quantity"](spark, SF_SMOKE)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan isFinalPlan=true" in executed, executed[:1500]
+    assert "Exchange" in executed  # the fact-fact shuffle AQE instruments
+
+
 def test_simhash_pair_stage_is_equi_join(spark):
     """The pigeonhole chunk rewrite's reason to exist: candidates come from
     an equi self-join on (chunk_idx, chunk_value), never the O(n²)
