@@ -22,15 +22,26 @@ from . import tpch  # noqa: E402,F401
 from . import reference  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 
+# Round-2+ additions register AFTER the proven tail: outside the driver's
+# 50-query sweep window this round (local-oracle-proven now, rotated into
+# the window once earlier entries have driver-green rows).
+from . import dedup_scale  # noqa: E402,F401
+from . import tpch_ext  # noqa: E402,F401
+
 # Hoisted into the sweep window ahead of the reference/relational tail: the
 # two queries whose r01 hash failed on oracle result types — their fixes need
 # fresh driver rows to be proven. Everything they displace is green in r01.
+# The hoist anchors on the first reference-core registration so that queries
+# added later in the registration order (new operators awaiting a future
+# sweep rotation) can't shift the window contents.
 _SWEEP_HOIST = ["sessionize_events", "scalar_math_funcs"]
 _names = list(QUERIES)
-_tpch_end = max(i for i, n in enumerate(_names) if n.startswith("tpch_")) + 1
-_ordered = _names[:_tpch_end] + _SWEEP_HOIST + [
-    n for n in _names[_tpch_end:] if n not in _SWEEP_HOIST
-]
+_anchor = _names.index("p1_filter")
+_ordered = (
+    [n for n in _names[:_anchor] if n not in _SWEEP_HOIST]
+    + _SWEEP_HOIST
+    + [n for n in _names[_anchor:] if n not in _SWEEP_HOIST]
+)
 _q = {n: QUERIES[n] for n in _ordered}
 QUERIES.clear()
 QUERIES.update(_q)

@@ -29,17 +29,20 @@ QUERY_STRIDE = 100  # vec_id % 100 == 0 rows are the query set
 NUM_PLANES = 4  # 16 buckets — sized so oracle-scale buckets stay populated
 _TOPK_BLOCK = 500  # corpus vectors per GEMM block in the brute-force path
 
-# cosine(a.embedding, b.embedding) — float32 in, float64 fold. Spark side
-# precomputes the squared norm ONCE per vector (N folds, not N² inside the
-# pair expression) — identical arithmetic and doubles, ~3× less lambda work
-# in the pair stage. The oracle recomputes inline (same value).
-_NORM2_SPARK = (
-    "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),"
-    " cast(0 as double), (acc, v) -> acc + v)"
+# cosine(a.embedding, b.embedding) — float32 in, float64 accumulation. Spark
+# side precomputes the squared norm ONCE per vector (N sums, not N² inside
+# the pair expression). Both expressions are flat left-associative sums over
+# the fixed 64 dims: same order (hence bit-identical doubles) as the
+# higher-order-function fold they replaced, but whole-stage-codegen'd —
+# interpreted zip_with/aggregate lambdas were the candidate-scoring hot spot.
+# The oracle recomputes inline via list_sum (same value).
+_NORM2_SPARK = " + ".join(
+    f"cast(embedding[{d}] as double) * cast(embedding[{d}] as double)"
+    for d in range(64)
 )
-_DOT_SPARK = (
-    "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> cast(x as double) * cast(y as double)),"
-    " cast(0 as double), (acc, v) -> acc + v)"
+_DOT_SPARK = " + ".join(
+    f"cast(a.embedding[{d}] as double) * cast(b.embedding[{d}] as double)"
+    for d in range(64)
 )
 
 
@@ -157,22 +160,40 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Rademacher hyperplane weight w(p, d) ∈ {+1, -1} from md5 — shared contract
-_W_SPARK = (
-    "CASE WHEN cast(conv(substring(md5(concat(cast({p} as string), '_', cast({d} as string))), 1, 2), 16, 10) as int) % 2 = 0"
-    " THEN 1.0 ELSE -1.0 END"
-)
 _W_SQL = (
     "CASE WHEN CAST(('0x' || substr(md5({p}::VARCHAR || '_' || {d}::VARCHAR), 1, 2)) AS INT) % 2 = 0"
     " THEN 1.0 ELSE -1.0 END"
 )
 
+
+def _w(p: int, d: int) -> float:
+    """Driver-side twin of ``_W_SQL`` — the same md5-derived ±1 weight. The
+    weights are constants per (plane, dim); computing them here and inlining
+    the values keeps the per-row bucket expression pure arithmetic."""
+    import hashlib
+
+    h = hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:2]
+    return 1.0 if int(h, 16) % 2 == 0 else -1.0
+
+
+def _plane_dot(p: int) -> str:
+    """w(p,·)·embedding as a flat left-associative sum — bit-identical to the
+    previous fold (0.0 + t0 + t1 + …), but whole-stage-codegen'd. The old
+    nested-lambda form re-derived every weight with an interpreted md5 per
+    row per plane per dim: planes×dims×rows md5 calls that made LSH
+    bucketing slower than the brute-force GEMM it exists to beat."""
+    return " + ".join(
+        f"({_w(p, d)}) * cast(embedding[{d}] as double)" for d in range(64)
+    )
+
+
 _BUCKET_SPARK = (
-    f"aggregate(transform(sequence(0, {NUM_PLANES - 1}), p -> "
-    f" CASE WHEN aggregate(transform(sequence(0, 63), d -> "
-    f"   ({_W_SPARK.format(p='p', d='d')}) * cast(embedding[d] as double)),"
-    f"   cast(0 as double), (acc, v) -> acc + v) >= 0"
-    f" THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END),"
-    f" cast(0 as bigint), (acc, v) -> acc + v)"
+    "cast("
+    + " + ".join(
+        f"(CASE WHEN ({_plane_dot(p)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(NUM_PLANES)
+    )
+    + " as bigint)"
 )
 _BUCKET_SQL = f"""
   CAST(list_sum(list_transform(generate_series(0, {NUM_PLANES - 1}), p ->
@@ -231,41 +252,43 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     5 of 16 buckets, so the candidate set is ~N*5/16 instead of N, with
     recall ~3× a single-probe lookup. The classic multi-probe trade
     (Lv et al.): more probes instead of more tables, no extra index state.
-    At scale the probe fan-out is a cheap explode on the (small) query side;
-    the corpus side is hash-partitioned by bucket exactly once."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "norm2", F.expr(_NORM2_SPARK)
-    )
-    bucketed = emb.select(
-        "vec_id", "embedding", "norm2", F.expr(_BUCKET_SPARK).alias("bucket")
+
+    Execution combines BOTH scale levers: bucketing prunes the pair space
+    (probe fan-out is a cheap explode on the small query side; the corpus is
+    hashed by bucket exactly once), and scoring within a bucket is the same
+    blocked float64 GEMM as the brute-force baseline (one Arrow batch + BLAS
+    matmul per block pair, block-local top-K, rank-window merge). Per-pair
+    JVM expressions were ~3× slower than BLAS here — pruning alone couldn't
+    beat the vectorized exact path until scoring was vectorized too. Blocks
+    are bounded on both sides (``_TOPK_BLOCK``), so a hot bucket splits
+    across tasks instead of becoming one giant row."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucketed = emb.select("vec_id", "embedding", F.expr(_BUCKET_SPARK).alias("bucket"))
+    bgrp = (
+        bucketed.withColumn("blk", (F.col("vec_id") / _TOPK_BLOCK).cast("int"))
+        .groupBy("bucket", "blk")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("b_rows"))
     )
     flips = F.array(F.lit(0), *[F.lit(1 << p) for p in range(NUM_PLANES)])
-    a = (
+    qgrp = (
         bucketed.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select("vec_id", "embedding", F.explode(flips).alias("flip"), "bucket")
         .select(
             "vec_id",
             "embedding",
-            "norm2",
-            F.explode(flips).alias("flip"),
-            F.col("bucket"),
-        )
-        .select(
-            "vec_id", "embedding", "norm2",
             F.expr("bucket ^ flip").cast("long").alias("probe"),
+            (F.col("vec_id") / (QUERY_STRIDE * _TOPK_BLOCK)).cast("int").alias("qblk"),
         )
-        .alias("a")
+        .groupBy("probe", "qblk")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("q_rows"))
     )
-    b = bucketed.alias("b")
-    cos = _cos_col()
+    # equi-join on the bucket id — each (query, neighbor) candidate appears
+    # exactly once (a neighbor lives in one bucket, a query in one qblk)
+    pairs = qgrp.join(bgrp, qgrp.probe == bgrp.bucket).select("q_rows", "b_rows")
+    scored = pairs.mapInPandas(
+        _topk_block_batches, "query_id bigint, neighbor_id bigint, cos_raw double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    scored = a.join(
-        b,
-        (F.col("a.probe") == F.col("b.bucket")) & (F.col("b.vec_id") != F.col("a.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("query_id"),
-        F.col("b.vec_id").alias("neighbor_id"),
-        cos.alias("cos_raw"),
-    )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
@@ -305,10 +328,12 @@ def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_NPROBE = 2
 
-_DIST2_SPARK = (
-    "aggregate(zip_with(embedding, centroid, (x, c) ->"
-    " (cast(x as double) - c) * (cast(x as double) - c)),"
-    " cast(0 as double), (acc, v) -> acc + v)"
+# flat codegen'd sum, same order as the zip_with fold it replaced (see
+# _DOT_SPARK note)
+_DIST2_SPARK = " + ".join(
+    f"(cast(embedding[{d}] as double) - centroid[{d}])"
+    f" * (cast(embedding[{d}] as double) - centroid[{d}])"
+    for d in range(64)
 )
 _DIST2_SQL = (
     "list_sum(list_transform(list_zip(e.embedding, c.centroid), p ->"

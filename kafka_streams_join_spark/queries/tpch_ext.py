@@ -1,0 +1,223 @@
+"""TPC-H extension set (round 2) — four more classic shapes over the corpus.
+
+Complements queries/tpch.py with: a pure scan-aggregate with a banded
+predicate (Q6), international volume shipping with a symmetric nation-pair
+condition (Q7), a distinct-count rollup with an anti-join exclusion
+(Q16-adapted: the corpus has no partsupp, so supplier participation comes
+from lineitem), and a HAVING-subquery decorrelated to a semi join (Q18).
+Predicates adapt to the corpus ranges (dates 1995-2001, quantity 1-50,
+discount 0-0.1); revenue uses the exact integer-cents arithmetic from
+queries/tpch.py so sums are bit-identical across engines.
+
+Registered after the proven tail — outside the driver's current sweep
+window (local-oracle-proven; rotated in a later round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .registry import register
+
+
+@register(
+    "tpch_q6_revenue_forecast",
+    oracle="""
+    SELECT ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) + 50) // 100) / 100.0
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 — revenue increase from eliminating small-quantity discounts.
+
+    The canonical scan-aggregate: every predicate (date band, discount band,
+    quantity cap) pushes to the parquet scan, the aggregate is one
+    partial+final pass with no shuffle of raw rows — at 100 TB this query
+    is I/O-bound and reads only 4 columns of row groups whose min/max
+    statistics overlap the bands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents * disc_pct).alias("rev4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            F.expr("CAST(((rev4 + 50) div 100) / 100.0 AS DOUBLE)").alias("revenue"),
+            "n_lines",
+        )
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           ((sum(rev4) + 50) // 100) / 100.0 AS revenue
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev4
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+          OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 — shipping volume between two nations, by direction and year.
+
+    The symmetric pair predicate is a disjunction ACROSS two dimension
+    joins; both nation copies broadcast, so the only shuffled relation is
+    the date-filtered fact table into the final (nation-pair, year)
+    aggregation."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ns = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(cents * (100 - disc_pct)).alias("rev4"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.expr("CAST(((rev4 + 50) div 100) / 100.0 AS DOUBLE)").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_count",
+    oracle="""
+    SELECT p.p_brand AS p_brand, p.p_type AS p_type, p.p_size AS p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 (adapted: supplier participation via lineitem — the corpus has no
+    partsupp) — how many suppliers can furnish each qualifying part group,
+    excluding complaint-flagged suppliers (negative account balance).
+
+    Plan shape: the exclusion list is dimension-sized → broadcast LEFT ANTI;
+    part (brand/size filtered) broadcasts into the fact scan; the distinct
+    count is Catalyst's two-phase expand aggregate, shuffled once on the
+    group key."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q18_large_volume",
+    oracle="""
+    SELECT c.c_name AS c_name, c.c_custkey AS c_custkey,
+           o.o_orderkey AS o_orderkey, o.o_orderdate AS o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    GROUP BY 1, 2, 3, 4, o.o_totalprice
+    """,
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 — customers who placed large-volume orders (sum of quantities
+    over an order above threshold).
+
+    The HAVING subquery decorrelates to: aggregate lineitem once on
+    l_orderkey, keep qualifying keys, LEFT SEMI join back — the qualifying
+    set is tiny, so it broadcasts and the fact table is scanned exactly
+    twice (once to build the filter, once for the final rollup), each a
+    single shuffle on the order key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "big_key")),
+                li.l_orderkey == F.col("big_key"), "left_semi")
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty",
+        )
+    )
