@@ -384,20 +384,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long").alias("h"),
     )
-    bits = (
-        th.select(
-            "doc_id",
-            F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("j"),
-            "h",
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.sum(F.expr("((h >> j) & 1) * 2 - 1")).alias("s"))
-    )
-    sig = bits.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(cast(1 as bigint), j) ELSE 0 END")).alias(
-            "simhash"
-        )
-    )
+    # per-bit votes as 60 plain sum() columns (the minhash-minima trick):
+    # partial+final hash aggregate over the token rows, fully codegen'd —
+    # an explode to (token × bit) rows would push 60× the rows through the
+    # shuffle for the same 60 numbers
+    vote_cols = [
+        F.sum(F.expr(f"(shiftright(h, {j}) & 1) * 2 - 1")).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = th.groupBy("doc_id").agg(*vote_cols)
+    sig_expr = "cast(" + " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j}L ELSE 0L END)" for j in range(SIMHASH_BITS)
+    ) + " as bigint)"
+    sig = votes.select("doc_id", F.expr(sig_expr).alias("simhash"))
     chunk_structs = ", ".join(
         f"named_struct('ck', {i}, 'cv', shiftright(simhash, {off}) & {(1 << width) - 1})"
         for i, off, width in _simhash_chunks()

@@ -199,6 +199,14 @@ def test_simhash_pair_stage_is_equi_join(spark):
     ), plan[:1500]
 
 
+def test_embedding_lsh_dedup_joins_on_bucket(spark):
+    """The scale path's contract: candidates come from an equi join on the
+    LSH bucket id — the exact baseline's deliberate block cross-join must
+    not leak into this plan."""
+    df = QUERIES["dedup_embedding_lsh"](spark, SF_SMOKE)
+    assert_no_cartesian(df)
+
+
 def test_pipeline_chunking_never_shuffles(spark):
     """Chunking is a narrow transformation: explode+substring with ZERO
     Exchange — at 100 TB any shuffle here would move the whole corpus."""
