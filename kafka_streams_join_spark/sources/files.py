@@ -78,3 +78,23 @@ def write_csv(df: DataFrame, path: str, mode: str = "error", header: bool = True
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "error") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """ORC — the other columnar format with vectorized scans, predicate
+    pushdown, and column pruning (built into Spark, no extra package). Like
+    parquet, the schema travels with the files, so no explicit schema is
+    required."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
