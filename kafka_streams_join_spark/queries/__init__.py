@@ -28,6 +28,7 @@ from . import relational  # noqa: E402,F401
 from . import dedup_scale  # noqa: E402,F401
 from . import tpch_ext  # noqa: E402,F401
 from . import embedding_ops  # noqa: E402,F401
+from . import text_ext  # noqa: E402,F401
 
 # Hoisted into the sweep window ahead of the reference/relational tail: the
 # two queries whose r01 hash failed on oracle result types — their fixes need

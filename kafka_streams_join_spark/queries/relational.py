@@ -611,21 +611,26 @@ def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_array_funcs",
     oracle="""
     SELECT vec_id,
-           len(embedding)                                   AS dim,
-           round(CAST(list_max(embedding) AS DOUBLE), 4)    AS vmax,
-           round(CAST(list_min(embedding) AS DOUBLE), 4)    AS vmin,
-           round(CAST(embedding[1] AS DOUBLE), 4)           AS first_v,
-           round(CAST(embedding[-1] AS DOUBLE), 4)          AS last_v,
-           round(CAST(list_sort(embedding)[5] AS DOUBLE), 4) AS sorted_5th,
+           len(embedding)                                        AS dim,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0   AS vmax,
+           round(CAST(list_min(embedding) AS DOUBLE), 4) + 0.0   AS vmin,
+           round(CAST(embedding[1] AS DOUBLE), 4) + 0.0          AS first_v,
+           round(CAST(embedding[-1] AS DOUBLE), 4) + 0.0         AS last_v,
+           round(CAST(list_sort(embedding)[5] AS DOUBLE), 4) + 0.0 AS sorted_5th,
            round(list_sum(list_transform(embedding[1:8],
-                 x -> CAST(x AS DOUBLE))), 4)               AS head8_sum
+                 x -> CAST(x AS DOUBLE))), 4) + 0.0              AS head8_sum
     FROM embeddings
     """,
 )
 def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function surface over the embedding column: size, min/max,
     element_at (positive + negative index), array_sort, slice + fold. All
-    JVM-side lambda expressions — no Python in the loop."""
+    JVM-side lambda expressions — no Python in the loop.
+
+    The oracle adds ``+ 0.0`` after every round: DuckDB's round keeps IEEE
+    -0.0 where Spark's BigDecimal-based round never produces it, and the
+    hash serializes "-0.0" ≠ "0.0" (bit at sf0.1, where a cell rounds to
+    negative zero; the sf0.01 corpus happened not to contain one)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",

@@ -46,10 +46,6 @@ _DOT_SPARK = " + ".join(
 )
 
 
-def _cos_col():
-    from pyspark.sql import functions as F
-
-    return F.expr(_DOT_SPARK) / F.sqrt(F.col("a.norm2") * F.col("b.norm2"))
 _COS_SQL = (
     "list_sum(list_transform(list_zip(a.embedding, b.embedding),"
     " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -382,12 +378,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: the codebook is tiny and **broadcast** (10 rows), so cell
     assignment is a map-side pass over the corpus — no shuffle until the
     one hash partition by cell. Candidates per query shrink to ~nprobe/K of
-    the corpus. At 100 TB the assignment is written once as a bucketed
-    column (partitionBy(cell)) and queries touch only probed partitions —
-    partition pruning does the inverted-file lookup."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "norm2", F.expr(_NORM2_SPARK)
-    )
+    the corpus, and within a probed cell scoring is the same blocked
+    float64 GEMM as the other ANN paths (bounded blocks, so a hot cell
+    splits across tasks). At 100 TB the assignment is written once as a
+    bucketed column (partitionBy(cell)) and queries touch only probed
+    partitions — partition pruning does the inverted-file lookup."""
+    emb = load_table(spark, sf_dir, "embeddings")
     cells = emb.select("label", F.posexplode("embedding").alias("d0", "x")).select(
         "label", (F.col("d0") + 1).alias("d"), F.col("x").cast("double").alias("x")
     )
@@ -404,31 +400,35 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_cell = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell_id"))
     dists = (
-        emb.select("vec_id", "embedding", "norm2")
+        emb.select("vec_id", "embedding")
         .crossJoin(F.broadcast(centroids))
         .select(
-            "vec_id", "embedding", "norm2", "cell_id",
+            "vec_id", "embedding", "cell_id",
             F.expr(_DIST2_SPARK).alias("dist2"),
         )
         .withColumn("crnk", F.row_number().over(w_cell))
     )
-    assigned = dists.filter(F.col("crnk") == 1).select(
-        "vec_id", "embedding", "norm2", F.col("cell_id").alias("cell")
+    bgrp = (
+        dists.filter(F.col("crnk") == 1)
+        .withColumn("blk", (F.col("vec_id") / _TOPK_BLOCK).cast("int"))
+        .groupBy(F.col("cell_id").alias("cell"), "blk")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("b_rows"))
     )
-    probes = dists.filter(
-        (F.col("crnk") <= _IVF_NPROBE) & (F.col("vec_id") % QUERY_STRIDE == 0)
-    ).select("vec_id", "embedding", "norm2", F.col("cell_id").alias("cell"))
-    a = probes.alias("a")
-    b = assigned.alias("b")
-    cos = _cos_col()
+    qgrp = (
+        dists.filter(
+            (F.col("crnk") <= _IVF_NPROBE) & (F.col("vec_id") % QUERY_STRIDE == 0)
+        )
+        .withColumn(
+            "qblk", (F.col("vec_id") / (QUERY_STRIDE * _TOPK_BLOCK)).cast("int")
+        )
+        .groupBy(F.col("cell_id").alias("probe"), "qblk")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("q_rows"))
+    )
+    pairs = qgrp.join(bgrp, qgrp.probe == bgrp.cell).select("q_rows", "b_rows")
+    scored = pairs.mapInPandas(
+        _topk_block_batches, "query_id bigint, neighbor_id bigint, cos_raw double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    scored = a.join(
-        b, (F.col("a.cell") == F.col("b.cell")) & (F.col("b.vec_id") != F.col("a.vec_id"))
-    ).select(
-        F.col("a.vec_id").alias("query_id"),
-        F.col("b.vec_id").alias("neighbor_id"),
-        cos.alias("cos_raw"),
-    )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)

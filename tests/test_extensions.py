@@ -88,3 +88,43 @@ def test_exact_dedup_covers_corpus(spark):
     total = load_table(spark, SF_SMOKE, "documents").count()
     assert sum(r["n_copies"] for r in rows) == total
     assert len({r["rep_doc_id"] for r in rows}) == len(rows)
+
+
+def test_simhash_pigeonhole_chunks_guarantee_recall():
+    """Property: for ANY pair of 60-bit signatures within the hamming
+    threshold, at least one of the 11 chunks matches exactly — the recall
+    contract the equi-join candidate stage relies on. Also: the chunks tile
+    the full bit range exactly once."""
+    from hypothesis import given, strategies as st
+
+    from kafka_streams_join_spark.queries.dedup import (
+        SIMHASH_BITS,
+        SIMHASH_MAX_HAMMING,
+        _simhash_chunks,
+    )
+
+    chunks = _simhash_chunks()
+    assert len(chunks) == SIMHASH_MAX_HAMMING + 1
+    covered = sorted(b for _, off, width in chunks for b in range(off, off + width))
+    assert covered == list(range(SIMHASH_BITS))  # tiling: no gap, no overlap
+
+    @given(
+        sig=st.integers(0, (1 << SIMHASH_BITS) - 1),
+        flip_bits=st.lists(
+            st.integers(0, SIMHASH_BITS - 1),
+            max_size=SIMHASH_MAX_HAMMING,
+            unique=True,
+        ),
+    )
+    def prop(sig, flip_bits):
+        other = sig
+        for b in flip_bits:
+            other ^= 1 << b
+        matches = [
+            i
+            for i, off, width in chunks
+            if (sig >> off) & ((1 << width) - 1) == (other >> off) & ((1 << width) - 1)
+        ]
+        assert matches, f"hamming={len(flip_bits)} pair with no matching chunk"
+
+    prop()

@@ -22,11 +22,19 @@ def test_sweep_window_covers_unproven_surface():
     TPC-H queries, the two hash-fix queries, and the golden scenarios —
     must sit inside the first SWEEP_WINDOW registrations."""
     window = set(list(QUERIES)[:SWEEP_WINDOW])
+    # round-2+ additions, deliberately registered at the end, awaiting a
+    # sweep rotation once earlier entries have driver-green rows
+    late_additions = {
+        "dedup_embedding_lsh",
+        "emb_l2_normalize",
+        "emb_quantize_int8",
+        "text_unigram_surprisal",
+    }
     must_be_swept = [
         n
         for n in QUERIES
-        if n.split("_")[0] in {"dedup", "sim", "text", "mm", "pipeline"}
-        and n not in {"dedup_embedding_lsh"}  # round-2 add, awaiting rotation
+        if n.split("_")[0] in {"dedup", "sim", "emb", "text", "mm", "pipeline"}
+        and n not in late_additions
     ] + [
         "tpch_q4_priority_returns",
         "tpch_q14_promo_share",
