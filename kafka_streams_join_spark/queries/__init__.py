@@ -4,12 +4,20 @@ Every implemented operator from SURVEY.md §2 registers a (PySpark callable,
 DuckDB oracle SQL) pair here; ``__spark_entry__.py`` re-exports them.
 
 Registration order is deliberate: the driver's correctness sweep processes
-registrations in order and round 1 covered only the first 50, leaving the
-whole §2.7 surface (dedup / similarity / text / multimodal / pipeline) and
-four TPC-H queries unswept. Those register FIRST now; the relational tail —
-every one of its queries already driver-green in CORRECTNESS_r01.json —
-registers last, so a capped sweep still certifies the unproven surface.
+registrations in order and covers only the FIRST 50 (round-1 evidence:
+the 50 swept names were exactly the first 50 registrations). Ordering is
+therefore coverage, and it is data-driven: queries that do not yet have a
+driver-green row in any checked-in ``CORRECTNESS_r*.json`` sort FIRST (in
+registration order), already-certified queries last. Each round the sweep
+certifies up to 50 unproven queries, whose green rows then rotate them out
+automatically the next round — no manual reordering, ever.
 """
+
+from __future__ import annotations
+
+import glob
+import json
+import os
 
 from .registry import ORACLES, QUERIES, register
 
@@ -21,29 +29,39 @@ from . import pipeline  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import reference  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
-
-# Round-2+ additions register AFTER the proven tail: outside the driver's
-# 50-query sweep window this round (local-oracle-proven now, rotated into
-# the window once earlier entries have driver-green rows).
+# round-2 additions
 from . import dedup_scale  # noqa: E402,F401
 from . import tpch_ext  # noqa: E402,F401
 from . import embedding_ops  # noqa: E402,F401
 from . import text_ext  # noqa: E402,F401
 
-# Hoisted into the sweep window ahead of the reference/relational tail: the
-# two queries whose r01 hash failed on oracle result types — their fixes need
-# fresh driver rows to be proven. Everything they displace is green in r01.
-# The hoist anchors on the first reference-core registration so that queries
-# added later in the registration order (new operators awaiting a future
-# sweep rotation) can't shift the window contents.
-_SWEEP_HOIST = ["sessionize_events", "scalar_math_funcs"]
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _driver_green() -> set[str]:
+    """Query names already certified by a past driver sweep: a true
+    hash_match, or a recorded rows-only run for deliberately oracle-less
+    queries (the strongest signal they can ever get)."""
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                green.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                green.add(name)
+    return green
+
+
+_green = _driver_green()
 _names = list(QUERIES)
-_anchor = _names.index("p1_filter")
-_ordered = (
-    [n for n in _names[:_anchor] if n not in _SWEEP_HOIST]
-    + _SWEEP_HOIST
-    + [n for n in _names[_anchor:] if n not in _SWEEP_HOIST]
-)
+_ordered = [n for n in _names if n not in _green] + [n for n in _names if n in _green]
 _q = {n: QUERIES[n] for n in _ordered}
 QUERIES.clear()
 QUERIES.update(_q)
