@@ -97,6 +97,34 @@ def stream_timeout_join(
     )
 
 
+def stream_table_join(
+    stream: DataFrame,
+    table: DataFrame,
+    on: str = "key",
+    how: str = "inner",
+    table_prefix: str = "t_",
+) -> DataFrame:
+    """KStream-KTable-style lookup join: enrich a stream against a static
+    (batch) table. The reference has no lookup joins (SURVEY §2.3 taxonomy);
+    this is the engine-surface completion every Kafka Streams user reaches
+    for next.
+
+    Spark executes a stream-static join without any state store: the static
+    side is planned per micro-batch (broadcast when dimension-sized), so
+    there is no watermark requirement and no state to evict — the cheapest
+    join in the streaming engine. At 100 TB the dim either broadcasts or
+    pre-buckets on the key (sources/bucketing.py) for a shuffle-free probe.
+    ``how`` ∈ inner / left_outer (stream side preserved)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"stream-static join preserves the stream side; how={how!r} "
+            "is not supported (right/full would need the unbounded stream "
+            "as build side)"
+        )
+    tp = table.select([F.col(c).alias(f"{table_prefix}{c}") for c in table.columns])
+    return stream.join(tp, stream[on] == tp[f"{table_prefix}{on}"], how)
+
+
 class TimeoutJoinTopology:
     """The whole reference topology (``TimeoutJoinTest.buildStreams``,
     ``TimeoutJoinTest.scala:53-104``): two input streams → two output

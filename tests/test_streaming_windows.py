@@ -143,3 +143,89 @@ def test_window_helpers_emit_unique_columns(spark):
         assert out.columns[:2] == ["win_start", "win_end"]
         # by-name reference must resolve (raises AMBIGUOUS_REFERENCE if dup'd)
         out.select("key", "n")
+
+
+def test_stream_table_join_enriches_per_microbatch(spark, tmpdir):
+    """KTable-style lookup join: stream rows pick up dim attributes; no
+    watermark, no state. Left-outer keeps unmatched stream rows."""
+    from kafka_streams_join_spark.streaming.harness import (
+        FileStream,
+        read_until,
+        start_memory_sink,
+    )
+    from kafka_streams_join_spark.streaming.topology import stream_table_join
+
+    dim = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "key string, label string"
+    )
+    src = FileStream(spark, tmpdir, "events")
+    src.add_batch(
+        [
+            {"key": "a", "value": "1", "ts": _ts(0)},
+            {"key": "zz", "value": "2", "ts": _ts(1)},
+        ]
+    )
+    out = stream_table_join(src.df(), dim, on="key", how="left_outer")
+    q, sink = start_memory_sink(out, checkpoint_root=tmpdir)
+    try:
+        q.processAllAvailable()
+        rows = read_until(spark, sink, expect=2, wait_s=5.0)
+    finally:
+        q.stop()
+    got = sorted((r["key"], r["t_label"]) for r in rows)
+    assert got == [("a", "alpha"), ("zz", None)]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not supported"):
+        stream_table_join(src.df(), dim, how="full_outer")
+
+
+def test_late_event_is_dropped_from_closed_window(spark, tmpdir):
+    """Watermark late-data semantics, pinned precisely: a late row arriving
+    BEFORE its window's state is evicted still merges (the watermark bounds
+    state, eviction happens at the end of the batch that emits), but a late
+    row arriving AFTER eviction is dropped — the closed window is never
+    re-emitted, so append mode emits each window exactly once. (The
+    reference's window stores silently miss late records the same way —
+    SURVEY §2.6 late-data row.)"""
+    from kafka_streams_join_spark.streaming.harness import (
+        FileStream,
+        read_until,
+        start_memory_sink,
+    )
+
+    src = FileStream(spark, tmpdir, "events")
+    # batch 0: two rows in the 00:00 minute-window
+    src.add_batch(
+        [
+            {"key": "k", "value": "1", "ts": _ts(10)},
+            {"key": "k", "value": "2", "ts": _ts(20)},
+        ]
+    )
+    # batch 1: advance event time far past the window end
+    src.add_batch([{"key": "flush", "value": "x", "ts": _ts(7200)}])
+    # batch 2: runs with the advanced watermark → the 00:00 window emits
+    # (n=2) and its state is evicted at this batch's end
+    src.add_batch([{"key": "flush", "value": "x", "ts": _ts(7300)}])
+    # batch 3: a LATE row for the now-evicted 00:00 window → dropped
+    src.add_batch([{"key": "k", "value": "late", "ts": _ts(30)}])
+    # batch 4: advance again — an (incorrect) re-emission would surface here
+    src.add_batch([{"key": "flush2", "value": "y", "ts": _ts(14400)}])
+
+    out = stream_tumbling_agg(src.df(), window="1 minute", watermark_delay="5 seconds")
+    q, sink = start_memory_sink(out, checkpoint_root=tmpdir)
+    try:
+        q.processAllAvailable()
+        rows = read_until(spark, sink, expect=1, wait_s=5.0)
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+    finally:
+        q.stop()
+    k_windows = [(r["win_start"], r["n"]) for r in rows if r["key"] == "k"]
+    # exactly one emission for the 00:00 window, on-time rows only
+    assert k_windows == [(T0, 2)], k_windows
+    assert dropped >= 1  # the late row was dropped by the watermark, not lost
