@@ -855,6 +855,47 @@ def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_sentence_split",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id, string_split(text, '. ') AS p FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS sentence_id,
+           p[i] AS sentence
+    FROM parts, unnest(generate_series(1, len(p))) AS t(i)
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface (SURVEY §2.6): a Python user-defined TABLE function —
+    one input row expands to N output rows — applied laterally per document.
+    Completes the extension trifecta next to ``udaf_geomean_price`` (UDAF)
+    and the mapInPandas kernels (vectorized map).
+
+    Like the UDAF, this exists to prove the machinery with an
+    oracle-checkable deterministic function (naive '. ' sentence split);
+    anything expressible as built-ins (this one ≡ posexplode(split(...)))
+    should stay JVM-side — the docstring IS the scale warning: Python UDTFs
+    evaluate row-at-a-time."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="sentence_id int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, part in enumerate(text.split(". ")):
+                yield i + 1, part
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_id, s.sentence
+        FROM documents d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+@register(
     "latest_state_per_user",
     oracle="""
     SELECT user_id, event_id AS last_event_id, ts AS last_ts,

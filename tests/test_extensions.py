@@ -128,3 +128,27 @@ def test_simhash_pigeonhole_chunks_guarantee_recall():
         assert matches, f"hamming={len(flip_bits)} pair with no matching chunk"
 
     prop()
+
+
+def test_ann_recall_vs_bruteforce_is_measured(spark):
+    """Recall of the approximate paths against the exact baseline — measured,
+    not asserted. On this corpus the embeddings are near-uniform random, the
+    hardest case for LSH/IVF (top-k cosines barely separate from the bulk),
+    so absolute recall is modest by construction; the floor is a regression
+    guard for the bucketing/probing logic, not a quality claim. Measured at
+    commit time: LSH 0.52/0.40, IVF 0.44/0.56 (sf0.001/sf0.01)."""
+    from kafka_streams_join_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim_topk_bruteforce"](spark, SF_SMOKE).collect()
+    }
+    assert exact
+    for name in ("sim_lsh_ann_topk", "sim_ivf_topk"):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in QUERIES[name](spark, SF_SMOKE).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.3, f"{name} recall collapsed: {recall:.3f}"
