@@ -94,7 +94,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# mapInPandas decode pipeline (rows-only — not SQL-expressible)
+# mapInPandas decode pipeline — the decode is a deterministic stub, which
+# makes it oracle-checkable: DuckDB recomputes the same byte statistics via
+# hex-string slicing (blobs aren't sliceable there, their hex form is)
 # --------------------------------------------------------------------------
 
 _DECODE_SCHEMA = (
@@ -133,12 +135,40 @@ def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
-@register("mm_decode_features")  # rows-only: mapInPandas, not SQL-expressible
+@register(
+    "mm_decode_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, n,
+             CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INT) AS v
+      FROM b, unnest(generate_series(1, n)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT)           AS n_bytes,
+           CAST(n % 640 + 1 AS INTEGER)  AS fake_width,
+           CAST(n // 640 + 1 AS INTEGER) AS fake_height,
+           CAST(sum(v) AS DOUBLE) / n  AS byte_mean,
+           CAST(min(v) AS INTEGER)     AS byte_min,
+           CAST(max(v) AS INTEGER)     AS byte_max
+    FROM bytes
+    GROUP BY doc_id, n
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over binary payloads via Arrow-batched
     mapInPandas (the UDF slow path, used only where built-ins can't express
     the op — SURVEY §2.6 UDF row). Decode itself is stubbed
-    (no media libs in-container); batch shape and schema contract are real."""
+    (no media libs in-container), but the stub is DETERMINISTIC, so the
+    DuckDB oracle recomputes the identical byte statistics and the driver
+    hash certifies the whole Arrow in/out plumbing — schema contract, batch
+    independence, value fidelity — not just a row count. byte_mean is an
+    exact int64 sum divided by an exact count: bit-identical doubles in
+    both engines, no rounding needed."""
     doc = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )

@@ -136,6 +136,25 @@ def test_tpch_queries_broadcast_dims_no_cartesian(spark):
     assert_pushed_filters(q3, "IsNotNull(l_shipdate)", "IsNotNull(c_mktsegment)")
 
 
+def test_tpch_ext_plans(spark):
+    """Round-2 TPC-H set: Q6 pushes every band predicate to the scan and
+    reads ≤4 columns; Q7/Q16/Q18 broadcast all dimension/exclusion/filter
+    sides and never plan cartesian."""
+    q6 = QUERIES["tpch_q6_revenue_forecast"](spark, SF_SMOKE)
+    assert_pushed_filters(
+        q6, "IsNotNull(l_shipdate)", "IsNotNull(l_discount)", "IsNotNull(l_quantity)"
+    )
+    assert_read_schema_pruned(q6, max_columns=4)
+    for name in (
+        "tpch_q7_volume_shipping",
+        "tpch_q16_supplier_part_count",
+        "tpch_q18_large_volume",
+    ):
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert_no_cartesian(df)
+        assert_broadcast_join(df, expect=True)
+
+
 def test_tpch_q17_single_fact_shuffle(spark):
     """Q17's decorrelated subquery: the per-part average is one partial+final
     agg; part (brand-filtered) broadcasts into lineitem."""
