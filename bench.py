@@ -52,7 +52,9 @@ EXTRA = [
     "dedup_ngram_jaccard",
 ]
 
-RUNS_PER_QUERY = 2  # best-of-2: first run warms code paths, second measures
+RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest
+# rides out transient co-tenant noise (observed >30% machine-level swings
+# between identical runs minutes apart)
 
 
 def main() -> int:
