@@ -152,3 +152,41 @@ def test_ann_recall_vs_bruteforce_is_measured(spark):
         }
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.3, f"{name} recall collapsed: {recall:.3f}"
+
+
+def test_sketch_queries_are_within_bounded_error(spark):
+    """The two deliberately rows-only sketch queries (HLL distinct count,
+    t-digest percentile) can't hash-match a different engine's sketch, but
+    their accuracy contracts are testable: HLL++ within 5% of the exact
+    distinct count, approx_percentile(0.5) within the p40-p60 exact band."""
+    from kafka_streams_join_spark.queries import QUERIES
+    from kafka_streams_join_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+
+    exact_d = {
+        r["l_returnflag"]: r["d"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .collect()
+    }
+    for r in QUERIES["agg_approx_distinct"](spark, SF_SMOKE).collect():
+        exact = exact_d[r["l_returnflag"]]
+        assert abs(r["approx_parts"] - exact) <= max(2, 0.05 * exact), (
+            r["l_returnflag"], r["approx_parts"], exact,
+        )
+
+    bands = {
+        r["l_returnflag"]: (r["p40"], r["p60"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.4)).alias("p40"),
+            F.percentile("l_extendedprice", F.lit(0.6)).alias("p60"),
+        )
+        .collect()
+    }
+    for r in QUERIES["agg_approx_percentile"](spark, SF_SMOKE).collect():
+        lo, hi = bands[r["l_returnflag"]]
+        assert lo <= r["p50_approx"] <= hi, (r["l_returnflag"], r["p50_approx"], lo, hi)
