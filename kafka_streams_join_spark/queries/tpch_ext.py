@@ -1,16 +1,18 @@
-"""TPC-H extension set (round 2) — four more classic shapes over the corpus.
+"""TPC-H extension set (round 2) — seven more classic shapes over the corpus.
 
 Complements queries/tpch.py with: a pure scan-aggregate with a banded
 predicate (Q6), international volume shipping with a symmetric nation-pair
-condition (Q7), a distinct-count rollup with an anti-join exclusion
-(Q16-adapted: the corpus has no partsupp, so supplier participation comes
-from lineitem), and a HAVING-subquery decorrelated to a semi join (Q18).
-Predicates adapt to the corpus ranges (dates 1995-2001, quantity 1-50,
-discount 0-0.1); revenue uses the exact integer-cents arithmetic from
+condition (Q7), a left-join histogram that keeps the zero bucket (Q13), a
+reused derived relation consumed twice (Q15), a distinct-count rollup with
+an anti-join exclusion (Q16-adapted: the corpus has no partsupp, so supplier
+participation comes from lineitem), a HAVING-subquery decorrelated to a semi
+join (Q18), and scalar-subquery + anti-join composition (Q22). Predicates
+adapt to the corpus ranges (dates 1995-2001, quantity 1-50, discount
+0-0.1); revenue uses the exact integer-cents arithmetic from
 queries/tpch.py so sums are bit-identical across engines.
 
-Registered after the proven tail — outside the driver's current sweep
-window (local-oracle-proven; rotated in a later round).
+Sweep placement is automatic: queries/__init__.py sorts driver-unproven
+queries into the sweep window from the checked-in CORRECTNESS_r*.json.
 """
 
 from __future__ import annotations
@@ -219,5 +221,151 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty",
+        )
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 — distribution of customers by order count, INCLUDING customers
+    with zero orders (the left join is the point: an inner join would drop
+    the zero bucket). Predicate adapted to the corpus (no o_comment column —
+    non-urgent orders play the 'special requests' exclusion).
+
+    Plan: customer left-joins the filtered fact on the customer key (one
+    shuffle), then two cheap aggregations — count per customer, histogram
+    over counts. At 100 TB the second agg's key space is tiny (max orders
+    per customer), so the final shuffle is negligible."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+           ((r.rev4 + 50) // 100) / 100.0 AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.rev4 = (SELECT max(rev4) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 — the supplier(s) with maximum revenue in a quarter: a reused
+    derived relation (the reference SQL creates a VIEW) consumed twice —
+    once aggregated to its max, once filtered against it.
+
+    Plan: revenue is one partial+final agg over the date-sliced fact scan;
+    the max is a 1-row broadcast; supplier is dimension-sized and
+    broadcasts. Exact integer-cents revenue makes the max comparison exact —
+    a double-rounding tie at the max would be engine-dependent."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(cents * (100 - disc_pct)).alias("rev4")
+    )
+    max_rev = revenue.agg(F.max("rev4").alias("max_rev4"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("rev4") == F.col("max_rev4"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.expr("CAST(((rev4 + 50) div 100) / 100.0 AS DOUBLE)").alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    WITH eligible AS (
+      SELECT c_custkey, c_acctbal,
+             CAST(c_nationkey % 7 AS INTEGER) AS cntrycode
+      FROM customer
+      WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+      )
+    )
+    SELECT cntrycode, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM eligible e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    GROUP BY cntrycode
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 — well-funded customers with no RECENT orders, bucketed by country
+    code (adapted: nationkey % 7 plays the phone-prefix country code, and
+    the anti join checks orders since 2000 — the corpus's densely-ordering
+    customers make the literal never-ordered set empty, which would reduce
+    the check to an empty-result hash). Composes a scalar subquery
+    (corpus-wide average balance), an anti join (NOT EXISTS), and a rollup.
+
+    Plan: the average is a 1-row broadcast; the anti join's right side is
+    just order custkeys (projected before the join); one final shuffle on
+    the 7-value country code."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    eligible = (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            (F.col("c_nationkey") % 7).cast("int").alias("cntrycode"),
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        eligible.join(o, eligible.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
