@@ -234,3 +234,83 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_tokens").alias("seq_tokens"),
     )
+
+
+# --- benchmark decontamination -------------------------------------------
+
+DECONTAM_N = 7  # tokens per shingle; real pipelines use 8-13ish on benchmarks
+
+# Deterministic "benchmark" membership: every 10th-ish doc plays the held-out
+# eval set. In production this is a real benchmark corpus (GSM8K, MMLU, ...),
+# which is always tiny relative to the training corpus — that asymmetry is
+# what the plan exploits.
+_IS_BENCH = "doc_id % 10 = 7"
+
+from .text import _TOKS_SQL as _DOC_TOKS_SQL  # noqa: E402  (shared tokenizer)
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_transform({_DOC_TOKS_SQL}, t -> lower(t)) AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(toks[g.i : g.i + {DECONTAM_N} - 1], ' ') AS gram
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - {DECONTAM_N} + 1)) AS i
+      ) g
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE {_IS_BENCH}),
+    hits AS (
+      SELECT g.doc_id, count(DISTINCT g.gram) AS n_hit_grams
+      FROM grams g JOIN bench b USING (gram)
+      WHERE NOT ({_IS_BENCH.replace('doc_id', 'g.doc_id')})
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_hit_grams FROM hits
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training documents sharing verbatim
+    {N}-token shingles with the held-out benchmark set (here: a deterministic
+    doc_id slice standing in for a real eval corpus). Output: every
+    contaminated train doc with its count of distinct overlapping shingles;
+    downstream either drops these docs or trims the overlapping spans.
+
+    Scale shape (the reason this beats a doc×doc similarity join): benchmark
+    corpora are tiny and fixed (MBs) while the training corpus is the 100 TB
+    side, so the distinct benchmark-shingle set BROADCASTS and the train side
+    needs ZERO shuffle for the probe — shingling is a narrow explode, the
+    hash-join is map-side, and the only shuffle is the final per-doc count
+    over the (rare) hits. An equi-join on the shingle string, never a
+    similarity cross-join. Shingle strings could be xxhash64'd to 8 bytes to
+    shrink the broadcast at no recall cost; kept verbatim here so the oracle
+    is byte-identical."""
+    from .text import _TOKS
+
+    doc = load_table(spark, sf_dir, "documents")
+    grams = doc.select(
+        "doc_id",
+        F.expr(f"transform({_TOKS}, t -> lower(t))").alias("toks"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(toks) - {DECONTAM_N} + 1, 0)),"
+                f" i -> array_join(slice(toks, i, {DECONTAM_N}), ' '))"
+            )
+        ).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.expr(_IS_BENCH)).select("gram").distinct()
+    )
+    return (
+        grams.filter(~F.expr(_IS_BENCH))
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hit_grams"))
+    )

@@ -369,3 +369,107 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q12_shipmode_priority",
+    oracle="""
+    SELECT CASE l_suppkey % 3 WHEN 0 THEN 'AIR' WHEN 1 THEN 'RAIL'
+           ELSE 'SHIP' END AS shipmode,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 — order-priority mix per ship mode over a one-year ship-date band
+    (adapted: the corpus has no l_shipmode, so a deterministic supplier hash
+    plays the mode; the shape under test — fact-fact equi-join feeding
+    conditional CASE-sum aggregation — is Q12's).
+
+    Plan: the date band prunes the lineitem scan (pushed filter), the join
+    shuffles both sides on the order key once, and the CASE-sums collapse
+    map-side into 3 groups — the final shuffle is 3 rows. At 100 TB the only
+    real cost is the fact-fact shuffle, which AQE can convert to a
+    broadcast if the date band is narrow enough."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.expr(
+                "CASE l_suppkey % 3 WHEN 0 THEN 'AIR' WHEN 1 THEN 'RAIL'"
+                " ELSE 'SHIP' END"
+            ).alias("shipmode")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_suppliers_kept_waiting",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT l_suppkey, count(*) AS numwait
+    FROM l l1
+    WHERE late
+      AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY l_suppkey
+    """,
+)
+def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 — suppliers who were the SOLE late shipper on multi-supplier
+    finalized orders (adapted: late = shipped >60 days after the order date,
+    standing in for the missing receipt/commit dates; the shape — EXISTS plus
+    NOT EXISTS correlated on the same fact relation — is Q21's).
+
+    Plan: instead of two correlated self-joins (the literal SQL shape, three
+    shuffles of the fact), aggregate the per-order truth ONCE — counts of
+    distinct suppliers and distinct late suppliers per order — and join that
+    compact per-order relation back to the late lines: both EXISTS conditions
+    become cheap column predicates (other_supplier_exists ⇔ n_supp > 1,
+    no_other_late ⇔ n_late_supp = 1). One extra shuffle on l_orderkey total,
+    and the decorrelated side is orders-sized, not lineitem-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")).alias(
+            "late"
+        ),
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    return (
+        l.filter("late")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
