@@ -246,3 +246,24 @@ def test_pipeline_packing_shuffles_only_on_shard(spark):
     plan = explain_str(QUERIES["pipeline_pack_sequences"](spark, SF_SMOKE), "simple")
     assert plan.count("Exchange") <= 2, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_decontaminate_probe_is_broadcast(spark):
+    """The benchmark shingle dictionary must broadcast: the train side is
+    the 100 TB side and may not shuffle for the probe. Exactly the
+    map-side-join shape the operator exists for."""
+    df = QUERIES["pipeline_decontaminate"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert_no_cartesian(df)
+
+
+def test_q21_decorrelation_stays_equi(spark):
+    """Q21's EXISTS + NOT EXISTS must come out as equi-joins against the
+    per-order aggregate — a correlated rewrite that plans a nested loop
+    would be quadratic in the fact table."""
+    for name in ("tpch_q12_shipmode_priority", "tpch_q21_suppliers_kept_waiting"):
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert_no_cartesian(df)
+        plan = explain_str(df)
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
