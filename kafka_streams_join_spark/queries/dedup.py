@@ -145,13 +145,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     by dedup_exact) or below the 0.8 bar; the uncapped DuckDB oracle proves
     the cap loses nothing on this corpus, and DF_CAP is sized an order of
     magnitude above the corpus's true near-dup cluster width."""
-    # shingles as 60-bit hashes: the inverted index and all joins key on a
-    # long, not the 3-word string — same shuffle topology, ~10× less key data
-    # (collision odds ~2^-61/pair; the oracle's string-keyed twin certifies
-    # no collision bites at this corpus)
+    # shingles as 64-bit hashes: the inverted index and all joins key on a
+    # long, not the 3-word string — same shuffle topology, ~10× less key data.
+    # xxhash64 (JVM-native, codegen'd) rather than md5+hex-conv: the hash
+    # never reaches the output — DF counts, candidate pairs, and Jaccard
+    # ratios are all hash-independent — so the cheapest collision-free
+    # (~2^-65/pair) function wins; the md5-keyed DuckDB oracle certifies no
+    # collision bites at this corpus
     hashed = _shingles(spark, sf_dir).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("h"),
+        "doc_id", F.xxhash64("shingle").alias("h")
     )
     docsets = hashed.groupBy("doc_id").agg(
         F.collect_set("h").alias("hs"), F.count(F.lit(1)).alias("n")
@@ -327,19 +329,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_chunks() -> list[tuple[int, int, int]]:
-    """(chunk_idx, bit_offset, width) covering all SIMHASH_BITS bits with
-    SIMHASH_MAX_HAMMING + 1 chunks. Pigeonhole: a pair with hamming ≤ d
-    differs in at most d chunks, so with d+1 chunks at least one chunk is
-    bit-identical — an equi-join key with guaranteed recall."""
-    n_chunks = SIMHASH_MAX_HAMMING + 1
-    base, rem = divmod(SIMHASH_BITS, n_chunks)
-    chunks, off = [], 0
-    for i in range(n_chunks):
-        width = base + (1 if i < rem else 0)
-        chunks.append((i, off, width))
-        off += width
-    return chunks
+# Multi-index Hamming search (Norouzi/Punjani/Fleet, "Fast Search in Hamming
+# Space with Multi-Index Hashing", CVPR'12): split the signature into m
+# chunks; a pair within total distance d has SOME chunk within per-chunk
+# distance floor(d/m) (pigeonhole on the chunk distances). Candidates then
+# come from an equi-join where one side also emits every chunk value within
+# that per-chunk radius (XOR masks of weight ≤ r). Versus the naive d+1
+# exact-match chunking (11 chunks of 5-6 bits → 32-64 buckets per chunk,
+# nearly no pruning at corpus scale), 4 chunks of 15 bits give 32768 buckets
+# per chunk at the cost of a bounded 121× probe-side explode — candidate
+# volume drops ~16× and the explode is map-side, never shuffled twice.
+SIMHASH_MIH_CHUNKS = 4
+_MIH_WIDTH = SIMHASH_BITS // SIMHASH_MIH_CHUNKS
+_MIH_RADIUS = SIMHASH_MAX_HAMMING // SIMHASH_MIH_CHUNKS
+
+
+def _mih_probe_masks() -> list[int]:
+    """All XOR masks of weight ≤ _MIH_RADIUS over a _MIH_WIDTH-bit chunk
+    (radius 2 over 15 bits: 1 + 15 + 105 = 121 masks)."""
+    masks = [0]
+    masks += [1 << i for i in range(_MIH_WIDTH)]
+    if _MIH_RADIUS >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(_MIH_WIDTH)
+            for j in range(i + 1, _MIH_WIDTH)
+        ]
+    return masks
 
 
 @register(
@@ -371,13 +387,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 60-bit signature (token-frequency weighted bit
     votes), pairs within hamming distance 10.
 
-    Scale path (the pigeonhole trick the oracle's O(n²) join verifies): the
-    signature is split into hamming+1 = 11 chunks; a qualifying pair must
-    match exactly on ≥1 chunk, so candidates come from an equi self-join on
-    (chunk_idx, chunk_value) — SortMergeJoin, never BroadcastNestedLoop /
+    Scale path (multi-index Hamming search; the oracle's O(n²) join verifies
+    it): the signature splits into 4 chunks of 15 bits — a pair within
+    hamming 10 has some chunk within per-chunk distance floor(10/4) = 2
+    (pigeonhole), so the probe side emits each chunk value XOR'd with every
+    weight-≤2 mask (121 per chunk) and candidates come from an equi self-join
+    on (chunk_idx, chunk_value) — SortMergeJoin, never BroadcastNestedLoop /
     cartesian (gated in tests/test_plans.py). Exact hamming is then verified
     on candidates only, and multi-chunk collisions dedup'd. Signature build
-    is two hash-aggs; the explode is 11× map-side, no extra shuffle."""
+    is two hash-aggs; both explodes are map-side, each row shuffled once."""
     doc = load_table(spark, sf_dir, "documents")
     tok = doc.select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
     th = tok.select(
@@ -397,17 +415,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(CASE WHEN s{j} > 0 THEN {1 << j}L ELSE 0L END)" for j in range(SIMHASH_BITS)
     ) + " as bigint)"
     sig = votes.select("doc_id", F.expr(sig_expr).alias("simhash"))
+    mask = 2**_MIH_WIDTH - 1
     chunk_structs = ", ".join(
-        f"named_struct('ck', {i}, 'cv', shiftright(simhash, {off}) & {(1 << width) - 1})"
-        for i, off, width in _simhash_chunks()
+        f"named_struct('ck', {i}, 'cv',"
+        f" shiftright(simhash, {i * _MIH_WIDTH}) & {mask})"
+        for i in range(SIMHASH_MIH_CHUNKS)
     )
-    chunked = sig.select(
+    exact = sig.select(
         "doc_id",
         "simhash",
         F.explode(F.expr(f"array({chunk_structs})")).alias("c"),
     ).select("doc_id", "simhash", F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
-    a = chunked.alias("a")
-    b = chunked.alias("b")
+    probe_masks = ", ".join(str(m) for m in _mih_probe_masks())
+    probe = exact.select(
+        "doc_id",
+        "simhash",
+        "ck",
+        F.explode(
+            F.expr(f"transform(array({probe_masks}), m -> cv ^ m)")
+        ).alias("cv"),
+    )
+    a = probe.alias("a")
+    b = exact.alias("b")
     ham = F.expr("bit_count(a.simhash ^ b.simhash)")
     return (
         a.join(
