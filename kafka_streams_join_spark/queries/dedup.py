@@ -212,10 +212,15 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     ).select("doc_id", F.md5("shingle").alias("m"))
+    # h32 MUST stay md5-derived — the DuckDB oracle recomputes the same
+    # minhash permutations from it, and band signatures (candidate sets)
+    # depend on the values. h60 only feeds intersection COUNTS, which are
+    # hash-independent, so the cheaper codegen'd xxhash64 over the md5
+    # string replaces a second hex conv (same collision-freedom).
     hashed = sh.select(
         "doc_id",
         F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("h32"),
-        F.conv(F.substring("m", 1, 15), 16, 10).cast("long").alias("h60"),
+        F.xxhash64("m").alias("h60"),
     )
     # minhash minima as K plain min() aggregate columns — partial+final hash
     # aggregate, fully whole-stage-codegen'd (no interpreted array lambdas),
