@@ -98,3 +98,42 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole: bool = False,
+    line_sep: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Raw text ingestion — one row per line (default) or per file
+    (``whole=True``), a single ``value: string`` column. The entry format
+    for unstructured corpora before any parsing; pair with
+    ``input_file_name()`` for provenance. ``whole=True`` keeps documents
+    intact for shingling/dedup but makes a file the parallelism unit — fine
+    for many small docs, wrong for a single 100 GB file."""
+    # wholetext/lineSep go through .text()'s own kwargs — the method re-sets
+    # both options from its signature, silently overriding any .option() set
+    # earlier on the reader.
+    return spark.read.options(**options).text(path, wholetext=whole, lineSep=line_sep)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Opaque media ingestion via Spark's ``binaryFile`` source: one row per
+    file with (path, modificationTime, length, content: binary) — the
+    loading half of the multimodal story (queries/multimodal.py decodes the
+    ``content`` column batch-wise over mapInPandas). Push a
+    ``pathGlobFilter`` ('*.png') instead of filtering post-scan: the filter
+    runs at file listing, before any bytes are read. Spark caps a task at
+    one file here — parallelism is file-count-bound, so shard media into
+    many objects, not one tar."""
+    r = spark.read.format("binaryFile").options(**options)
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

@@ -132,3 +132,36 @@ def test_orc_round_trip_with_pushdown(spark, tmpdir, sample):
     filtered = got.filter(F.col("id") >= 2)
     assert "PushedFilters" in explain_str(filtered)
     assert filtered.count() == 2
+
+
+def test_read_text_lines_and_whole(spark, tmpdir):
+    from kafka_streams_join_spark.sources.files import read_text
+
+    p = os.path.join(tmpdir, "docs")
+    os.makedirs(p)
+    with open(os.path.join(p, "a.txt"), "w") as f:
+        f.write("alpha\nbeta\n")
+    with open(os.path.join(p, "b.txt"), "w") as f:
+        f.write("gamma\n")
+    lines = read_text(spark, p)
+    assert sorted(r.value for r in lines.collect()) == ["alpha", "beta", "gamma"]
+    whole = read_text(spark, p, whole=True)
+    vals = sorted(r.value for r in whole.collect())
+    assert vals == ["alpha\nbeta\n", "gamma\n"]
+
+
+def test_read_binary_files_glob_filters_at_listing(spark, tmpdir):
+    from kafka_streams_join_spark.sources.files import read_binary_files
+
+    p = os.path.join(tmpdir, "media")
+    os.makedirs(p)
+    with open(os.path.join(p, "x.png"), "wb") as f:
+        f.write(b"\x89PNG...fake")
+    with open(os.path.join(p, "y.wav"), "wb") as f:
+        f.write(b"RIFF...fake")
+    df = read_binary_files(spark, p, glob="*.png")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].path.endswith("x.png")
+    assert bytes(rows[0].content) == b"\x89PNG...fake"
+    assert rows[0].length == len(b"\x89PNG...fake")
