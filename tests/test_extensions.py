@@ -190,3 +190,64 @@ def test_sketch_queries_are_within_bounded_error(spark):
     for r in QUERIES["agg_approx_percentile"](spark, SF_SMOKE).collect():
         lo, hi = bands[r["l_returnflag"]]
         assert lo <= r["p50_approx"] <= hi, (r["l_returnflag"], r["p50_approx"], lo, hi)
+
+
+class TestMihProbeRecall:
+    """Pure-Python pigeonhole proof for the simhash candidate scheme: ANY
+    pair of 60-bit signatures within hamming SIMHASH_MAX_HAMMING must share
+    a (chunk_idx, chunk_value) key once one side enumerates its probe masks.
+    The DuckDB oracle proves recall on the corpus; this proves it for
+    adversarial bit patterns the corpus may never produce."""
+
+    def test_probe_masks_cover_radius(self):
+        from kafka_streams_join_spark.queries.dedup import (
+            _MIH_RADIUS,
+            _MIH_WIDTH,
+            _mih_probe_masks,
+        )
+
+        masks = _mih_probe_masks()
+        assert len(masks) == len(set(masks))
+        assert all(bin(m).count("1") <= _MIH_RADIUS for m in masks)
+        assert all(m < (1 << _MIH_WIDTH) for m in masks)
+        # exact count: sum of C(width, k) for k <= radius
+        import math
+
+        expect = sum(math.comb(_MIH_WIDTH, k) for k in range(_MIH_RADIUS + 1))
+        assert len(masks) == expect
+
+    def test_pigeonhole_recall_on_random_pairs(self):
+        import random
+
+        from kafka_streams_join_spark.queries.dedup import (
+            SIMHASH_BITS,
+            SIMHASH_MAX_HAMMING,
+            SIMHASH_MIH_CHUNKS,
+            _MIH_WIDTH,
+            _mih_probe_masks,
+        )
+
+        probe_sets = set(_mih_probe_masks())
+        rng = random.Random(60)
+        width_mask = (1 << _MIH_WIDTH) - 1
+
+        def chunks(sig):
+            return [
+                (i, (sig >> (i * _MIH_WIDTH)) & width_mask)
+                for i in range(SIMHASH_MIH_CHUNKS)
+            ]
+
+        for _ in range(2000):
+            a = rng.getrandbits(SIMHASH_BITS)
+            # flip exactly d bits for d across the full qualifying range,
+            # biased toward the worst case (max hamming, spread evenly)
+            d = rng.randint(0, SIMHASH_MAX_HAMMING)
+            flip_positions = rng.sample(range(SIMHASH_BITS), d)
+            b = a
+            for p in flip_positions:
+                b ^= 1 << p
+            found = any(
+                (av ^ bv) in probe_sets
+                for (ai, av), (_, bv) in zip(chunks(a), chunks(b))
+            )
+            assert found, f"pair at hamming {d} missed: {a:015x} vs {b:015x}"
