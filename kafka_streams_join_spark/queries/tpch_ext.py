@@ -473,3 +473,119 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year,
+           round(
+             sum(CASE WHEN ns.n_name = 'NATION_3' THEN
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 ELSE 0 END)
+             * 1.0 /
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))),
+             6) AS mkt_share
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN part      ON l_partkey  = p_partkey AND p_type = 'PROMO'
+    JOIN customer  ON o_custkey  = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    JOIN region    ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    GROUP BY 1
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 — national market share: NATION_3 suppliers' slice of PROMO-part
+    revenue sold to ASIA customers, per order year. The widest join tree in
+    the suite: fact × orders (fact-fact) × five dimension joins.
+
+    Plan: part/customer/supplier/nation/region are all dimension-sized and
+    broadcast (Catalyst auto-broadcasts under the threshold; the two nation
+    roles join independently), so the ONLY shuffle is lineitem×orders on the
+    order key, then a 7-group aggregate. Both share terms are exact
+    integer-cents sums — the quotient divides bit-identical BIGINTs in any
+    engine, making the rounded share hash-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nc = n.alias("nc")
+    ns = n.alias("ns")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    rev4 = cents * (100 - disc_pct)
+    nat4 = F.sum(
+        F.when(F.col("ns.n_name") == "NATION_3", rev4).otherwise(F.lit(0))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))
+        .join(F.broadcast(r), F.col("nc.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(nat4 * 1.0 / F.sum(rev4), 6).alias("mkt_share"))
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT ns.n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             - CAST(round(p_retailprice * 100) AS BIGINT) * 10
+               * CAST(l_quantity AS BIGINT)
+           ) / 10000.0, 2) AS profit
+    FROM lineitem
+    JOIN part      ON l_partkey  = p_partkey AND p_name LIKE '%bolt%'
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN supplier  ON l_suppkey  = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 — product-line profit by supplier nation and order year (adapted:
+    the corpus has no partsupp, so supply cost is a deterministic 10% of the
+    part's retail price; the shape — LIKE-filtered part slice through a
+    fact-fact join into a two-level rollup — is Q9's).
+
+    Profit is accumulated as an exact ×10⁻⁴-dollar BIGINT (revenue term in
+    cents×percent, cost term scaled to match) and divided once at the end —
+    profits go NEGATIVE on discounted low-price lines, and float or
+    floor-div accumulation of signed values is exactly where engines
+    diverge (Spark div truncates toward zero, DuckDB // floors)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").alias("ns")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    retail_cents = F.round(F.col("p_retailprice") * 100, 0).cast("long")
+    profit4 = cents * (100 - disc_pct) - retail_cents * 10 * F.col(
+        "l_quantity"
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("ns.n_nationkey"))
+        .groupBy(
+            F.col("ns.n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit4) / 10000.0, 2).alias("profit"))
+    )

@@ -267,3 +267,13 @@ def test_q21_decorrelation_stays_equi(spark):
         assert_no_cartesian(df)
         plan = explain_str(df)
         assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_q8_single_shuffle_join_tree(spark):
+    """Q8's five dimension joins must all broadcast — the only Exchange pair
+    allowed is the lineitem×orders fact-fact join. A dimension falling out
+    of broadcast turns a 7-row-per-year aggregate into six full shuffles."""
+    df = QUERIES["tpch_q8_market_share"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 5, plan[:2000]
+    assert_no_cartesian(df)
