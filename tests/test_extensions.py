@@ -91,22 +91,24 @@ def test_exact_dedup_covers_corpus(spark):
 
 
 def test_simhash_pigeonhole_chunks_guarantee_recall():
-    """Property: for ANY pair of 60-bit signatures within the hamming
-    threshold, at least one of the 11 chunks matches exactly — the recall
-    contract the equi-join candidate stage relies on. Also: the chunks tile
+    """Property (hypothesis-driven): for ANY pair of 60-bit signatures
+    within the hamming threshold, some chunk of one signature appears in the
+    other's probe set — the recall contract of the multi-index Hamming
+    candidate stage (4 chunks of 15 bits, probe radius 2). The chunks tile
     the full bit range exactly once."""
     from hypothesis import given, strategies as st
 
     from kafka_streams_join_spark.queries.dedup import (
         SIMHASH_BITS,
         SIMHASH_MAX_HAMMING,
-        _simhash_chunks,
+        SIMHASH_MIH_CHUNKS,
+        _MIH_WIDTH,
+        _mih_probe_masks,
     )
 
-    chunks = _simhash_chunks()
-    assert len(chunks) == SIMHASH_MAX_HAMMING + 1
-    covered = sorted(b for _, off, width in chunks for b in range(off, off + width))
-    assert covered == list(range(SIMHASH_BITS))  # tiling: no gap, no overlap
+    assert SIMHASH_MIH_CHUNKS * _MIH_WIDTH == SIMHASH_BITS  # tiling, no gap
+    probe_sets = set(_mih_probe_masks())
+    width_mask = (1 << _MIH_WIDTH) - 1
 
     @given(
         sig=st.integers(0, (1 << SIMHASH_BITS) - 1),
@@ -122,10 +124,14 @@ def test_simhash_pigeonhole_chunks_guarantee_recall():
             other ^= 1 << b
         matches = [
             i
-            for i, off, width in chunks
-            if (sig >> off) & ((1 << width) - 1) == (other >> off) & ((1 << width) - 1)
+            for i in range(SIMHASH_MIH_CHUNKS)
+            if (
+                ((sig >> (i * _MIH_WIDTH)) & width_mask)
+                ^ ((other >> (i * _MIH_WIDTH)) & width_mask)
+            )
+            in probe_sets
         ]
-        assert matches, f"hamming={len(flip_bits)} pair with no matching chunk"
+        assert matches, f"hamming={len(flip_bits)} pair with no probed chunk"
 
     prop()
 
