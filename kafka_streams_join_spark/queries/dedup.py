@@ -351,16 +351,16 @@ _MIH_RADIUS = SIMHASH_MAX_HAMMING // SIMHASH_MIH_CHUNKS
 
 def _mih_probe_masks() -> list[int]:
     """All XOR masks of weight ≤ _MIH_RADIUS over a _MIH_WIDTH-bit chunk
-    (radius 2 over 15 bits: 1 + 15 + 105 = 121 masks)."""
-    masks = [0]
-    masks += [1 << i for i in range(_MIH_WIDTH)]
-    if _MIH_RADIUS >= 2:
-        masks += [
-            (1 << i) | (1 << j)
-            for i in range(_MIH_WIDTH)
-            for j in range(i + 1, _MIH_WIDTH)
-        ]
-    return masks
+    (radius 2 over 15 bits: 1 + 15 + 105 = 121 masks). Enumerated from the
+    radius, not hardcoded, so changing SIMHASH_MAX_HAMMING cannot silently
+    drop the higher-weight masks the recall guarantee needs."""
+    from itertools import combinations
+
+    return [
+        sum(1 << i for i in bits)
+        for k in range(_MIH_RADIUS + 1)
+        for bits in combinations(range(_MIH_WIDTH), k)
+    ]
 
 
 @register(

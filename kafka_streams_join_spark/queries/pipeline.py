@@ -293,6 +293,10 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import _TOKS
 
     doc = load_table(spark, sf_dir, "documents")
+    # short docs (< N tokens) MUST hit the CASE arm: Spark's sequence(1, 0)
+    # counts DOWN to [1, 0] and slice(toks, 0, N) throws — the empty-array
+    # guard dedup.py uses for the same shingle pattern (DuckDB's
+    # generate_series(1, 0) is [] so the oracle needs no guard)
     grams = doc.select(
         "doc_id",
         F.expr(f"transform({_TOKS}, t -> lower(t))").alias("toks"),
@@ -300,8 +304,9 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(toks) - {DECONTAM_N} + 1, 0)),"
-                f" i -> array_join(slice(toks, i, {DECONTAM_N}), ' '))"
+                f"CASE WHEN size(toks) < {DECONTAM_N} THEN array()"
+                f" ELSE transform(sequence(1, size(toks) - {DECONTAM_N} + 1),"
+                f"   i -> array_join(slice(toks, i, {DECONTAM_N}), ' ')) END"
             )
         ).alias("gram"),
     )

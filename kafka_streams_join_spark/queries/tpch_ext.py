@@ -314,13 +314,16 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q22_global_sales_opportunity",
     oracle="""
-    WITH eligible AS (
+    WITH pos AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS tot,
+             count(*) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    ),
+    eligible AS (
       SELECT c_custkey, c_acctbal,
              CAST(c_nationkey % 7 AS INTEGER) AS cntrycode
-      FROM customer
-      WHERE c_acctbal > (
-        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
-      )
+      FROM customer, pos
+      WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > tot
     )
     SELECT cntrycode, count(*) AS numcust,
            round(sum(c_acctbal), 2) AS totacctbal
@@ -342,14 +345,21 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
     Plan: the average is a 1-row broadcast; the anti join's right side is
     just order custkeys (projected before the join); one final shuffle on
-    the 7-value country code."""
+    the 7-value country code.
+
+    The above-average predicate is the exact integer cross-multiply
+    ``cents × n > total_cents``, NOT ``c_acctbal > avg(c_acctbal)``: a
+    float64 average is summation-order-dependent, so Spark's partial/final
+    aggregation and DuckDB's scan-order sum can disagree by an ulp and flip
+    boundary customers between engines."""
     c = load_table(spark, sf_dir, "customer")
-    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    stats = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(cents).alias("tot"), F.count(F.lit(1)).alias("n")
     )
     eligible = (
-        c.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        c.join(F.broadcast(stats))
+        .filter(cents * F.col("n") > F.col("tot"))
         .select(
             "c_custkey",
             "c_acctbal",

@@ -33,12 +33,15 @@ def tmpdir():
 
 def _shingles(df, text_col):
     toks = f"split(regexp_replace(trim({text_col}), '\\\\s+', ' '), ' ')"
+    # CASE guard for docs shorter than N tokens: Spark's sequence(1, 0)
+    # counts DOWN and slice(toks, 0, N) throws (same guard as production)
     return df.select(
         "key",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size({toks}) - {N} + 1, 0)),"
-                f" i -> array_join(slice({toks}, i, {N}), ' '))"
+                f"CASE WHEN size({toks}) < {N} THEN array()"
+                f" ELSE transform(sequence(1, size({toks}) - {N} + 1),"
+                f"   i -> array_join(slice({toks}, i, {N}), ' ')) END"
             )
         ).alias("gram"),
     )
@@ -57,6 +60,7 @@ def test_stream_probe_matches_static_benchmark(spark, tmpdir):
         [
             {"key": "d1", "value": "a quick brown fox appears", "ts": "2024-01-01T00:00:00"},
             {"key": "d2", "value": "totally unrelated words here", "ts": "2024-01-01T00:00:01"},
+            {"key": "d4", "value": "hi", "ts": "2024-01-01T00:00:01.5"},
         ]
     )
     docs.add_batch(
