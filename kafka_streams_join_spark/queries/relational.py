@@ -769,10 +769,10 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema rollup (TPC-H Q5 shape): fact ⋈ three dimension tables →
-    two-level group-by. The scale plan: every dim broadcasts (hinted
-    explicitly — at 100 TB the fact table is the only thing that moves, and
-    only once, into the final aggregation shuffle); the date filter pushes
-    to the parquet scan."""
+    two-level group-by. The scale plan: nation/region broadcast (hinted —
+    fixed 25/5 rows at any scale); customer is SF-proportional, so its join
+    strategy is Catalyst/AQE's call (auto-broadcast at test scale, shuffle
+    at 100 TB); the date filter pushes to the parquet scan."""
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= "1995-01-01"
     )
@@ -780,7 +780,7 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))

@@ -9,8 +9,11 @@ subquery (Q17), and disjunctive cross-table predicates (Q19). Predicates are
 adapted to the corpus's 1995-2001 date range.
 
 Scale notes: each query is written so Catalyst gets to make the right calls —
-filters sit directly on scans (pushdown), dimensions are broadcast-hinted
-(only the fact tables ever shuffle), and the correlated subquery is expressed
+filters sit directly on scans (pushdown), only fixed-cardinality dimensions
+(nation/region) carry broadcast hints while SF-proportional tables
+(orders/customer/supplier/part) are left to Catalyst/AQE size estimation
+(auto-broadcast at test scale, shuffle at 100 TB — a forced hint would OOM
+there), and the correlated subquery is expressed
 as a pre-aggregated self-join (one extra shuffle on l_partkey) rather than a
 per-row re-scan. Top-k outputs carry a deterministic tiebreak column so the
 LIMIT picks the same rows in any engine.
@@ -86,8 +89,8 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > "1998-06-01"
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_rev4()).alias("rev4"))
         .withColumn("revenue", F.expr(_REV_TOTAL))
@@ -120,9 +123,9 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 — revenue from orders where customer and supplier share a nation
     in one region. The c_nationkey = s_nationkey co-location predicate makes
     this the canonical join-ordering test: it only becomes an equi-key once
-    both fact sides are assembled. Dims (supplier/nation/region/customer)
-    broadcast; lineitem, the one 100 TB table, is never shuffled before its
-    selective joins."""
+    both fact sides are assembled. Nation/region broadcast (hinted);
+    supplier/customer/orders are Catalyst/AQE's call by size; lineitem, the
+    one 100 TB table, is never shuffled before its selective joins."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
@@ -132,10 +135,10 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -174,8 +177,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "n_name"
@@ -208,14 +211,14 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`l_quantity < 0.2 * avg(quantity) per part`) decorrelated into a
     pre-aggregated self-join, which is the plan every optimizer rewrites it
     to: one partial+final agg on l_partkey instead of a per-row re-scan.
-    The brand filter broadcasts part into both lineitem sides."""
+    The brand-filtered part side joins by AQE's size call (auto-broadcast at test scale)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     limits = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.avg("l_quantity") * 0.2).alias("qty_limit")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(limits, li.l_partkey == limits.t_partkey)
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -278,7 +281,7 @@ def tpch_q4_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 — promo revenue share: conditional aggregation (CASE inside SUM)
-    over a broadcast part join. Both sums are exact integer cents, so the
+    over a part join left to AQE's size call. Both sums are exact integer cents, so the
     quotient is built from bit-identical numerators in any engine."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
@@ -287,7 +290,7 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.sum(F.when(F.col("p_type") == "PROMO", _rev4()).otherwise(F.lit(0)))
     total = F.sum(_rev4())
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(F.round(F.lit(100.0) * promo / total, 4).alias("promo_share_pct"))
     )
 
@@ -313,11 +316,11 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19 — the disjunctive-predicate join: three OR'd brand/size/quantity
     conjunctions spanning both tables. Catalyst extracts the common
     single-table conjuncts from the OR (brand ∈ {...}, size <= 15,
-    quantity <= 30) and pushes them below the join, so the broadcast build
+    quantity <= 30) and pushes them below the join, so the (auto-broadcast at test scale) build
     side carries only candidate parts; the residual OR evaluates post-join."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     clause = (
         (
             (F.col("p_brand") == "Brand#12")

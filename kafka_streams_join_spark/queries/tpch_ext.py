@@ -96,9 +96,10 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 — shipping volume between two nations, by direction and year.
 
     The symmetric pair predicate is a disjunction ACROSS two dimension
-    joins; both nation copies broadcast, so the only shuffled relation is
-    the date-filtered fact table into the final (nation-pair, year)
-    aggregation."""
+    joins. Only the fixed-cardinality nation copies carry broadcast hints;
+    supplier/orders/customer are SF-proportional, so their join strategy is
+    left to Catalyst/AQE size estimation (they auto-broadcast at test scale,
+    shuffle at 100 TB — a forced hint would OOM there)."""
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
@@ -117,9 +118,12 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # only fixed-size nation copies are hinted; supplier/orders/customer
+        # are SF-proportional — Catalyst/AQE picks their strategy by
+        # measured size (a forced hint would OOM at scale)
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(pair)
@@ -154,10 +158,11 @@ def tpch_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp) — how many suppliers can furnish each qualifying part group,
     excluding complaint-flagged suppliers (negative account balance).
 
-    Plan shape: the exclusion list is dimension-sized → broadcast LEFT ANTI;
-    part (brand/size filtered) broadcasts into the fact scan; the distinct
-    count is Catalyst's two-phase expand aggregate, shuffled once on the
-    group key."""
+    Plan shape: LEFT ANTI against the (selective, but SF-proportional)
+    exclusion list and a part join whose strategy Catalyst/AQE picks by
+    measured size — both auto-broadcast at test scale without a forced
+    hint; the distinct count is Catalyst's two-phase expand aggregate,
+    shuffled once on the group key."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -169,8 +174,8 @@ def tpch_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -212,10 +217,13 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
-        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "big_key")),
+        # only the qualifying-key set broadcasts (it's HAVING-filtered and
+        # tiny); orders/customer are fact-sized, so their join strategy is
+        # left to Catalyst/AQE rather than a forced hint
+        li.join(big.withColumnRenamed("l_orderkey", "big_key"),
                 li.l_orderkey == F.col("big_key"), "left_semi")
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .select(
@@ -285,9 +293,10 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     once aggregated to its max, once filtered against it.
 
     Plan: revenue is one partial+final agg over the date-sliced fact scan;
-    the max is a 1-row broadcast; supplier is dimension-sized and
-    broadcasts. Exact integer-cents revenue makes the max comparison exact —
-    a double-rounding tie at the max would be engine-dependent."""
+    the max is a 1-row broadcast (hinted — genuinely bounded); supplier is
+    SF-proportional so its join strategy is left to Catalyst/AQE. Exact
+    integer-cents revenue makes the max comparison exact — a double-rounding
+    tie at the max would be engine-dependent."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -300,7 +309,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     return (
         revenue.join(F.broadcast(max_rev), F.col("rev4") == F.col("max_rev4"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -514,12 +523,13 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue sold to ASIA customers, per order year. The widest join tree in
     the suite: fact × orders (fact-fact) × five dimension joins.
 
-    Plan: part/customer/supplier/nation/region are all dimension-sized and
-    broadcast (Catalyst auto-broadcasts under the threshold; the two nation
-    roles join independently), so the ONLY shuffle is lineitem×orders on the
-    order key, then a 7-group aggregate. Both share terms are exact
-    integer-cents sums — the quotient divides bit-identical BIGINTs in any
-    engine, making the rounded share hash-stable."""
+    Plan: nation/region carry broadcast hints (fixed 25/5 rows at ANY
+    scale); part/customer/supplier are SF-proportional, so Catalyst/AQE
+    picks their strategy by measured size — at test scale all five sides
+    auto-broadcast and the ONLY shuffle is lineitem×orders on the order key,
+    then a 7-group aggregate. Both share terms are exact integer-cents sums
+    — the quotient divides bit-identical BIGINTs in any engine, making the
+    rounded share hash-stable."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
@@ -537,11 +547,11 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))
         .join(F.broadcast(r), F.col("nc.n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(F.round(nat4 * 1.0 / F.sum(rev4), 6).alias("mkt_share"))
@@ -589,9 +599,9 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity"
     ).cast("long")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("ns.n_nationkey"))
         .groupBy(
             F.col("ns.n_name").alias("nation"),
