@@ -46,9 +46,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        # integer `div` (truncation) matches DuckDB's ns→µs read behavior;
-        # float division would round and drift by 1µs on half the rows.
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        # Corpora vary by generation: TIMESTAMP(NANOS) footers load as raw
+        # int64 under nanosAsLong and need the ns→µs conversion; µs footers
+        # load as a timestamp directly and must be left alone. Integer `div`
+        # (truncation) matches DuckDB's ns→µs read behavior; float division
+        # would round and drift by 1µs on half the rows.
+        if c in df.columns and df.schema[c].dataType.simpleString() == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    # Normalize TIMESTAMP_NTZ → TIMESTAMP (LTZ). Corpora generated with µs
+    # footers load as NTZ, which forbids cast-to-long / unix_micros and
+    # changes function semantics mid-engine. Session TZ is pinned UTC
+    # (session.py), so the cast is value-identical and restores one uniform
+    # timestamp type across corpus generations.
+    for field in df.schema.fields:
+        if field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

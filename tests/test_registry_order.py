@@ -43,12 +43,12 @@ def test_sweep_window_covers_unproven_surface():
         assert all(n not in green for n in window)
 
 
-def test_driver_green_reflects_round1_results():
-    """Sanity-pin against the checked-in round-1 file: the two hash
-    failures are NOT green; a known-green query is."""
+def test_driver_green_reflects_recorded_results():
+    """Sanity-pin against the checked-in sweep files: known-green queries
+    are green; the r01 hash failures were re-certified green in r02."""
     green = _driver_green()
     assert "p1_filter" in green
     assert "agg_pricing_summary" in green
-    # r01 hash_match=false → must be treated as unproven until re-swept
-    assert "sessionize_events" not in green
-    assert "scalar_math_funcs" not in green
+    # failed r01 on oracle result types, fixed + re-swept green in r02
+    assert "sessionize_events" in green
+    assert "scalar_math_funcs" in green
