@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import random
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,6 +44,22 @@ _rng = random.Random(42)
 _HASH_PARAMS = [(_rng.randrange(1, 1 << 30), _rng.randrange(0, _P)) for _ in range(_K)]
 
 JACCARD_THRESHOLD = 0.8
+
+
+def _staged(df: DataFrame) -> DataFrame:
+    """Persist a multi-consumer stage (MEMORY_AND_DISK, LRU-evicted).
+
+    The near-dup pipelines all funnel one expensive corpus-derived stage
+    (shingle sets / signatures) into several downstream consumers: the
+    inverted index, the candidate self-join, and two verification lookups.
+    Left lazy, Spark recomputes the full scan+tokenize+aggregate per
+    consumer — measured 6 FileScans of the corpus in one query. At 100 TB
+    that is six reads of the dataset; staging the (much smaller) derived
+    form and fanning out from it is the standard multi-pass design. Spark's
+    cache manager keys on the canonicalized plan, so repeated invocations
+    of the same query share one materialization instead of stacking copies.
+    """
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 # Inverted-index DF cap (dedup_ngram_jaccard candidate stage): shingles in
 # more documents than this are boilerplate and skip candidate generation —
 # they'd contribute O(df²) pairs each. Verification always recounts on the
@@ -144,7 +161,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose overlap is pure high-DF boilerplate are either exact dups (caught
     by dedup_exact) or below the 0.8 bar; the uncapped DuckDB oracle proves
     the cap loses nothing on this corpus, and DF_CAP is sized an order of
-    magnitude above the corpus's true near-dup cluster width."""
+    magnitude above the corpus's true near-dup cluster width.
+
+    Plan topology (the 100 TB property): the corpus is scanned ONCE. The
+    tokenize→shingle→hash pipeline feeds a single hash-aggregate whose
+    ``collect_set`` both dedups shingles per doc and materializes the
+    verification sets; the inverted (shingle → docs) index is re-derived by
+    exploding those arrays — a post-shuffle projection, not a rescan — so
+    every downstream stage (DF counts, candidate self-join, verification)
+    hangs off one Exchange that Spark's ReuseExchange then shares. The
+    previous shape recomputed the scan+explode+distinct six times."""
     # shingles as 64-bit hashes: the inverted index and all joins key on a
     # long, not the 3-word string — same shuffle topology, ~10× less key data.
     # xxhash64 (JVM-native, codegen'd) rather than md5+hex-conv: the hash
@@ -152,16 +178,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ratios are all hash-independent — so the cheapest collision-free
     # (~2^-65/pair) function wins; the md5-keyed DuckDB oracle certifies no
     # collision bites at this corpus
-    hashed = _shingles(spark, sf_dir).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKS).alias("toks")
     )
-    docsets = hashed.groupBy("doc_id").agg(
-        F.collect_set("h").alias("hs"), F.count(F.lit(1)).alias("n")
-    )
+    hashed = doc.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 3 THEN array()"
+                " ELSE transform(sequence(1, size(toks) - 2),"
+                "   i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1])) END"
+            )
+        ).alias("shingle"),
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    # collect_set dedups per-doc shingles inside the aggregate — no separate
+    # distinct() shuffle of raw shingle rows
+    docsets = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
+    docsets = _staged(docsets.select("doc_id", "hs", F.size("hs").alias("n")))
+    # the inverted index, re-derived from the aggregated arrays (map-side
+    # explode of docsets' output — NOT a second corpus scan)
+    exploded = docsets.select("doc_id", F.explode("hs").alias("h"))
     # document frequency per shingle; the rare (sub-cap) index drives
     # candidate generation only
-    rare = hashed.join(
-        hashed.groupBy("h")
+    rare = exploded.join(
+        exploded.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= SHINGLE_DF_CAP)
         .select("h"),
@@ -229,8 +269,10 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(((F.lit(a) * F.col("h32") + F.lit(b)) % _P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(_HASH_PARAMS)
     ]
-    return hashed.groupBy("doc_id").agg(
-        *minhash_cols, F.collect_set("h60").alias("hs60")
+    return _staged(
+        hashed.groupBy("doc_id").agg(
+            *minhash_cols, F.collect_set("h60").alias("hs60")
+        )
     )
 
 
@@ -419,7 +461,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_expr = "cast(" + " + ".join(
         f"(CASE WHEN s{j} > 0 THEN {1 << j}L ELSE 0L END)" for j in range(SIMHASH_BITS)
     ) + " as bigint)"
-    sig = votes.select("doc_id", F.expr(sig_expr).alias("simhash"))
+    sig = _staged(votes.select("doc_id", F.expr(sig_expr).alias("simhash")))
     mask = 2**_MIH_WIDTH - 1
     chunk_structs = ", ".join(
         f"named_struct('ck', {i}, 'cv',"
