@@ -34,8 +34,10 @@ from . import dedup_scale  # noqa: E402,F401
 from . import tpch_ext  # noqa: E402,F401
 from . import embedding_ops  # noqa: E402,F401
 from . import text_ext  # noqa: E402,F401
-from . import tpch_final  # noqa: E402,F401  (imported last: queues behind
-# the 50 queries already waiting in the driver's sweep window)
+from . import tpch_final  # noqa: E402,F401
+# round-3 additions
+from . import quality  # noqa: E402,F401
+from . import clustering  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1,0 +1,126 @@
+"""Embedding clustering: distributed Lloyd k-means (SURVEY §2.7 extension).
+
+The codebook trainer the ANN paths presuppose: ``sim_ivf_topk`` probes a
+centroid codebook it currently stands in with per-label means; this is the
+operator that *trains* such a codebook from unlabeled vectors. Also the
+corpus-curation primitive behind topic balancing / diversity sampling.
+
+Design (100 TB): every iteration is assignment (cross join against the
+**broadcast** K-row codebook — a map-side pass, no shuffle of the corpus)
+followed by centroid update (posexplode to (cluster, dim) cells → one
+partial+final avg aggregate). Iteration is unrolled in the DataFrame plan
+— a deterministic, fixed-round Lloyd, fully declarative, no driver-side
+data movement (the driver never sees a vector). Determinism contract with
+the DuckDB oracle: hash-partition init (vec_id % K), centroids rounded to
+6 dp each round (drowns cross-engine float-sum-order drift), distance ties
+broken by cluster id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .registry import register
+
+KMEANS_K = 8
+KMEANS_ITERS = 2  # centroid updates; assignments run ITERS + 1 times
+_DIM = 64
+
+# flat codegen'd squared-distance sum (no interpreted array lambdas)
+_DIST2_SPARK = " + ".join(
+    f"(cast(embedding[{d}] as double) - centroid[{d}])"
+    f" * (cast(embedding[{d}] as double) - centroid[{d}])"
+    for d in range(_DIM)
+)
+_DIST2_SQL = (
+    "list_sum(list_transform(list_zip(e.embedding, c.centroid), p ->"
+    " (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+)
+
+
+def _oracle_sql() -> str:
+    """Unrolled-iteration DuckDB twin: init from vec_id % K means, then
+    KMEANS_ITERS × (assign → update), then the final assignment."""
+    assign = (
+        "SELECT vec_id, embedding, cl FROM ("
+        "  SELECT e.vec_id, e.embedding, c.cl,"
+        f"    row_number() OVER (PARTITION BY e.vec_id"
+        f"                       ORDER BY {_DIST2_SQL} ASC, c.cl) AS rnk"
+        "  FROM embeddings e CROSS JOIN {cents} c) WHERE rnk = 1"
+    )
+    update = (
+        "SELECT cl, list(c ORDER BY d) AS centroid FROM ("
+        "  SELECT cl, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS c"
+        f"  FROM {{assigned}}, unnest(generate_series(1, {_DIM})) AS t(d)"
+        "  GROUP BY cl, d) GROUP BY cl"
+    )
+    parts = [
+        "WITH c0 AS ("
+        "  SELECT cl, list(c ORDER BY d) AS centroid FROM ("
+        f"    SELECT vec_id % {KMEANS_K} AS cl, d,"
+        "           round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS c"
+        f"    FROM embeddings, unnest(generate_series(1, {_DIM})) AS t(d)"
+        "    GROUP BY 1, d) GROUP BY cl)"
+    ]
+    for i in range(KMEANS_ITERS):
+        parts.append(f", a{i + 1} AS ({assign.format(cents=f'c{i}')})")
+        parts.append(f", c{i + 1} AS ({update.format(assigned=f'a{i + 1}')})")
+    final = assign.format(cents=f"c{KMEANS_ITERS}")
+    parts.append(
+        f", afinal AS ({final})"
+        " SELECT vec_id, cl AS cluster FROM afinal"
+    )
+    return "".join(parts)
+
+
+def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cl"))
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cl", F.expr(_DIST2_SPARK).alias("dist2"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "embedding", "cl")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    cells = (
+        assigned.select("cl", F.posexplode("embedding").alias("d0", "x"))
+        .groupBy("cl", "d0")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+    )
+    return cells.groupBy("cl").agg(
+        F.expr("transform(array_sort(collect_list(struct(d0, c))), s -> s.c)").alias(
+            "centroid"
+        )
+    )
+
+
+@register("cluster_kmeans_embeddings", oracle=_oracle_sql())
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the embedding corpus: K=8 centroids, 2 update
+    rounds from a deterministic hash-partition init, emitting the final
+    (vec_id, cluster) assignment. The 64-dim squared distance is a flat
+    codegen'd expression; the codebook side of every assignment join is
+    broadcast (K rows), so the corpus is never shuffled for assignment —
+    only the (cluster, dim) update cells move, K×64 values per round."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init_cells = (
+        emb.select(
+            (F.col("vec_id") % KMEANS_K).alias("cl"),
+            F.posexplode("embedding").alias("d0", "x"),
+        )
+        .groupBy("cl", "d0")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+    )
+    cents = init_cells.groupBy("cl").agg(
+        F.expr("transform(array_sort(collect_list(struct(d0, c))), s -> s.c)").alias(
+            "centroid"
+        )
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _update(_assign(emb, cents))
+    return _assign(emb, cents).select("vec_id", F.col("cl").alias("cluster"))

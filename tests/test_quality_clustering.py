@@ -1,0 +1,124 @@
+"""Semantics tests for the round-3 quality + clustering operators, on
+hand-checkable inputs (the parametrized DuckDB parity in
+test_oracle_parity.py covers them against the corpus)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from kafka_streams_join_spark.queries.clustering import (
+    KMEANS_K,
+    _assign,
+    _update,
+)
+from kafka_streams_join_spark.queries.quality import (
+    text_pii_scrub,
+    text_repetition_stats,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_hand_computed(spark, monkeypatch, tmp_path):
+    # "a a a b": top unigram 'a' 3/4; bigrams [a a, a a, a b] top 2/3;
+    # no 5-grams -> row dropped by the inner join (needs >= 5 tokens)
+    # "x y z w v u": all grams unique -> fractions 1/n, dup 0
+    import kafka_streams_join_spark.queries.quality as q
+
+    df = _docs(
+        spark,
+        [(1, "a a a b"), (2, "x y z w v u")],
+    )
+    monkeypatch.setattr(q, "load_table", lambda s, d, n: df)
+    out = {
+        r["doc_id"]: r
+        for r in text_repetition_stats(spark, "unused").collect()
+    }
+    assert set(out) == {2}, "doc 1 has no 5-grams and must drop out"
+    r2 = out[2]
+    assert r2["top_unigram_frac"] == pytest.approx(round(1 / 6, 4))
+    assert r2["top_bigram_frac"] == pytest.approx(0.2)
+    assert r2["dup_5gram_frac"] == 0.0
+
+
+def test_repetition_stats_detects_boilerplate(spark, monkeypatch):
+    import kafka_streams_join_spark.queries.quality as q
+
+    spam = " ".join(["buy now"] * 20)  # 40 tokens, 2 unigrams
+    df = _docs(spark, [(1, spam)])
+    monkeypatch.setattr(q, "load_table", lambda s, d, n: df)
+    r = text_repetition_stats(spark, "unused").collect()[0]
+    assert r["top_unigram_frac"] == 0.5
+    # 39 bigrams: 20x 'buy now', 19x 'now buy'
+    assert r["top_bigram_frac"] == pytest.approx(round(20 / 39, 4))
+    # 36 5-grams but only 2 distinct (alternating phase)
+    assert r["dup_5gram_frac"] == pytest.approx(round(1 - 2 / 36, 4))
+
+
+def test_pii_scrub_counts_and_replaces(spark, monkeypatch):
+    import kafka_streams_join_spark.queries.quality as q
+
+    df = _docs(
+        spark,
+        [
+            (1, "mail bob@example.com or 10.0.0.1 call 555-123-4567 customer"),
+            (2, "customers keep their suppliers close"),  # word-bounded: no hits
+        ],
+    )
+    monkeypatch.setattr(q, "load_table", lambda s, d, n: df)
+    out = {r["doc_id"]: r for r in text_pii_scrub(spark, "unused").collect()}
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 1, 1)
+    assert out[1]["n_denied"] == 1
+    assert (out[2]["n_email"], out[2]["n_denied"]) == (0, 0)
+    # the hash is of the scrubbed text, not the original
+    expected = "mail <EMAIL> or <IP> call <PHONE> <REDACTED>"
+    got = df.filter("doc_id = 1").select(
+        F.md5(F.lit(expected)).alias("h")
+    ).collect()[0]["h"]
+    assert out[1]["clean_hash"] == got
+
+
+def test_kmeans_assignment_is_nearest_centroid(spark):
+    # two obvious blobs on the first axis; centroids at the blob means
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0] * 64),
+            (1, [1.0] + [0.0] * 63),
+            (2, [10.0] + [0.0] * 63),
+            (3, [11.0] + [0.0] * 63),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.5] + [0.0] * 63), (1, [10.5] + [0.0] * 63)],
+        "cl int, centroid array<double>",
+    )
+    a = {r["vec_id"]: r["cl"] for r in _assign(emb, cents).collect()}
+    assert a == {0: 0, 1: 0, 2: 1, 3: 1}
+    # update recovers the blob means
+    cents2 = {
+        r["cl"]: r["centroid"][0]
+        for r in _update(_assign(emb, cents)).collect()
+    }
+    assert cents2[0] == pytest.approx(0.5)
+    assert cents2[1] == pytest.approx(10.5)
+
+
+def test_kmeans_corpus_run_is_total_and_stable(spark):
+    from kafka_streams_join_spark.queries.clustering import (
+        cluster_kmeans_embeddings,
+    )
+
+    out = cluster_kmeans_embeddings(spark, SF_SMOKE)
+    rows = out.collect()
+    n_vecs = len(rows)
+    assert n_vecs == 500  # every vector assigned exactly once
+    assert len({r["vec_id"] for r in rows}) == n_vecs
+    assert {r["cluster"] for r in rows} <= set(range(KMEANS_K))
+    # deterministic: a second build bit-matches
+    again = {(r["vec_id"], r["cluster"]) for r in out.collect()}
+    assert {(r["vec_id"], r["cluster"]) for r in rows} == again
