@@ -50,6 +50,10 @@ EXTRA = [
     "sim_lsh_ann_topk",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    # round-3 additions
+    "text_repetition_stats",
+    "text_pii_scrub",
+    "cluster_kmeans_embeddings",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

@@ -277,3 +277,43 @@ def test_q8_single_shuffle_join_tree(spark):
     plan = explain_str(df)
     assert plan.count("BroadcastHashJoin") >= 5, plan[:2000]
     assert_no_cartesian(df)
+
+
+def test_pii_scrub_is_zero_shuffle_projection(spark):
+    """The scrub chain must pipeline inside one codegen stage: no Exchange
+    anywhere (pure per-row projection) and a 2-column pruned scan."""
+    df = QUERIES["text_pii_scrub"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "Exchange" not in plan, plan[:1500]
+    assert_read_schema_pruned(df, max_columns=2)
+    assert_wholestage_codegen(df)
+
+
+def test_repetition_stats_scans_corpus_once(spark):
+    """All three gram aggregations must fan out of the staged exploded
+    frame: every consumer reads the cache (InMemoryTableScan), and every
+    FileScan in the plan string is merely an InMemoryRelation echoing its
+    one-time build plan — i.e. the corpus is read once at runtime."""
+    df = QUERIES["text_repetition_stats"](spark, SF_SMOKE)
+    simple = explain_str(df, "simple")
+    n_file = simple.count("FileScan parquet")
+    n_imr = simple.count("InMemoryRelation")
+    n_imts = simple.count("InMemoryTableScan")
+    assert n_imts == 3, f"expected 3 cache consumers, saw {n_imts}"
+    # no direct corpus scan outside the cache's build plan
+    assert n_file == n_imr, (
+        f"{n_file} FileScans vs {n_imr} InMemoryRelations — a consumer "
+        "bypasses the staged frame and rescans the corpus"
+    )
+
+
+def test_kmeans_codebook_is_broadcast(spark):
+    """Assignment must never shuffle the corpus: the K-row codebook is the
+    broadcast side of every assignment join (BroadcastNestedLoopJoin over
+    8 rows is the intended cross shape), and no CartesianProduct exists."""
+    df = QUERIES["cluster_kmeans_embeddings"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "Broadcast" in plan, plan[:1500]
+    # corpus side reads only (vec_id, embedding)
+    assert_read_schema_pruned(df, max_columns=2)
