@@ -54,6 +54,7 @@ EXTRA = [
     "text_repetition_stats",
     "text_pii_scrub",
     "cluster_kmeans_embeddings",
+    "sim_pq_topk",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

@@ -38,6 +38,7 @@ from . import tpch_final  # noqa: E402,F401
 # round-3 additions
 from . import quality  # noqa: E402,F401
 from . import clustering  # noqa: E402,F401
+from . import pq  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -317,3 +317,14 @@ def test_kmeans_codebook_is_broadcast(spark):
     assert "Broadcast" in plan, plan[:1500]
     # corpus side reads only (vec_id, embedding)
     assert_read_schema_pruned(df, max_columns=2)
+
+
+def test_pq_scoring_broadcasts_lut_no_cartesian_on_data_path(spark):
+    """PQ/ADC: the corpus-sized codes relation must never shuffle for
+    scoring — the LUT side broadcasts — and the only nested-loop joins are
+    the K-row codebook cross joins (tiny build side, intended)."""
+    df = QUERIES["sim_pq_topk"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert_read_schema_pruned(df, max_columns=2)

@@ -122,3 +122,23 @@ def test_kmeans_corpus_run_is_total_and_stable(spark):
     # deterministic: a second build bit-matches
     again = {(r["vec_id"], r["cluster"]) for r in out.collect()}
     assert {(r["vec_id"], r["cluster"]) for r in rows} == again
+
+
+def test_pq_recall_floor_vs_exact(spark):
+    """PQ top-5 must overlap exact top-5 well above chance (chance is
+    5/499 ~ 0.01 per slot on this corpus; we assert >= 0.15 overall).
+    Unit-norm near-random vectors are PQ's worst case, so the floor is
+    deliberately modest."""
+    from kafka_streams_join_spark.queries.pq import sim_pq_topk
+    from kafka_streams_join_spark.queries.similarity import sim_topk_bruteforce
+
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_pq_topk(spark, SF_SMOKE).collect()
+    }
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_topk_bruteforce(spark, SF_SMOKE).collect()
+    }
+    assert len(bf) == 25
+    assert len(pq & bf) / len(bf) >= 0.15
