@@ -138,6 +138,32 @@ _PHONE = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
 _DENY = r"\b(customer|supplier)\b"
 
 
+def _esc(p: str) -> str:
+    """Embed a regex in a Spark SQL string literal (backslashes double)."""
+    return p.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def scrub_expressions(text_col: str) -> dict[str, str]:
+    """The scrub op as named SQL expressions over ``text_col`` — shared by
+    the batch query and the streaming composition (a stateless projection
+    applies to a streaming frame unchanged; tests/test_streaming_quality.py
+    certifies stream output == batch output row-for-row)."""
+    clean = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"{text_col}, '{_esc(_EMAIL)}', '<EMAIL>'),"
+        f" '{_esc(_IPV4)}', '<IP>'),"
+        f" '{_esc(_PHONE)}', '<PHONE>'),"
+        f" '{_esc(_DENY)}', '<REDACTED>')"
+    )
+    return {
+        "n_email": f"size(regexp_extract_all({text_col}, '{_esc(_EMAIL)}', 0))",
+        "n_ip": f"size(regexp_extract_all({text_col}, '{_esc(_IPV4)}', 0))",
+        "n_phone": f"size(regexp_extract_all({text_col}, '{_esc(_PHONE)}', 0))",
+        "n_denied": f"size(regexp_extract_all({text_col}, '{_esc(_DENY)}', 0))",
+        "clean": clean,
+    }
+
+
 @register(
     "text_pii_scrub",
     oracle=f"""
@@ -172,20 +198,13 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     not dead code), while the denylist does fire, proving the replacement
     path. Pure projection: the whole chain runs inside one codegen stage,
     no shuffle, scan-bound at any scale."""
-    esc = lambda p: p.replace("\\", "\\\\").replace("'", "\\'")  # noqa: E731
     doc = load_table(spark, sf_dir, "documents")
-    clean = (
-        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-        f"text, '{esc(_EMAIL)}', '<EMAIL>'),"
-        f" '{esc(_IPV4)}', '<IP>'),"
-        f" '{esc(_PHONE)}', '<PHONE>'),"
-        f" '{esc(_DENY)}', '<REDACTED>')"
-    )
+    ex = scrub_expressions("text")
     return doc.select(
         "doc_id",
-        F.expr(f"size(regexp_extract_all(text, '{esc(_EMAIL)}', 0))").alias("n_email"),
-        F.expr(f"size(regexp_extract_all(text, '{esc(_IPV4)}', 0))").alias("n_ip"),
-        F.expr(f"size(regexp_extract_all(text, '{esc(_PHONE)}', 0))").alias("n_phone"),
-        F.expr(f"size(regexp_extract_all(text, '{esc(_DENY)}', 0))").alias("n_denied"),
-        F.md5(F.expr(clean)).alias("clean_hash"),
+        F.expr(ex["n_email"]).alias("n_email"),
+        F.expr(ex["n_ip"]).alias("n_ip"),
+        F.expr(ex["n_phone"]).alias("n_phone"),
+        F.expr(ex["n_denied"]).alias("n_denied"),
+        F.md5(F.expr(ex["clean"])).alias("clean_hash"),
     )
