@@ -45,8 +45,10 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 
 def _driver_green() -> set[str]:
     """Query names already certified by a past driver sweep: a true
-    hash_match, or a recorded rows-only run for deliberately oracle-less
-    queries (the strongest signal they can ever get)."""
+    hash_match, or a recorded rows-only run for queries that are STILL
+    oracle-less (the strongest signal they can ever get). A query that has
+    since gained an oracle is deliberately NOT green on its old rows-only
+    record — it re-queues for a hash-certified driver row."""
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
         try:
@@ -59,7 +61,11 @@ def _driver_green() -> set[str]:
                 continue
             if row.get("hash_match") is True:
                 green.add(name)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+            elif (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+                and name not in ORACLES
+            ):
                 green.add(name)
     return green
 

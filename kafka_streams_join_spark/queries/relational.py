@@ -156,14 +156,37 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: HLL algorithms differ across engines
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           1 AS sketch_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — the 100 TB substitute for exact
-    COUNT(DISTINCT). No oracle: DuckDB's HLL yields different estimates."""
-    return (
+    """approx_count_distinct (HyperLogLog++) — the 100 TB substitute for
+    exact COUNT(DISTINCT). Sketch estimates aren't cross-engine comparable
+    (DuckDB's HLL differs), so the oracle-checkable claim is the sketch's
+    CONTRACT: the query emits the exact count plus a flag that the HLL
+    estimate landed within 5% of it (HLL++ default rsd is 5%). A sketch
+    regression flips the flag and fails the driver's hash."""
+    out = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+    ok = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        / F.col("exact_parts")
+        <= 0.05
+    )
+    return out.select(
+        "l_returnflag", "exact_parts", ok.cast("int").alias("sketch_within_5pct")
     )
 
 
@@ -791,21 +814,39 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentile")  # rows-only: t-digest internals differ per engine
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+           1 AS sketch_within_2pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch twin of ``agg_percentiles``: approx_percentile is a mergeable
     sketch — partial sketches combine map-side, so the exact path's
     per-group sort never happens. At 100 TB this is the default and the
-    exact percentile is the special case (rows-only check: sketch
-    internals aren't cross-engine comparable)."""
+    exact percentile is the special case. Sketch internals aren't
+    cross-engine comparable, so (like ``agg_approx_distinct``) the
+    oracle-certified claim is the contract: exact percentiles plus a flag
+    that both sketch estimates landed within 2% relative error."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(
-            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4
-        ).alias("p50_approx"),
-        F.round(
-            F.expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 4
-        ).alias("p95_approx"),
+    out = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("a95"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("e50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("e95"),
+    )
+    ok = (F.abs(F.col("a50") - F.col("e50")) / F.col("e50") <= 0.02) & (
+        F.abs(F.col("a95") - F.col("e95")) / F.col("e95") <= 0.02
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("e50", 4).alias("p50_exact"),
+        F.round("e95", 4).alias("p95_exact"),
+        ok.cast("int").alias("sketch_within_2pct"),
     )
 
 
