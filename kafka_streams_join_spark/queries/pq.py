@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
+from .dedup import _staged
 from .registry import register
 from .similarity import QUERY_STRIDE, TOP_K
 
@@ -173,7 +174,9 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         c0 = _centroids_of(sub, F.col("vec_id") % PQ_K)
         a1 = _assign_sub(sub, c0)
-        c1 = _centroids_of(a1, F.col("cl"))
+        # both the encode pass and the LUT consume c1 — stage the K-row
+        # codebook so training runs once per subspace, not once per consumer
+        c1 = _staged(_centroids_of(a1, F.col("cl")))
         codes_parts.append(
             _assign_sub(sub, c1).select(
                 "vec_id", F.lit(m).alias("m"), F.col("cl").alias("code")
