@@ -319,3 +319,58 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("n_hit_grams"))
     )
+
+
+# Domain-mixture targets: parts-per-million keep rates per source group. The
+# "premium" sources keep everything; the long tail is downsampled 5× — the
+# data-mixing step every multi-source training corpus runs (cf. the Pile /
+# LLaMA mixture tables). Integer ppm so the keep decision is exact integer
+# arithmetic in both engines.
+_MIX_PREMIUM = ("src0", "src1", "src2", "src3", "src4")
+_MIX_PREMIUM_PPM = 1_000_000
+_MIX_TAIL_PPM = 200_000
+
+
+@register(
+    "pipeline_domain_mix",
+    oracle=f"""
+    SELECT source,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           count(*)                                              AS n_total,
+           CAST(sum(CASE WHEN kept THEN doc_id END) AS BIGINT)   AS kept_id_sum
+    FROM (
+      SELECT source, doc_id,
+             (doc_id * 40503 + 17) % 1000000 <
+               CASE WHEN source IN {_MIX_PREMIUM}
+                    THEN {_MIX_PREMIUM_PPM} ELSE {_MIX_TAIL_PPM} END AS kept
+      FROM documents
+    ) GROUP BY source
+    """,
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture resampling: each source keeps a target
+    fraction of its documents (premium sources 100%, tail sources 20%),
+    selected by the same rerun-stable id-hash used by the split/sample ops
+    (``(doc_id*40503+17) % 1e6 < rate_ppm`` — no rand(), so retried tasks
+    and re-runs select identical rows). Emits the per-domain mixture audit:
+    kept/total counts plus a checksum of the kept ids, certifying the exact
+    selection, not just its size.
+
+    Scale: one scan, the keep decision is a map-side integer expression,
+    one partial+final aggregate on source — no shuffle of the kept rows
+    themselves (a real pipeline writes them out partitioned by source;
+    the audit here is the oracle-checkable contract)."""
+    doc = load_table(spark, sf_dir, "documents")
+    rate_ppm = F.when(
+        F.col("source").isin(*_MIX_PREMIUM), F.lit(_MIX_PREMIUM_PPM)
+    ).otherwise(F.lit(_MIX_TAIL_PPM))
+    kept = ((F.col("doc_id") * 40503 + 17) % 1_000_000) < rate_ppm
+    return (
+        doc.select("source", "doc_id", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("kept").cast("int")).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("kept"), F.col("doc_id"))).alias("kept_id_sum"),
+        )
+    )
