@@ -23,11 +23,11 @@ from __future__ import annotations
 
 import random
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.components import connected_components
+from ..operators.staging import staged
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -46,20 +46,9 @@ _HASH_PARAMS = [(_rng.randrange(1, 1 << 30), _rng.randrange(0, _P)) for _ in ran
 JACCARD_THRESHOLD = 0.8
 
 
-def _staged(df: DataFrame) -> DataFrame:
-    """Persist a multi-consumer stage (MEMORY_AND_DISK, LRU-evicted).
+_staged = staged  # near-dup pipelines stage their multi-consumer aggregates
+# (shingle sets / signatures) — see operators/staging.py for the rationale
 
-    The near-dup pipelines all funnel one expensive corpus-derived stage
-    (shingle sets / signatures) into several downstream consumers: the
-    inverted index, the candidate self-join, and two verification lookups.
-    Left lazy, Spark recomputes the full scan+tokenize+aggregate per
-    consumer — measured 6 FileScans of the corpus in one query. At 100 TB
-    that is six reads of the dataset; staging the (much smaller) derived
-    form and fanning out from it is the standard multi-pass design. Spark's
-    cache manager keys on the canonicalized plan, so repeated invocations
-    of the same query share one materialization instead of stacking copies.
-    """
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
 # Inverted-index DF cap (dedup_ngram_jaccard candidate stage): shingles in
 # more documents than this are boilerplate and skip candidate generation —
 # they'd contribute O(df²) pairs each. Verification always recounts on the

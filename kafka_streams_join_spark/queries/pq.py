@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
-from .dedup import _staged
+from ..operators.staging import staged as _staged
 from .registry import register
 from .similarity import QUERY_STRIDE, TOP_K
 

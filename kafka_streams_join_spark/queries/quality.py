@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
-from .dedup import _staged
+from ..operators.staging import staged as _staged
 from .registry import register
 
 # tokenization contract shared with text.py / dedup.py oracles

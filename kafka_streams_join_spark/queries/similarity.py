@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -399,7 +400,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("label", "cell_id")
     )
     w_cell = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell_id"))
-    dists = (
+    # staged at crnk <= nprobe: the assignment pass (codebook train + cross
+    # join + rank window) feeds both the cell-build side (crnk=1) and the
+    # query-probe side — without staging each consumer re-ran it from the
+    # scan (4 FileScans in one plan)
+    dists = _staged(
         emb.select("vec_id", "embedding")
         .crossJoin(F.broadcast(centroids))
         .select(
@@ -407,6 +412,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_DIST2_SPARK).alias("dist2"),
         )
         .withColumn("crnk", F.row_number().over(w_cell))
+        .filter(F.col("crnk") <= _IVF_NPROBE)
     )
     bgrp = (
         dists.filter(F.col("crnk") == 1)

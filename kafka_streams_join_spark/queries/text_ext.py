@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
+from ..operators.staging import staged as _staged
 from .registry import register
 from .text import _TOKS, _TOKS_SQL
 
@@ -48,8 +49,13 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts into the scoring join and the corpus shuffles only once, on
     doc_id, for the final average. The total-token count is a 1-row
     broadcast scalar."""
-    tok = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.expr(f"transform({_TOKS}, t -> lower(t))")).alias("token")
+    # staged: the exploded token frame feeds the vocab build, the scalar
+    # total, AND the scoring join — one corpus scan, three consumers
+    tok = _staged(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.explode(F.expr(f"transform({_TOKS}, t -> lower(t))")).alias("token"),
+        )
     )
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").alias("t"))
