@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -107,7 +108,10 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd expression; the codebook side of every assignment join is
     broadcast (K rows), so the corpus is never shuffled for assignment —
     only the (cluster, dim) update cells move, K×64 values per round."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # one real corpus scan: init + every assignment round reads the cache
+    emb = _staged(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     init_cells = (
         emb.select(
             (F.col("vec_id") % KMEANS_K).alias("cl"),

@@ -165,7 +165,11 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC approximate top-k: 4×16-dim codebooks (deterministic Lloyd,
     one update round), corpus encoded to 4 code bytes, queries scored via
     integer-quantized distance lookup tables and ranked per query."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # the corpus frame feeds every subspace's training, encode, and LUT
+    # pass — staged once, all 4×4 consumers read the cache, one real scan
+    emb = _staged(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     codes_parts = []
     lut_parts = []
     for m in range(PQ_M):
