@@ -160,11 +160,12 @@ def test_ann_recall_vs_bruteforce_is_measured(spark):
         assert recall >= 0.3, f"{name} recall collapsed: {recall:.3f}"
 
 
-def test_sketch_queries_are_within_bounded_error(spark):
-    """The two deliberately rows-only sketch queries (HLL distinct count,
-    t-digest percentile) can't hash-match a different engine's sketch, but
-    their accuracy contracts are testable: HLL++ within 5% of the exact
-    distinct count, approx_percentile(0.5) within the p40-p60 exact band."""
+def test_sketch_queries_certify_their_error_contracts(spark):
+    """The sketch queries (HLL distinct count, t-digest percentile) now
+    embed their accuracy contracts: each row carries the exact answer plus
+    a within-tolerance flag the DuckDB oracle expects true. Assert the
+    flags hold and the exact columns agree with an independent exact
+    computation."""
     from kafka_streams_join_spark.queries import QUERIES
     from kafka_streams_join_spark.sources.parquet import load_table
     from tests.conftest import SF_SMOKE
@@ -178,24 +179,26 @@ def test_sketch_queries_are_within_bounded_error(spark):
         .agg(F.countDistinct("l_partkey").alias("d"))
         .collect()
     }
-    for r in QUERIES["agg_approx_distinct"](spark, SF_SMOKE).collect():
-        exact = exact_d[r["l_returnflag"]]
-        assert abs(r["approx_parts"] - exact) <= max(2, 0.05 * exact), (
-            r["l_returnflag"], r["approx_parts"], exact,
-        )
+    rows = QUERIES["agg_approx_distinct"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(exact_d)
+    for r in rows:
+        assert r["sketch_within_5pct"] == 1, r
+        assert r["exact_parts"] == exact_d[r["l_returnflag"]]
 
-    bands = {
-        r["l_returnflag"]: (r["p40"], r["p60"])
+    exact_p = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
         for r in li.groupBy("l_returnflag")
         .agg(
-            F.percentile("l_extendedprice", F.lit(0.4)).alias("p40"),
-            F.percentile("l_extendedprice", F.lit(0.6)).alias("p60"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
         )
         .collect()
     }
     for r in QUERIES["agg_approx_percentile"](spark, SF_SMOKE).collect():
-        lo, hi = bands[r["l_returnflag"]]
-        assert lo <= r["p50_approx"] <= hi, (r["l_returnflag"], r["p50_approx"], lo, hi)
+        assert r["sketch_within_2pct"] == 1, r
+        p50, p95 = exact_p[r["l_returnflag"]]
+        assert r["p50_exact"] == round(p50, 4)
+        assert r["p95_exact"] == round(p95, 4)
 
 
 class TestMihProbeRecall:

@@ -142,3 +142,60 @@ def test_pq_recall_floor_vs_exact(spark):
     }
     assert len(bf) == 25
     assert len(pq & bf) / len(bf) >= 0.15
+
+
+def test_kmeans_inertia_monotone_nonincreasing(spark):
+    """Lloyd's algorithm guarantee: each assign+update round cannot
+    increase total within-cluster squared distance (inertia). Verified on
+    the real corpus across the unrolled rounds (up to the 1e-6 centroid
+    rounding, which perturbs inertia by < 1e-3 on these magnitudes)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_join_spark.queries.clustering import (
+        KMEANS_ITERS,
+        _assign,
+        _update,
+    )
+    from kafka_streams_join_spark.queries.clustering import (
+        cluster_kmeans_embeddings as _,  # noqa: F401  (module import check)
+    )
+    from kafka_streams_join_spark.operators.staging import staged
+    from kafka_streams_join_spark.queries.clustering import KMEANS_K
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    emb = staged(
+        load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    )
+    init_cells = (
+        emb.select(
+            (F.col("vec_id") % KMEANS_K).alias("cl"),
+            F.posexplode("embedding").alias("d0", "x"),
+        )
+        .groupBy("cl", "d0")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+    )
+    cents = init_cells.groupBy("cl").agg(
+        F.expr("transform(array_sort(collect_list(struct(d0, c))), s -> s.c)").alias(
+            "centroid"
+        )
+    )
+
+    def inertia(cents_df):
+        from kafka_streams_join_spark.queries.clustering import _DIST2_SPARK
+
+        a = (
+            emb.crossJoin(F.broadcast(cents_df))
+            .select("vec_id", F.expr(_DIST2_SPARK).alias("dist2"))
+            .groupBy("vec_id")
+            .agg(F.min("dist2").alias("d"))
+        )
+        return a.agg(F.sum("d")).collect()[0][0]
+
+    vals = [inertia(cents)]
+    for _i in range(KMEANS_ITERS):
+        cents = _update(_assign(emb, cents))
+        vals.append(inertia(cents))
+    for prev, nxt in zip(vals, vals[1:]):
+        assert nxt <= prev + 1e-3, f"inertia increased: {vals}"
+    # and it strictly improved from the hash-partition init
+    assert vals[-1] < vals[0]
