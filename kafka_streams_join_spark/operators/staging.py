@@ -11,10 +11,13 @@ is the standard multi-pass design.
 
 ``persist(MEMORY_AND_DISK)`` is the in-session mechanism: Spark's cache
 manager keys entries on the canonicalized plan, so repeated invocations of
-the same query share one materialization instead of stacking copies, and
-LRU eviction bounds the footprint. (A production pipeline would write the
-stage as a table — checkpointing across jobs — but within one query plan
-the cache is the idiomatic Spark tool.)
+the same query share one materialization instead of stacking copies. LRU
+eviction bounds the MEMORY footprint, but disk-spilled blocks live until
+unpersist or session end — long multi-query sessions (the bench, the
+parity sweep) therefore call ``spark.catalog.clearCache()`` between
+queries rather than trusting eviction. (A production pipeline would write
+the stage as a table — checkpointing across jobs — but within one query
+plan the cache is the idiomatic Spark tool.)
 """
 
 from __future__ import annotations

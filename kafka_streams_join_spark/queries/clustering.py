@@ -76,20 +76,41 @@ def _oracle_sql() -> str:
     return "".join(parts)
 
 
-def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cl"))
-    return (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cl", F.expr(_DIST2_SPARK).alias("dist2"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "embedding", "cl")
+def dist2_expr(vec_col: str, dim: int) -> str:
+    """Flat codegen'd squared distance between ``vec_col`` and a broadcast
+    ``centroid`` array — shared by k-means and the PQ subspace trainer."""
+    return " + ".join(
+        f"(cast({vec_col}[{d}] as double) - centroid[{d}])"
+        f" * (cast({vec_col}[{d}] as double) - centroid[{d}])"
+        for d in range(dim)
     )
 
 
-def _update(assigned: DataFrame) -> DataFrame:
+def assign_to_codebook(
+    df: DataFrame, cents: DataFrame, vec_col: str = "embedding", dim: int = _DIM
+) -> DataFrame:
+    """Nearest-centroid assignment: cross join against the broadcast K-row
+    codebook, argmin by (dist2, cl) — the deterministic tie-break both
+    engines share."""
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cl"))
+    return (
+        df.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", vec_col, "cl",
+            F.expr(dist2_expr(vec_col, dim)).alias("dist2"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", vec_col, "cl")
+    )
+
+
+def codebook_of(df: DataFrame, cl_col, vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster centroid arrays from (cluster, vector) rows: posexplode
+    to cells, avg per (cl, dim) rounded to 6 dp (the cross-engine
+    determinism contract), fold back ordered by dimension."""
     cells = (
-        assigned.select("cl", F.posexplode("embedding").alias("d0", "x"))
+        df.select(cl_col.alias("cl"), F.posexplode(vec_col).alias("d0", "x"))
         .groupBy("cl", "d0")
         .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
     )
@@ -98,6 +119,14 @@ def _update(assigned: DataFrame) -> DataFrame:
             "centroid"
         )
     )
+
+
+def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    return assign_to_codebook(emb, cents, "embedding", _DIM)
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    return codebook_of(assigned, F.col("cl"), "embedding")
 
 
 @register("cluster_kmeans_embeddings", oracle=_oracle_sql())

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.components import connected_components
-from ..operators.staging import staged
+from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -45,9 +45,18 @@ _HASH_PARAMS = [(_rng.randrange(1, 1 << 30), _rng.randrange(0, _P)) for _ in ran
 
 JACCARD_THRESHOLD = 0.8
 
+# The 3-word shingle array over ``toks`` — THE shingling contract, used by
+# every near-dup query (its SQL twin is _SHINGLES_SQL below). ``toks`` is
+# materialized as a column first so the regex split runs once per row, not
+# once per lambda element. The CASE guards <3-token docs: ``sequence(1, 0)``
+# in Spark counts DOWN ([1,0]), which would fabricate shingles DuckDB's
+# generate_series(1,0)=[] does not.
+_SHINGLE_ARRAY = (
+    "CASE WHEN size(toks) < 3 THEN array()"
+    " ELSE transform(sequence(1, size(toks) - 2),"
+    "   i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1])) END"
+)
 
-_staged = staged  # near-dup pipelines stage their multi-consumer aggregates
-# (shingle sets / signatures) — see operators/staging.py for the rationale
 
 # Inverted-index DF cap (dedup_ngram_jaccard candidate stage): shingles in
 # more documents than this are boilerplate and skip candidate generation —
@@ -58,30 +67,6 @@ SHINGLE_DF_CAP = 100
 SIMHASH_BITS = 60
 SIMHASH_MAX_HAMMING = 10
 COSINE_DUP_THRESHOLD = 0.4
-
-
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs — 3-word shingles.
-
-    ``toks`` is materialized as a column first so the regex split runs once
-    per row, not once per lambda element (3× per shingle otherwise — it was
-    the hot spot in the sf0.1 bench). The CASE guards <3-token docs:
-    ``sequence(1, 0)`` in Spark counts DOWN ([1,0]), which would fabricate
-    shingles DuckDB's generate_series(1,0)=[] does not.
-    """
-    doc = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_TOKS).alias("toks")
-    )
-    return doc.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(toks) < 3 THEN array()"
-                " ELSE transform(sequence(1, size(toks) - 2),"
-                "   i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1])) END"
-            )
-        ).alias("shingle"),
-    ).distinct()
 
 
 _SHINGLES_SQL = f"""
@@ -173,11 +158,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = doc.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "CASE WHEN size(toks) < 3 THEN array()"
-                " ELSE transform(sequence(1, size(toks) - 2),"
-                "   i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1])) END"
-            )
+            F.expr(_SHINGLE_ARRAY)
         ).alias("shingle"),
     ).select("doc_id", F.xxhash64("shingle").alias("h"))
     # collect_set dedups per-doc shingles inside the aggregate — no separate
@@ -234,11 +215,7 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = doc.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "CASE WHEN size(toks) < 3 THEN array()"
-                " ELSE transform(sequence(1, size(toks) - 2),"
-                "   i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1])) END"
-            )
+            F.expr(_SHINGLE_ARRAY)
         ).alias("shingle"),
     ).select("doc_id", F.md5("shingle").alias("m"))
     # h32 MUST stay md5-derived — the DuckDB oracle recomputes the same

@@ -24,13 +24,19 @@ Scale notes: the scoring join's output is Q·N·M rows into a partial+final
 sum aggregate — the honest cost of exhaustive ADC; at 100 TB PQ composes
 with IVF cell pruning (only probed cells are scored; the same codes/LUT
 join applies per cell). Codebook training touches each subvector once per
-round; codebooks and LUTs are KB-sized broadcasts.
+round. The codebooks are always KB-sized broadcasts; the LUT is Q·M·K
+rows, so broadcasting it (as here) is valid for a bounded query set —
+this corpus's stride-defined queries, or any real workload's batch of
+queries. If Q instead grows with the corpus, the scoring join flips to a
+shuffle on (m, code) with the same plan shape, or prunes first via IVF.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from .clustering import assign_to_codebook, codebook_of, dist2_expr
 
 from ..sources.parquet import load_table
 from ..operators.staging import staged as _staged
@@ -48,9 +54,8 @@ PQ_K = 64
 _SCALE = 1_000_000  # d2 quantization: micro-units, exact in BIGINT
 
 
-def _sub_dist2_sql(m: int) -> str:
-    """Squared distance on the sliced ``sub`` column (DuckDB, 1-based).
-    Takes m only for call-site symmetry; the sliced column is local."""
+def _sub_dist2_sql() -> str:
+    """Squared distance on the sliced ``sub`` column (DuckDB, 1-based)."""
     return " + ".join(
         f"(CAST(e.sub[{d + 1}] AS DOUBLE) - c.centroid[{d + 1}])"
         f" * (CAST(e.sub[{d + 1}] AS DOUBLE) - c.centroid[{d + 1}])"
@@ -79,7 +84,7 @@ def _oracle_sql() -> str:
     a{m}_1 AS (
       SELECT vec_id, sub, cl FROM (
         SELECT e.vec_id, e.sub, c.cl,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_sub_dist2_sql(m)} ASC, c.cl) AS rnk
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_sub_dist2_sql()} ASC, c.cl) AS rnk
         FROM sub{m} e CROSS JOIN c{m}_0 c) WHERE rnk = 1
     ),
     c{m}_1 AS (
@@ -91,12 +96,12 @@ def _oracle_sql() -> str:
     codes{m} AS (
       SELECT vec_id, {m} AS m, cl AS code FROM (
         SELECT e.vec_id, c.cl,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_sub_dist2_sql(m)} ASC, c.cl) AS rnk
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_sub_dist2_sql()} ASC, c.cl) AS rnk
         FROM sub{m} e CROSS JOIN c{m}_1 c) WHERE rnk = 1
     ),
     lut{m} AS (
       SELECT e.vec_id AS query_id, {m} AS m, c.cl AS code,
-             CAST(round(({_sub_dist2_sql(m)}) * {_SCALE}) AS BIGINT) AS d2i
+             CAST(round(({_sub_dist2_sql()}) * {_SCALE}) AS BIGINT) AS d2i
       FROM sub{m} e CROSS JOIN c{m}_1 c
       WHERE e.vec_id % {QUERY_STRIDE} = 0
     )"""
@@ -125,39 +130,15 @@ def _oracle_sql() -> str:
     return "".join(parts)
 
 
-def _sub_dist2_spark() -> str:
-    return " + ".join(
-        f"(cast(sub[{d}] as double) - centroid[{d}])"
-        f" * (cast(sub[{d}] as double) - centroid[{d}])"
-        for d in range(PQ_SUB)
-    )
-
-
+# the Lloyd machinery is clustering.py's, parameterized to the 16-dim
+# sliced ``sub`` column — one determinism contract (6-dp rounding, cl
+# tie-break), two consumers
 def _centroids_of(sub: DataFrame, cl_col) -> DataFrame:
-    cells = (
-        sub.select(cl_col.alias("cl"), F.posexplode("sub").alias("d0", "x"))
-        .groupBy("cl", "d0")
-        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
-    )
-    return cells.groupBy("cl").agg(
-        F.expr("transform(array_sort(collect_list(struct(d0, c))), s -> s.c)").alias(
-            "centroid"
-        )
-    )
+    return codebook_of(sub, cl_col, "sub")
 
 
 def _assign_sub(sub: DataFrame, cents: DataFrame) -> DataFrame:
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cl"))
-    return (
-        sub.crossJoin(F.broadcast(cents))
-        .select("vec_id", "sub", "cl", F.expr(_sub_dist2_spark_expr).alias("dist2"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "sub", "cl")
-    )
-
-
-_sub_dist2_spark_expr = _sub_dist2_spark()
+    return assign_to_codebook(sub, cents, "sub", PQ_SUB)
 
 
 @register("sim_pq_topk", oracle=_oracle_sql())
@@ -194,7 +175,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(m).alias("m"),
                 F.col("cl").alias("code"),
                 F.expr(
-                    f"cast(round(({_sub_dist2_spark_expr}) * {_SCALE}) as bigint)"
+                    f"cast(round(({dist2_expr('sub', PQ_SUB)}) * {_SCALE}) as bigint)"
                 ).alias("d2i"),
             )
         )

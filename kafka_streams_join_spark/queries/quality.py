@@ -24,9 +24,8 @@ from ..sources.parquet import load_table
 from ..operators.staging import staged as _staged
 from .registry import register
 
-# tokenization contract shared with text.py / dedup.py oracles
-_TOKS = "split(regexp_replace(trim(text), '\\\\s+', ' '), ' ')"
-_TOKS_SQL = "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+# tokenization contract — imported from text.py, the single source of truth
+from .text import _TOKS, _TOKS_SQL  # noqa: E402
 
 
 @register(

@@ -170,13 +170,16 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact COUNT(DISTINCT). Sketch estimates aren't cross-engine comparable
     (DuckDB's HLL differs), so the oracle-checkable claim is the sketch's
     CONTRACT: the query emits the exact count plus a flag that the HLL
-    estimate landed within 5% of it (HLL++ default rsd is 5%). A sketch
-    regression flips the flag and fails the driver's hash."""
+    estimate landed within 5% of it. The sketch runs at rsd=0.01 so the
+    5% gate sits ~5 standard deviations out — certifying the sketch
+    without being a coin-flip on estimator noise across corpus
+    regenerations. A sketch regression flips the flag and fails the
+    driver's hash."""
     out = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
     )
@@ -831,11 +834,14 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact percentile is the special case. Sketch internals aren't
     cross-engine comparable, so (like ``agg_approx_distinct``) the
     oracle-certified claim is the contract: exact percentiles plus a flag
-    that both sketch estimates landed within 2% relative error."""
+    that both sketch estimates landed within 2% relative error. At
+    accuracy=50000 the guaranteed rank error is 1/50000 (~4 ranks per
+    group here) — orders of magnitude inside the 2% value gate on this
+    price distribution, so the flag is not estimator-noise-sensitive."""
     li = load_table(spark, sf_dir, "lineitem")
     out = li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("a50"),
-        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("a95"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 50000)").alias("a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 50000)").alias("a95"),
         F.percentile("l_extendedprice", F.lit(0.5)).alias("e50"),
         F.percentile("l_extendedprice", F.lit(0.95)).alias("e95"),
     )

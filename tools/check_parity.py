@@ -27,6 +27,10 @@ def main() -> int:
     for name, fn in QUERIES.items():
         if filters and not any(f in name for f in filters):
             continue
+        # staged frames (operators/staging.py) from the previous query are
+        # dead weight here — drop them so a long sweep can't accumulate
+        # cached blocks across ~100 queries
+        spark.catalog.clearCache()
         t0 = time.time()
         if name not in ORACLES:
             n = fn(spark, sf_dir).count()
