@@ -98,6 +98,52 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_candidates(spark: SparkSession, sf_dir: str):
+    """(cand, docsets): the shared candidate stage of the n-gram near-dup
+    family — staged per-doc shingle-hash sets, the DF-capped inverted
+    index, and the distinct candidate pair list. Jaccard and containment
+    verify different ratios over the same machinery."""
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKS).alias("toks")
+    )
+    hashed = doc.select(
+        "doc_id",
+        F.explode(
+            F.expr(_SHINGLE_ARRAY)
+        ).alias("shingle"),
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    # collect_set dedups per-doc shingles inside the aggregate — no separate
+    # distinct() shuffle of raw shingle rows
+    docsets = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
+    docsets = _staged(docsets.select("doc_id", "hs", F.size("hs").alias("n")))
+    # the inverted index, re-derived from the aggregated arrays (map-side
+    # explode of docsets' output — NOT a second corpus scan)
+    exploded = docsets.select("doc_id", F.explode("hs").alias("h"))
+    # document frequency per shingle; the rare (sub-cap) index drives
+    # candidate generation only
+    rare = exploded.join(
+        exploded.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("h"),
+        "h",
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify on candidates only, against the FULL per-doc sets
+    sa = docsets.alias("sa")
+    sb = docsets.alias("sb")
+    return cand, docsets
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -152,42 +198,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ratios are all hash-independent — so the cheapest collision-free
     # (~2^-65/pair) function wins; the md5-keyed DuckDB oracle certifies no
     # collision bites at this corpus
-    doc = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_TOKS).alias("toks")
-    )
-    hashed = doc.select(
-        "doc_id",
-        F.explode(
-            F.expr(_SHINGLE_ARRAY)
-        ).alias("shingle"),
-    ).select("doc_id", F.xxhash64("shingle").alias("h"))
-    # collect_set dedups per-doc shingles inside the aggregate — no separate
-    # distinct() shuffle of raw shingle rows
-    docsets = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
-    docsets = _staged(docsets.select("doc_id", "hs", F.size("hs").alias("n")))
-    # the inverted index, re-derived from the aggregated arrays (map-side
-    # explode of docsets' output — NOT a second corpus scan)
-    exploded = docsets.select("doc_id", F.explode("hs").alias("h"))
-    # document frequency per shingle; the rare (sub-cap) index drives
-    # candidate generation only
-    rare = exploded.join(
-        exploded.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= SHINGLE_DF_CAP)
-        .select("h"),
-        "h",
-    )
-    a = rare.alias("a")
-    b = rare.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    # exact verify on candidates only, against the FULL per-doc sets
+    cand, docsets = _ngram_candidates(spark, sf_dir)
     sa = docsets.alias("sa")
     sb = docsets.alias("sb")
     inter = F.size(F.expr("array_intersect(sa.hs, sb.hs)"))
@@ -633,4 +644,57 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("is_duplicate"),
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / sa.n, 4) AS cont_a_in_b,
+           round(c * 1.0 / sb.n, 4) AS cont_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c * 1.0 / least(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT (|A∩B| / |A|) at ≥ 0.9 on
+    the smaller side. Jaccard misses size-mismatched duplication — a
+    paragraph fully quoted inside a much longer document scores low
+    Jaccard but containment 1.0 — and containment is how training corpora
+    catch boilerplate wrappers, quoted reposts, and doc-in-doc subsets
+    (Broder's original resemblance/containment pair, STOC'97).
+
+    Same machinery as ``dedup_ngram_jaccard`` (one staged shingle-set
+    build, DF-capped inverted-index candidates, exact verification on the
+    full sets) — only the verified ratio differs, and the candidate
+    recall argument carries over unchanged because a ≥0.9-contained
+    smaller side shares at least one sub-cap shingle with its container
+    on this corpus (certified by the uncapped oracle)."""
+    cand, docsets = _ngram_candidates(spark, sf_dir)
+    sa = docsets.alias("sa")
+    sb = docsets.alias("sb")
+    inter = F.size(F.expr("array_intersect(sa.hs, sb.hs)"))
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(inter / F.least(F.col("sa.n"), F.col("sb.n")) >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.col("sa.n"), 4).alias("cont_a_in_b"),
+            F.round(inter / F.col("sb.n"), 4).alias("cont_b_in_a"),
+        )
     )
