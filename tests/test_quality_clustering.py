@@ -199,3 +199,75 @@ def test_kmeans_inertia_monotone_nonincreasing(spark):
         assert nxt <= prev + 1e-3, f"inertia increased: {vals}"
     # and it strictly improved from the hash-partition init
     assert vals[-1] < vals[0]
+
+
+def test_kmeans_invariant_to_input_partitioning(spark):
+    """The determinism contract must survive physical re-distribution:
+    partial float sums aggregate in partition-dependent order, and the
+    6-dp centroid rounding is what pins the result. Run the identical
+    k-means over two very different input partitionings and require
+    bit-identical assignments."""
+    import kafka_streams_join_spark.queries.clustering as c
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    orig = c.load_table
+    outs = []
+    for parts in (2, 17):
+        c.load_table = (
+            lambda s, d, n, p=parts: load_table(s, d, n).repartition(p)
+        )
+        try:
+            outs.append(
+                {
+                    (r["vec_id"], r["cluster"])
+                    for r in c.cluster_kmeans_embeddings(spark, SF_SMOKE).collect()
+                }
+            )
+        finally:
+            c.load_table = orig
+        spark.catalog.clearCache()
+    assert outs[0] == outs[1]
+
+
+def _py_repetition(tokens):
+    from collections import Counter
+
+    uni = Counter(tokens)
+    bis = Counter(zip(tokens, tokens[1:]))
+    fives = [tuple(tokens[i : i + 5]) for i in range(len(tokens) - 4)]
+    out = {"top_unigram_frac": round(max(uni.values()) / len(tokens), 4)}
+    out["top_bigram_frac"] = (
+        round(max(bis.values()) / sum(bis.values()), 4) if bis else None
+    )
+    out["dup_5gram_frac"] = (
+        round(1 - len(set(fives)) / len(fives), 4) if fives else None
+    )
+    return out
+
+
+def test_repetition_stats_matches_python_model(spark, monkeypatch):
+    """Differential check against an independent pure-Python model on
+    seeded random corpora (shares no code with the Spark expressions or
+    the DuckDB oracle)."""
+    import random
+
+    import kafka_streams_join_spark.queries.quality as q
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "dd", "eee"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 40))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(q, "load_table", lambda s, d, n: df)
+    got = {
+        r["doc_id"]: r for r in q.text_repetition_stats(spark, "unused").collect()
+    }
+    assert len(got) == 40  # every doc has >= 5 tokens by construction
+    for doc_id, text in rows:
+        want = _py_repetition(text.split(" "))
+        r = got[doc_id]
+        assert r["top_unigram_frac"] == pytest.approx(want["top_unigram_frac"])
+        assert r["top_bigram_frac"] == pytest.approx(want["top_bigram_frac"])
+        assert r["dup_5gram_frac"] == pytest.approx(want["dup_5gram_frac"])
