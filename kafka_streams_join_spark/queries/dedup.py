@@ -246,10 +246,15 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(((F.lit(a) * F.col("h32") + F.lit(b)) % _P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(_HASH_PARAMS)
     ]
-    return _staged(
-        hashed.groupBy("doc_id").agg(
-            *minhash_cols, F.collect_set("h60").alias("hs60")
-        )
+    # Deliberately NOT staged: measured interleaved at sf0.1 (cold cache),
+    # recompute beats persist here every round (best 2.13s vs 2.40s) — the
+    # staged form is WIDE (32 minhash columns + the hs60 array ≈ the full
+    # shingle data), so the cache write costs more than the two extra
+    # consumer recomputes save. Staging pays when the staged form is much
+    # smaller than the work above it (ngram's docsets, PQ codebooks); at
+    # 100 TB this table would be written once as a signatures table anyway.
+    return hashed.groupBy("doc_id").agg(
+        *minhash_cols, F.collect_set("h60").alias("hs60")
     )
 
 
