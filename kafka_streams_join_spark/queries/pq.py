@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .clustering import assign_to_codebook, codebook_of, dist2_expr
+from .clustering import dist2_expr
 
 from ..sources.parquet import load_table
 from ..operators.staging import staged as _staged
@@ -130,61 +130,86 @@ def _oracle_sql() -> str:
     return "".join(parts)
 
 
-# the Lloyd machinery is clustering.py's, parameterized to the 16-dim
-# sliced ``sub`` column — one determinism contract (6-dp rounding, cl
-# tie-break), two consumers
-def _centroids_of(sub: DataFrame, cl_col) -> DataFrame:
-    return codebook_of(sub, cl_col, "sub")
+def _subspace_rows(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sub): the subspace index flattened into a DATA dimension.
+    One map-side explode replaces M separate per-subspace pipelines — every
+    later stage (train, assign, encode, LUT) keys on ``m`` instead of being
+    its own plan branch, collapsing plan depth M-fold."""
+    structs = ", ".join(
+        f"named_struct('m', {m}, 'sub',"
+        f" slice(embedding, {m * PQ_SUB + 1}, {PQ_SUB}))"
+        for m in range(PQ_M)
+    )
+    return emb.select(
+        "vec_id", F.explode(F.expr(f"array({structs})")).alias("s")
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
 
 
-def _assign_sub(sub: DataFrame, cents: DataFrame) -> DataFrame:
-    return assign_to_codebook(sub, cents, "sub", PQ_SUB)
+def _codebooks_of(subs: DataFrame, cl_col) -> DataFrame:
+    """(m, cl, centroid): all M codebooks from one aggregate chain — the
+    same cell-mean + 6-dp rounding contract as clustering.codebook_of,
+    with the subspace id as an extra grouping key."""
+    cells = (
+        subs.select("m", cl_col.alias("cl"), F.posexplode("sub").alias("d0", "x"))
+        .groupBy("m", "cl", "d0")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+    )
+    return cells.groupBy("m", "cl").agg(
+        F.expr("transform(array_sort(collect_list(struct(d0, c))), s -> s.c)").alias(
+            "centroid"
+        )
+    )
+
+
+def _assign_subs(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, m, sub, cl): nearest centroid within each subspace — one
+    broadcast hash join on ``m`` (K rows per subspace) + one rank window
+    over (vec_id, m), for all subspaces at once."""
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("dist2"), F.asc("cl"))
+    return (
+        subs.join(F.broadcast(cents), "m")
+        .select(
+            "vec_id", "m", "sub", "cl",
+            F.expr(dist2_expr("sub", PQ_SUB)).alias("dist2"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "m", "sub", "cl")
+    )
 
 
 @register("sim_pq_topk", oracle=_oracle_sql())
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC approximate top-k: 4×16-dim codebooks (deterministic Lloyd,
     one update round), corpus encoded to 4 code bytes, queries scored via
-    integer-quantized distance lookup tables and ranked per query."""
-    # the corpus frame feeds every subspace's training, encode, and LUT
-    # pass — staged once, all 4×4 consumers read the cache, one real scan
-    emb = _staged(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    integer-quantized distance lookup tables and ranked per query.
+
+    Spark-first shape: the subspace index is a DATA dimension, not a plan
+    dimension — (vec_id, m, sub) rows flow through ONE train/assign/encode
+    pipeline keyed on m, instead of M cloned plan branches (which cost M×
+    the plan depth and M× the scans). The oracle keeps its per-subspace
+    CTE form; the values are identical by construction."""
+    # staged: training, encode, and LUT all consume the flattened frame
+    subs = _staged(
+        _subspace_rows(
+            load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        )
     )
-    codes_parts = []
-    lut_parts = []
-    for m in range(PQ_M):
-        sub = emb.select(
-            "vec_id", F.slice("embedding", m * PQ_SUB + 1, PQ_SUB).alias("sub")
+    c0 = _codebooks_of(subs, F.col("vec_id") % PQ_K)
+    c1 = _codebooks_of(_assign_subs(subs, c0), F.col("cl"))
+    codes = _assign_subs(subs, c1).select("vec_id", "m", F.col("cl").alias("code"))
+    lut = (
+        subs.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .join(F.broadcast(c1), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            F.col("cl").alias("code"),
+            F.expr(
+                f"cast(round(({dist2_expr('sub', PQ_SUB)}) * {_SCALE}) as bigint)"
+            ).alias("d2i"),
         )
-        c0 = _centroids_of(sub, F.col("vec_id") % PQ_K)
-        a1 = _assign_sub(sub, c0)
-        # both the encode pass and the LUT consume c1 — stage the K-row
-        # codebook so training runs once per subspace, not once per consumer
-        c1 = _staged(_centroids_of(a1, F.col("cl")))
-        codes_parts.append(
-            _assign_sub(sub, c1).select(
-                "vec_id", F.lit(m).alias("m"), F.col("cl").alias("code")
-            )
-        )
-        lut_parts.append(
-            sub.filter(F.col("vec_id") % QUERY_STRIDE == 0)
-            .crossJoin(F.broadcast(c1))
-            .select(
-                F.col("vec_id").alias("query_id"),
-                F.lit(m).alias("m"),
-                F.col("cl").alias("code"),
-                F.expr(
-                    f"cast(round(({dist2_expr('sub', PQ_SUB)}) * {_SCALE}) as bigint)"
-                ).alias("d2i"),
-            )
-        )
-    codes = codes_parts[0]
-    for p in codes_parts[1:]:
-        codes = codes.unionByName(p)
-    lut = lut_parts[0]
-    for p in lut_parts[1:]:
-        lut = lut.unionByName(p)
+    )
     scored = (
         codes.join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
