@@ -87,34 +87,53 @@ def dist2_expr(vec_col: str, dim: int) -> str:
 
 
 def assign_to_codebook(
-    df: DataFrame, cents: DataFrame, vec_col: str = "embedding", dim: int = _DIM
+    df: DataFrame,
+    cents: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = _DIM,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Nearest-centroid assignment: cross join against the broadcast K-row
-    codebook, argmin by (dist2, cl) — the deterministic tie-break both
-    engines share."""
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cl"))
+    """Nearest-centroid assignment: join against the broadcast codebook,
+    argmin by (dist2, cl) — the deterministic tie-break both engines
+    share. ``key_cols`` co-keys the join and the argmin window (PQ passes
+    ["m"] so all subspaces assign in one pass); empty = plain cross join
+    against one codebook."""
+    keys = list(key_cols or [])
+    w = Window.partitionBy("vec_id", *keys).orderBy(F.asc("dist2"), F.asc("cl"))
+    joined = (
+        df.join(F.broadcast(cents), keys)
+        if keys
+        else df.crossJoin(F.broadcast(cents))
+    )
     return (
-        df.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", vec_col, "cl",
+        joined.select(
+            "vec_id", *keys, vec_col, "cl",
             F.expr(dist2_expr(vec_col, dim)).alias("dist2"),
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
-        .select("vec_id", vec_col, "cl")
+        .select("vec_id", *keys, vec_col, "cl")
     )
 
 
-def codebook_of(df: DataFrame, cl_col, vec_col: str = "embedding") -> DataFrame:
+def codebook_of(
+    df: DataFrame,
+    cl_col,
+    vec_col: str = "embedding",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
     """Per-cluster centroid arrays from (cluster, vector) rows: posexplode
     to cells, avg per (cl, dim) rounded to 6 dp (the cross-engine
-    determinism contract), fold back ordered by dimension."""
+    determinism contract), fold back ordered by dimension. ``key_cols``
+    adds extra grouping keys (PQ trains all subspaces' codebooks in one
+    aggregate chain by passing ["m"])."""
+    keys = list(key_cols or [])
     cells = (
-        df.select(cl_col.alias("cl"), F.posexplode(vec_col).alias("d0", "x"))
-        .groupBy("cl", "d0")
+        df.select(*keys, cl_col.alias("cl"), F.posexplode(vec_col).alias("d0", "x"))
+        .groupBy(*keys, "cl", "d0")
         .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
     )
-    return cells.groupBy("cl").agg(
+    return cells.groupBy(*keys, "cl").agg(
         F.expr("transform(array_sort(collect_list(struct(d0, c))), s -> s.c)").alias(
             "centroid"
         )

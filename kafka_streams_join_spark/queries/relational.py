@@ -1045,13 +1045,19 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-region distinct count plus a flag that the estimate from the
     union-of-sketches landed within 5% (lgConfigK=14 → ~0.8% rsd, so the
     gate sits far outside estimator noise)."""
+    from ..operators.staging import staged
+
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    per_nation = (
+    # staged: the sketch branch and the exact-verification branch both
+    # consume the customer⋈nation frame — one fact scan, not two
+    joined = staged(
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("n_nationkey", "n_regionkey")
-        .agg(F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sk"))
+        .select("c_custkey", "n_nationkey", "n_regionkey")
+    )
+    per_nation = joined.groupBy("n_nationkey", "n_regionkey").agg(
+        F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sk")
     )
     per_region = (
         per_nation.join(
@@ -1063,8 +1069,7 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     exact = (
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        joined.join(F.broadcast(region), joined.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(F.countDistinct("c_custkey").alias("exact_customers"))
     )
