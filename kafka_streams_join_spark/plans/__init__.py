@@ -13,6 +13,7 @@ from .inspect import (
     assert_read_schema_pruned,
     assert_broadcast_join,
     assert_no_cartesian,
+    assert_no_wide_shuffle,
     assert_wholestage_codegen,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "assert_read_schema_pruned",
     "assert_broadcast_join",
     "assert_no_cartesian",
+    "assert_no_wide_shuffle",
     "assert_wholestage_codegen",
 ]

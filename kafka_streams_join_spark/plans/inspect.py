@@ -69,6 +69,22 @@ def assert_no_cartesian(df: DataFrame) -> None:
             raise AssertionError(f"{bad} in plan:\n{plan[:2000]}")
 
 
+def assert_no_wide_shuffle(df: DataFrame, col: str = "embedding") -> None:
+    """No Exchange node may carry ``col`` — wide payload columns (vector
+    arrays, document text) must be dropped or broadcast before any
+    shuffle; only narrow index/key frames may move. Formatted explain
+    lists each node's input columns, so parse the Exchange entries."""
+    plan = explain_str(df)
+    for m in re.finditer(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    ):
+        cols = m.group(1)
+        if re.search(rf"\b{re.escape(col)}#", cols):
+            raise AssertionError(
+                f"Exchange shuffles wide column {col!r}: [{cols}]"
+            )
+
+
 def assert_wholestage_codegen(df: DataFrame) -> None:
     """At least one WholeStageCodegen span — expression work stays JVM-side.
 

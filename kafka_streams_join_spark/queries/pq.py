@@ -21,14 +21,17 @@ Relational mapping (the whole op is joins + group-bys — no Python):
   (query, vec) and a per-query top-k window.
 
 Scale notes: the scoring join's output is Q·N·M rows into a partial+final
-sum aggregate — the honest cost of exhaustive ADC; at 100 TB PQ composes
-with IVF cell pruning (only probed cells are scored; the same codes/LUT
-join applies per cell). Codebook training touches each subvector once per
-round. The codebooks are always KB-sized broadcasts; the LUT is Q·M·K
-rows, so broadcasting it (as here) is valid for a bounded query set —
-this corpus's stride-defined queries, or any real workload's batch of
-queries. If Q instead grows with the corpus, the scoring join flips to a
-shuffle on (m, code) with the same plan shape, or prunes first via IVF.
+sum aggregate — the honest cost of exhaustive ADC; ``sim_ivfpq_topk``
+below is the scale path that prunes it (IVF cells first, ADC only inside
+probed cells). Codebook training touches each subvector once per round.
+The codebooks are always KB-sized broadcasts; the LUT is Q·M·K rows, so
+broadcasting it is valid ONLY for a bounded query batch. This corpus's
+stride-defined query set (Q = N/QUERY_STRIDE) does NOT satisfy that — it
+grows linearly with the corpus, so at large SF the broadcast must flip to
+either (a) a shuffle join on (m, code) with the same plan shape, or
+(b) per-query-batch execution: score a bounded slice of queries at a
+time, which is how a real ANN service runs anyway. The small-SF broadcast
+here is the measured-faster choice, not a scale claim.
 """
 
 from __future__ import annotations
@@ -41,7 +44,13 @@ from .clustering import assign_to_codebook, codebook_of, dist2_expr
 from ..sources.parquet import load_table
 from ..operators.staging import staged as _staged
 from .registry import register
-from .similarity import QUERY_STRIDE, TOP_K
+from .similarity import (
+    QUERY_STRIDE,
+    TOP_K,
+    _DIST2_SPARK as _COARSE_DIST2_SPARK,
+    _DIST2_SQL as _COARSE_DIST2_SQL,
+    label_centroids,
+)
 
 PQ_M = 4  # subspaces
 PQ_SUB = 16  # dims per subspace
@@ -63,10 +72,10 @@ def _sub_dist2_sql() -> str:
     )
 
 
-def _oracle_sql() -> str:
-    """Per-subspace codebook CTEs (init → assign → update), then encode,
-    LUT, and the ADC score/rank — the Spark plan, unrolled in SQL."""
-    parts = ["WITH "]
+def _pq_ctes() -> str:
+    """The shared per-subspace CTE chain (init → assign → update → encode
+    → LUT) plus the ``codes``/``lut`` unions — the front half of both the
+    plain-PQ and the IVFADC oracle."""
     blocks = []
     for m in range(PQ_M):
         lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
@@ -106,13 +115,23 @@ def _oracle_sql() -> str:
       WHERE e.vec_id % {QUERY_STRIDE} = 0
     )"""
         )
-    parts.append(",\n    ".join(blocks))
     codes_union = " UNION ALL ".join(f"SELECT * FROM codes{m}" for m in range(PQ_M))
     lut_union = " UNION ALL ".join(f"SELECT * FROM lut{m}" for m in range(PQ_M))
-    parts.append(
-        f""",
+    return (
+        ",\n    ".join(blocks)
+        + f""",
     codes AS ({codes_union}),
-    lut AS ({lut_union}),
+    lut AS ({lut_union})"""
+    )
+
+
+def _oracle_sql() -> str:
+    """Exhaustive ADC: the shared PQ CTEs, then score every (query, vec)
+    pair and rank — the Spark plan, unrolled in SQL."""
+    return (
+        "WITH "
+        + _pq_ctes()
+        + f""",
     scored AS (
       SELECT l.query_id, x.vec_id AS neighbor_id,
              CAST(sum(l.d2i) AS BIGINT) AS ad2
@@ -127,7 +146,6 @@ def _oracle_sql() -> str:
       FROM scored
     ) WHERE rnk <= {TOP_K}"""
     )
-    return "".join(parts)
 
 
 def _subspace_rows(emb: DataFrame) -> DataFrame:
@@ -159,17 +177,10 @@ def _assign_subs(subs: DataFrame, cents: DataFrame) -> DataFrame:
     return assign_to_codebook(subs, cents, "sub", PQ_SUB, key_cols=["m"])
 
 
-@register("sim_pq_topk", oracle=_oracle_sql())
-def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ/ADC approximate top-k: 4×16-dim codebooks (deterministic Lloyd,
-    one update round), corpus encoded to 4 code bytes, queries scored via
-    integer-quantized distance lookup tables and ranked per query.
-
-    Spark-first shape: the subspace index is a DATA dimension, not a plan
-    dimension — (vec_id, m, sub) rows flow through ONE train/assign/encode
-    pipeline keyed on m, instead of M cloned plan branches (which cost M×
-    the plan depth and M× the scans). The oracle keeps its per-subspace
-    CTE form; the values are identical by construction."""
+def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(codes, lut): the trained PQ index the ADC queries share — corpus
+    encoded as (vec_id, m, code) and the per-query integer distance table
+    (query_id, m, code, d2i)."""
     # staged: training, encode, and LUT all consume the flattened frame
     subs = _staged(
         _subspace_rows(
@@ -194,15 +205,140 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d2i"),
         )
     )
-    scored = (
-        codes.join(F.broadcast(lut), ["m", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("d2i").alias("ad2"))
-    )
+    return codes, lut
+
+
+def _rank_topk(scored: DataFrame) -> DataFrame:
+    """Per-query ascending-ADC rank window, top-K, deterministic ties."""
     w = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "rnk", "ad2")
     )
+
+
+@register("sim_pq_topk", oracle=_oracle_sql())
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k: 4×16-dim codebooks (deterministic Lloyd,
+    one update round), corpus encoded to 4 code bytes, queries scored via
+    integer-quantized distance lookup tables and ranked per query.
+
+    Spark-first shape: the subspace index is a DATA dimension, not a plan
+    dimension — (vec_id, m, sub) rows flow through ONE train/assign/encode
+    pipeline keyed on m, instead of M cloned plan branches (which cost M×
+    the plan depth and M× the scans). The oracle keeps its per-subspace
+    CTE form; the values are identical by construction.
+
+    This is EXHAUSTIVE ADC (every query scores every vector) — the recall
+    ceiling for ``sim_ivfpq_topk``, which prunes to probed cells first."""
+    codes, lut = _pq_index(spark, sf_dir)
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2i").alias("ad2"))
+    )
+    return _rank_topk(scored)
+
+
+IVFPQ_NPROBE = 2  # same probe budget as sim_ivf_topk
+
+
+def _ivfpq_oracle_sql() -> str:
+    """IVFADC: the shared PQ CTEs plus the coarse-quantizer CTEs from the
+    IVF oracle; scoring joins codes → cell assignment → probed cells →
+    LUT, so only candidates inside probed cells are scored."""
+    return (
+        "WITH "
+        + _pq_ctes()
+        + f""",
+    ccells AS (
+      SELECT label, d, avg(CAST(embedding[d] AS DOUBLE)) AS c
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(d)
+      GROUP BY label, d
+    ),
+    coarse AS (
+      SELECT label, list(c ORDER BY d) AS centroid FROM ccells GROUP BY label
+    ),
+    cdists AS (
+      SELECT e.vec_id, c.label,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_COARSE_DIST2_SQL} ASC, c.label) AS crnk
+      FROM embeddings e CROSS JOIN coarse c
+    ),
+    assigned AS (SELECT vec_id, label AS cell FROM cdists WHERE crnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, label AS cell
+      FROM cdists WHERE crnk <= {IVFPQ_NPROBE} AND vec_id % {QUERY_STRIDE} = 0
+    ),
+    scored AS (
+      SELECT p.query_id, x.vec_id AS neighbor_id,
+             CAST(sum(l.d2i) AS BIGINT) AS ad2
+      FROM codes x
+      JOIN assigned s ON s.vec_id = x.vec_id
+      JOIN probes p ON p.cell = s.cell AND p.query_id != x.vec_id
+      JOIN lut l ON l.query_id = p.query_id AND l.m = x.m AND l.code = x.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rnk, ad2 FROM (
+      SELECT query_id, neighbor_id, ad2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ad2 ASC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}"""
+    )
+
+
+@register("sim_ivfpq_topk", oracle=_ivfpq_oracle_sql())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al. §IV): IVF cell pruning composed with PQ/ADC
+    scoring — the composition both halves' docstrings promise, and the
+    scale answer to exhaustive ADC's Q·N·M scoring cost. Queries probe
+    their nprobe nearest coarse cells; only vectors assigned to a probed
+    cell are ADC-scored via the broadcast LUT.
+
+    Plan shape (the part that must survive 100 TB):
+    - the WIDE corpus (64-float embedding arrays) is never shuffled — the
+      coarse argmin drops the embedding column BEFORE its rank window, so
+      the only shuffled relations are the narrow index frames: (vec_id,
+      cell, crnk) and the 4-byte-per-vector (vec_id, m, code) codes;
+    - candidate pruning is an equi-join of the cell map against the
+      broadcast (query, probed-cell) pairs — candidates shrink to
+      ~nprobe/K of the corpus before any ADC work;
+    - the LUT joins AFTER pruning, broadcast, keyed (query_id, m, code);
+      scoring input is Q·(nprobe/K)·N·M rows instead of Q·N·M.
+    At production scale the assignment+encode stages are the one-time
+    index BUILD (written as a table bucketed by cell — the inverted
+    file); only the probe/score stages run per query batch.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, lut = _pq_index(spark, sf_dir)
+    cents = label_centroids(emb)
+    w_cell = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell_id"))
+    # staged: the cell-map feeds both the corpus side (crnk=1) and the
+    # query-probe side; narrow (vec_id, cell, crnk) rows only
+    cdists = _staged(
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell_id", F.expr(_COARSE_DIST2_SPARK).alias("dist2"))
+        .withColumn("crnk", F.row_number().over(w_cell))
+        .filter(F.col("crnk") <= IVFPQ_NPROBE)
+        .select("vec_id", "cell_id", "crnk")
+    )
+    assigned = cdists.filter(F.col("crnk") == 1).select("vec_id", "cell_id")
+    probes = cdists.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), "cell_id"
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2i").alias("ad2"))
+    )
+    return _rank_topk(scored)

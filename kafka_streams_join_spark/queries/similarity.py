@@ -325,6 +325,27 @@ def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_NPROBE = 2
 
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """(cell_id, centroid): per-label mean vectors — the deterministic
+    coarse quantizer shared by ``sim_ivf_topk`` and ``sim_ivfpq_topk``
+    (a stand-in for a trained k-means codebook; the trainer itself is
+    ``cluster_kmeans_embeddings``)."""
+    cells = emb.select("label", F.posexplode("embedding").alias("d0", "x")).select(
+        "label", (F.col("d0") + 1).alias("d"), F.col("x").cast("double").alias("x")
+    )
+    return (
+        cells.groupBy("label", "d")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)").alias(
+                "centroid"
+            )
+        )
+        .withColumnRenamed("label", "cell_id")
+    )
+
 # flat codegen'd sum, same order as the zip_with fold it replaced (see
 # _DOT_SPARK note)
 _DIST2_SPARK = " + ".join(
@@ -385,20 +406,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed column (partitionBy(cell)) and queries touch only probed
     partitions — partition pruning does the inverted-file lookup."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = emb.select("label", F.posexplode("embedding").alias("d0", "x")).select(
-        "label", (F.col("d0") + 1).alias("d"), F.col("x").cast("double").alias("x")
-    )
-    centroids = (
-        cells.groupBy("label", "d")
-        .agg(F.avg("x").alias("c"))
-        .groupBy("label")
-        .agg(
-            F.expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)").alias(
-                "centroid"
-            )
-        )
-        .withColumnRenamed("label", "cell_id")
-    )
+    centroids = label_centroids(emb)
     w_cell = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell_id"))
     # staged at crnk <= nprobe: the assignment pass (codebook train + cross
     # join + rank window) feeds both the cell-build side (crnk=1) and the

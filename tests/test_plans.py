@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from kafka_streams_join_spark.plans import (
     assert_broadcast_join,
     assert_no_cartesian,
+    assert_no_wide_shuffle,
     assert_pushed_filters,
     assert_read_schema_pruned,
     assert_wholestage_codegen,
@@ -322,4 +323,17 @@ def test_pq_scoring_broadcasts_lut_no_cartesian_on_data_path(spark):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert_read_schema_pruned(df, max_columns=2)
+
+
+def test_ivfpq_prunes_before_scoring_and_never_shuffles_vectors(spark):
+    """IVFADC: cell pruning and LUT scoring are broadcast hash joins, no
+    cartesian on the data path, and — the load-bearing property — NO
+    Exchange carries the 64-float embedding column: the wide corpus stays
+    in place; only narrow (vec_id, cell/code) index frames shuffle."""
+    df = QUERIES["sim_ivfpq_topk"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert_no_wide_shuffle(df, "embedding")
     assert_read_schema_pruned(df, max_columns=2)

