@@ -39,6 +39,9 @@ from . import tpch_final  # noqa: E402,F401
 from . import quality  # noqa: E402,F401
 from . import clustering  # noqa: E402,F401
 from . import pq  # noqa: E402,F401
+# round-4 additions
+from . import dedup_passages  # noqa: E402,F401
+from . import semdedup  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -41,9 +41,10 @@ _DIST2_SQL = (
 )
 
 
-def _oracle_sql() -> str:
-    """Unrolled-iteration DuckDB twin: init from vec_id % K means, then
-    KMEANS_ITERS × (assign → update), then the final assignment."""
+def kmeans_ctes() -> str:
+    """The unrolled-iteration CTE chain shared by the k-means oracle and
+    the SemDeDup oracle: init from vec_id % K means, KMEANS_ITERS ×
+    (assign → update), ending in ``afinal(vec_id, embedding, cl)``."""
     assign = (
         "SELECT vec_id, embedding, cl FROM ("
         "  SELECT e.vec_id, e.embedding, c.cl,"
@@ -69,11 +70,12 @@ def _oracle_sql() -> str:
         parts.append(f", a{i + 1} AS ({assign.format(cents=f'c{i}')})")
         parts.append(f", c{i + 1} AS ({update.format(assigned=f'a{i + 1}')})")
     final = assign.format(cents=f"c{KMEANS_ITERS}")
-    parts.append(
-        f", afinal AS ({final})"
-        " SELECT vec_id, cl AS cluster FROM afinal"
-    )
+    parts.append(f", afinal AS ({final})")
     return "".join(parts)
+
+
+def _oracle_sql() -> str:
+    return kmeans_ctes() + " SELECT vec_id, cl AS cluster FROM afinal"
 
 
 def dist2_expr(vec_col: str, dim: int) -> str:
@@ -148,14 +150,9 @@ def _update(assigned: DataFrame) -> DataFrame:
     return codebook_of(assigned, F.col("cl"), "embedding")
 
 
-@register("cluster_kmeans_embeddings", oracle=_oracle_sql())
-def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd k-means over the embedding corpus: K=8 centroids, 2 update
-    rounds from a deterministic hash-partition init, emitting the final
-    (vec_id, cluster) assignment. The 64-dim squared distance is a flat
-    codegen'd expression; the codebook side of every assignment join is
-    broadcast (K rows), so the corpus is never shuffled for assignment —
-    only the (cluster, dim) update cells move, K×64 values per round."""
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained final assignment (vec_id, embedding, cl) — the shared
+    back end of ``cluster_kmeans_embeddings`` and ``dedup_semantic``."""
     # one real corpus scan: init + every assignment round reads the cache
     emb = _staged(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -175,4 +172,17 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(KMEANS_ITERS):
         cents = _update(_assign(emb, cents))
-    return _assign(emb, cents).select("vec_id", F.col("cl").alias("cluster"))
+    return _assign(emb, cents)
+
+
+@register("cluster_kmeans_embeddings", oracle=_oracle_sql())
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the embedding corpus: K=8 centroids, 2 update
+    rounds from a deterministic hash-partition init, emitting the final
+    (vec_id, cluster) assignment. The 64-dim squared distance is a flat
+    codegen'd expression; the codebook side of every assignment join is
+    broadcast (K rows), so the corpus is never shuffled for assignment —
+    only the (cluster, dim) update cells move, K×64 values per round."""
+    return kmeans_assignments(spark, sf_dir).select(
+        "vec_id", F.col("cl").alias("cluster")
+    )

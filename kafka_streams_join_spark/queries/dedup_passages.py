@@ -1,0 +1,139 @@
+"""Substring-level exact dedup: duplicated-PASSAGE detection.
+
+The training-data operator class doc-granular dedup misses (Lee et al.,
+"Deduplicating Training Data Makes Language Models Better", ACL 2022):
+repeated passages inside otherwise-distinct documents — licence headers,
+quoted reposts, templated boilerplate — that survive MinHash/SimHash
+because the host documents differ, yet still cause memorization. The
+reference engine has no text surface (SURVEY §2.7 extension).
+
+Relational formulation (vs the paper's suffix arrays): hash every
+W-token window of every document, keep window-hashes seen in >= 2
+distinct documents, and merge each document's duplicated positions into
+maximal (doc_id, span) ranges with a gaps-and-islands window pass.
+
+Scale design (100 TB):
+- the window frame is (doc_id, pos, hash) — one narrow row per token,
+  ~3 int64s, built map-side in one scan. That linear blow-up is the
+  honest cost of substring-granular dedup (the paper's suffix array is
+  8x corpus bytes); it is staged once and consumed twice.
+- NO DF cap, by design: unlike the pair-emitting near-dup operators
+  (dedup_ngram_jaccard's candidate stage is O(df^2) per hot shingle,
+  hence SHINGLE_DF_CAP), this operator never forms document PAIRS — a
+  window hash shared by 10^6 documents contributes 10^6 span rows, not
+  10^12 pair rows. Output stays linear in corpus size, so the most
+  widely duplicated passages — exactly the ones worth removing — are
+  kept in scope. The cap is a pair-stage contract, not a dedup-family
+  constant.
+- hashing is engine-local (Spark: codegen'd xxhash64; oracle: md5) —
+  hashes only define equality classes and never appear in the output,
+  so parity is hash-independent, the same argument as dedup_simhash's
+  signature stage (dedup.py).
+- the island merge shuffles only duplicated (doc_id, pos) hits — in a
+  curated corpus a small fraction of all windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.staging import staged as _staged
+from ..sources.parquet import load_table
+from .registry import register
+
+# tokenization contract — text.py is the single source of truth
+from .text import _TOKS, _TOKS_SQL
+
+PASSAGE_W = 10  # window width in tokens; Lee et al. use 50 on web-scale
+# text — this corpus averages ~54 tokens/doc, so W=10 keeps multi-window
+# passages observable. A span is "duplicated" iff each of its W-windows
+# appears verbatim in >= 2 distinct documents.
+
+
+@register(
+    "dedup_duplicate_passages",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    win AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i:i + {PASSAGE_W - 1}], ' ')) AS whash
+      FROM tok,
+           unnest(generate_series(1, greatest(len(toks) - {PASSAGE_W} + 1, 0))) AS t(i)
+    ),
+    dup AS (
+      SELECT whash FROM win GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT w.doc_id, w.pos FROM win w JOIN dup d USING (whash)),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {PASSAGE_W} THEN 0 ELSE 1 END AS is_new
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM brk
+    )
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + {PASSAGE_W} - 1 AS span_end,
+           count(*) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage spans: every maximal token range [span_start,
+    span_end] whose W-token windows each appear verbatim in at least one
+    OTHER document, with the count of duplicated windows merged into the
+    span. Downstream, a pipeline cuts these ranges out of the text (the
+    Lee-et-al. remediation) — emitting the spans keeps the operator
+    composable with both drop-passage and drop-document policies.
+
+    Three narrow shuffles, all linear: window-hash frequency (partial+
+    final agg), the dup-hash semi-join back, and the per-doc island
+    window. The wide text column never leaves the first map stage."""
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKS).alias("toks")
+    )
+    # size guard: sequence(1, 0) is the descending-range trap (dedup.py)
+    win = doc.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {PASSAGE_W}"
+                f" THEN transform(sequence(1, size(toks) - {PASSAGE_W} + 1),"
+                f"   i -> xxhash64(concat_ws(' ', slice(toks, i, {PASSAGE_W}))))"
+                " ELSE array() END"
+            )
+        ).alias("p0", "whash"),
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "whash")
+    # staged: the frequency agg and the hit join both consume the frame
+    win = _staged(win)
+    dup = (
+        win.groupBy("whash")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("whash")
+    )
+    hits = win.join(dup, "whash").select("doc_id", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans = (
+        hits.withColumn(
+            "is_new",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w_ord) <= PASSAGE_W, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("island", F.sum("is_new").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + PASSAGE_W - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+    return spans

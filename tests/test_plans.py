@@ -326,6 +326,35 @@ def test_pq_scoring_broadcasts_lut_no_cartesian_on_data_path(spark):
     assert_read_schema_pruned(df, max_columns=2)
 
 
+def test_duplicate_passages_never_shuffles_text(spark):
+    """Passage dedup: the wide text column must die in the first map stage
+    — no Exchange may carry it (only narrow (doc_id, pos, hash) rows
+    move) — and no pair-forming join exists (no cartesian/BNLJ)."""
+    df = QUERIES["dedup_duplicate_passages"](spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    assert_no_wide_shuffle(df, "text")
+    assert_no_wide_shuffle(df, "toks")
+    assert_read_schema_pruned(df, max_columns=2)
+
+
+def test_semdedup_gemm_is_per_cell_equi_join(spark):
+    """SemDeDup: the pair space must be confined to k-means cells — the
+    block join is an equi-join on the cell id (never CartesianProduct /
+    BNLJ over blocks) and the training codebook side broadcasts."""
+    df = QUERIES["dedup_semantic"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan[:1500]
+    # the K-row codebook cross joins are BNLJ by design (kmeans gate);
+    # the cell-block PAIR join must instead be a hash/merge equi-join on
+    # the cell id — Catalyst losing that key would all-pairs the blocks
+    import re as _re
+
+    assert _re.search(
+        r"(SortMergeJoin|ShuffledHashJoin) \[cl#\d+L?\]", plan
+    ), plan[:2000]
+    assert_read_schema_pruned(df, max_columns=2)
+
+
 def test_ivfpq_prunes_before_scoring_and_never_shuffles_vectors(spark):
     """IVFADC: cell pruning and LUT scoring are broadcast hash joins, no
     cartesian on the data path, and — the load-bearing property — NO
