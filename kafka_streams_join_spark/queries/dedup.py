@@ -255,19 +255,57 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_sig_exprs() -> list[tuple[int, str]]:
+    """(band, md5-SQL) per LSH band over the mh0..mh{K-1} columns — the
+    banding contract shared by the batch self-join and the streaming
+    row-local twin (streaming/neardup.py)."""
+    rows_per_band = _K // _BANDS
+    return [
+        (
+            b,
+            "md5(concat_ws(',', {cols}))".format(
+                cols=", ".join(
+                    f"cast(mh{b * rows_per_band + r} as string)"
+                    for r in range(rows_per_band)
+                )
+            ),
+        )
+        for b in range(_BANDS)
+    ]
+
+
+def minhash_signature_cols(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds mh0..mh{K-1} as ROW-LOCAL expressions over ``text_col`` — the
+    per-record twin of ``_doc_shingle_sets``' aggregate minima, for inputs
+    where each record IS one document (streams). Identical values by
+    construction: the same tokenize/shingle/md5-h32 contract, and the min
+    of each permutation over the shingle multiset equals the min over the
+    distinct set. Pure projection (no shuffle, no state), so it composes
+    with streaming frames unchanged. Docs with < 3 tokens have no
+    shingles; their minima are NULL and the caller picks the fallback."""
+    toks = f"split(regexp_replace(trim({text_col}), '\\\\s+', ' '), ' ')"
+    shingle_arr = _SHINGLE_ARRAY.replace("toks", "_toks")
+    df = df.withColumn("_toks", F.expr(toks)).withColumn(
+        "_h32s",
+        F.expr(
+            f"transform({shingle_arr},"
+            " s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
+        ),
+    )
+    for i, (a, b) in enumerate(_HASH_PARAMS):
+        df = df.withColumn(
+            f"mh{i}", F.expr(f"array_min(transform(_h32s, h -> ({a} * h + {b}) % {_P}))")
+        )
+    return df.drop("_toks", "_h32s")
+
+
 def _minhash_bands(docsets: DataFrame) -> DataFrame:
     """(doc_id, band, band_sig) from the K minhash columns: md5 over each
     band's comma-joined minima, one explode per band, zero extra shuffles —
     at 100 TB the whole signature pipeline is map-side."""
-    rows_per_band = _K // _BANDS
     band_structs = ", ".join(
-        "named_struct('band', {b}, 'band_sig', md5(concat_ws(',', {cols})))".format(
-            b=b,
-            cols=", ".join(
-                f"cast(mh{b * rows_per_band + r} as string)" for r in range(rows_per_band)
-            ),
-        )
-        for b in range(_BANDS)
+        f"named_struct('band', {b}, 'band_sig', {sig})"
+        for b, sig in _band_sig_exprs()
     )
     return (
         docsets.select("doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bs"))
