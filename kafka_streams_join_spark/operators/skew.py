@@ -24,14 +24,19 @@ SALT_COL = "__salt"
 
 # Join types safe under replication of ``other``: each skewed-side row meets
 # exactly one (key, salt) copy, so inner/left/semi/anti results are
-# row-identical to the unsalted join. right/full (and any how preserving the
-# replicated side) would emit every unmatched ``other`` row `buckets` times.
+# row-identical to the unsalted join. The ``other``-preserving types
+# (right/full) are NOT replication-safe directly — every unmatched
+# ``other`` row would be null-padded ``buckets`` times — and are instead
+# decomposed below into a salted core plus an anti-join of the unmatched
+# ``other`` rows.
 _SALT_SAFE_HOW = {
     "inner",
     "left", "leftouter", "left_outer",
     "semi", "leftsemi", "left_semi",
     "anti", "leftanti", "left_anti",
 }
+_RIGHT_HOW = {"right", "rightouter", "right_outer"}
+_FULL_HOW = {"full", "fullouter", "full_outer", "outer"}
 
 
 def _salt_expr(df: DataFrame, buckets: int) -> Column:
@@ -54,15 +59,41 @@ def salted_join(
     """Equi-join where ``skewed``'s hot keys are spread over ``buckets``
     reducers and ``other`` is replicated ``buckets``× to compensate.
     Result is row-identical to ``skewed.join(other, on, how)`` for the
-    skewed-side-preserving join types; right/full outer are rejected —
-    replication would null-pad each unmatched ``other`` row ``buckets``
-    times (salt the other side instead, or dedup downstream)."""
-    if how.lower() not in _SALT_SAFE_HOW:
+    full join matrix except cross:
+
+    - skewed-side-preserving types (inner/left/semi/anti) salt directly —
+      each skewed row meets exactly one (key, salt) replica;
+    - ``other``-preserving types (right/full) are DECOMPOSED: the matched
+      (+ skewed-preserved, for full) part runs as the salted inner/left
+      join, and the unmatched ``other`` rows come from one anti-join
+      against ``skewed``'s distinct keys, null-padded and unioned in.
+      The anti-join is skew-immune by construction: distinct-on-keys
+      collapses any hot key to a single row via map-side partial
+      aggregation before the shuffle, so no reducer sees the hot key's
+      row volume. Cost is one extra pass over ``other`` + the key
+      distinct — the price of not emitting each unmatched ``other`` row
+      ``buckets`` times."""
+    how_n = how.lower()
+    keys = [on] if isinstance(on, str) else list(on)
+    if how_n in _RIGHT_HOW or how_n in _FULL_HOW:
+        core_how = "inner" if how_n in _RIGHT_HOW else "left"
+        matched = salted_join(skewed, other, on=keys, buckets=buckets, how=core_how)
+        unmatched = other.join(
+            skewed.select(*keys).distinct(), on=keys, how="left_anti"
+        )
+        pad = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in skewed.schema.fields
+            if f.name not in keys
+        ]
+        other_rest = [c for c in other.columns if c not in keys]
+        unmatched = unmatched.select(*keys, *pad, *other_rest)
+        return matched.unionByName(unmatched)
+    if how_n not in _SALT_SAFE_HOW:
         raise ValueError(
             f"salted_join how={how!r} is not replication-safe; use one of "
-            f"inner/left/left_semi/left_anti (swap sides for right joins)"
+            f"inner/left/left_semi/left_anti/right/full"
         )
-    keys = [on] if isinstance(on, str) else list(on)
     s = skewed.withColumn(SALT_COL, _salt_expr(skewed, buckets))
     o = other.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

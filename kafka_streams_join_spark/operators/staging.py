@@ -13,18 +13,43 @@ is the standard multi-pass design.
 manager keys entries on the canonicalized plan, so repeated invocations of
 the same query share one materialization instead of stacking copies. LRU
 eviction bounds the MEMORY footprint, but disk-spilled blocks live until
-unpersist or session end — long multi-query sessions (the bench, the
-parity sweep) therefore call ``spark.catalog.clearCache()`` between
-queries rather than trusting eviction. (A production pipeline would write
-the stage as a table — checkpointing across jobs — but within one query
-plan the cache is the idiomatic Spark tool.)
+unpersist or session end. Lifecycle contract for long-lived multi-query
+sessions: every ``staged()`` frame is tracked in a weak registry, and
+callers release blocks between queries with either
+``spark.catalog.clearCache()`` (the bench and the parity sweep — global,
+also drops caches staged elsewhere) or :func:`unpersist_staged` (scoped
+to this module's frames — what the pytest suite runs after each test).
+(A production pipeline would write the stage as a table — checkpointing
+across jobs — but within one query plan the cache is the idiomatic Spark
+tool.)
 """
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
+_STAGED: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
+
 
 def staged(df: DataFrame) -> DataFrame:
+    _STAGED.add(df)
     return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def unpersist_staged(blocking: bool = False) -> int:
+    """Unpersist every live frame ``staged()`` has handed out and clear
+    the registry; returns how many were released. The per-query cleanup
+    hook for sessions that outlive single queries (notebooks, sweeps) —
+    without it, disk-backed cache blocks accumulate until session end."""
+    n = 0
+    for df in list(_STAGED):
+        df.unpersist(blocking)
+        n += 1
+    # WeakSet mutation during iteration is avoided via the list() copy;
+    # surviving entries are dropped so a double call is a no-op
+    for df in list(_STAGED):
+        _STAGED.discard(df)
+    return n

@@ -17,3 +17,15 @@ SF_CORRECT = "/root/testdata/sf0.01"
 def spark():
     s = get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
     yield s
+
+
+@pytest.fixture(autouse=True)
+def _release_staged_frames():
+    """Unpersist staged() frames after every test: the session lives for
+    the whole suite, and ~100 queries' disk-backed cache blocks would
+    otherwise accumulate until session end (operators/staging.py
+    lifecycle contract)."""
+    yield
+    from kafka_streams_join_spark.operators.staging import unpersist_staged
+
+    unpersist_staged()

@@ -201,6 +201,53 @@ def test_sketch_queries_certify_their_error_contracts(spark):
         assert r["p95_exact"] == round(p95, 4)
 
 
+def test_sketch_flag_is_live_not_trivially_true(spark):
+    """The within-tolerance flags must be able to FLIP: the oracles
+    hard-code 1 (DuckDB can't run HLL), so without this test a column
+    mix-up that made the in-row comparison vacuously true would still
+    hash-match. Rebuild the rollup's sketch estimate on the corpus and
+    assert the SAME comparison returns 0 for every region when the exact
+    side is deliberately wrong (doubled) — live comparison, real sketch
+    values — and that the estimate is not degenerate (nonzero, and not
+    literally equal to the doubled exact)."""
+    from kafka_streams_join_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, SF_SMOKE, "customer")
+    nation = load_table(spark, SF_SMOKE, "nation")
+    region = load_table(spark, SF_SMOKE, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "n_regionkey")
+    per_region = (
+        joined.join(F.broadcast(region), joined.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("c_custkey", F.lit(14))
+            ).alias("approx"),
+            F.countDistinct("c_custkey").alias("exact"),
+        )
+    )
+    flag = (
+        lambda exact_col: (
+            F.abs(F.col("approx") - exact_col) / exact_col <= 0.05
+        ).cast("int")
+    )
+    rows = per_region.select(
+        "r_name",
+        "approx",
+        "exact",
+        flag(F.col("exact")).alias("ok_true"),
+        flag(F.col("exact") * 2).alias("ok_wrong"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["approx"] > 0
+        assert r["ok_true"] == 1, r  # the real contract holds...
+        assert r["ok_wrong"] == 0, r  # ...and the comparison can fail
+
+
 class TestMihProbeRecall:
     """Pure-Python pigeonhole proof for the simhash candidate scheme: ANY
     pair of 60-bit signatures within hamming SIMHASH_MAX_HAMMING must share

@@ -67,13 +67,56 @@ def test_salted_agg_matches_plain_agg(spark):
         assert abs(s[k]["sum_value"] - p[k]["sum_value"]) < 1e-6
 
 
-def test_salted_join_rejects_replication_unsafe_how(spark):
-    """right/full outer would emit each unmatched ``other`` row buckets×
-    null-padded — the helper must refuse rather than silently duplicate."""
+def _dim_with_orphans(spark):
+    """A per-user dim plus synthetic keys matching NO event — the rows
+    right/full must preserve null-padded."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    orphans = spark.createDataFrame(
+        [(-1, 0), (-2, 0)], "user_id long, n_events long"
+    )
+    return dim.unionByName(orphans)
+
+
+def test_salted_join_right_outer_matches_plain(spark):
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    dim = _dim_with_orphans(spark)
+    plain = ev.join(dim, "user_id", "right").select(
+        "user_id", "event_id", "n_events"
+    )
+    salted = salted_join(ev, dim, on="user_id", buckets=8, how="right").select(
+        "user_id", "event_id", "n_events"
+    )
+    assert _sorted(salted) == _sorted(plain)
+    # the orphan keys surface exactly once, null-padded
+    orphan_rows = [t for t in _sorted(salted) if t[0] < 0]
+    assert orphan_rows == [(-2, None, 0), (-1, None, 0)]
+
+
+def test_salted_join_full_outer_matches_plain(spark):
+    # restrict the skewed side so it ALSO has unmatched rows (dim misses
+    # purchase-only users? use a filtered dim instead: drop half the dim)
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    dim = _dim_with_orphans(spark).filter(
+        (F.col("user_id") % 2 == 0) | (F.col("user_id") < 0)
+    )
+    plain = ev.join(dim, "user_id", "full").select(
+        "user_id", "event_id", "n_events"
+    )
+    salted = salted_join(ev, dim, on="user_id", buckets=8, how="full").select(
+        "user_id", "event_id", "n_events"
+    )
+    assert _sorted(salted) == _sorted(plain)
+    rows = _sorted(salted)
+    assert any(t[2] is None for t in rows)  # skewed-side-only rows kept
+    assert any(t[1] is None for t in rows)  # other-side-only rows kept
+
+
+def test_salted_join_rejects_cross(spark):
+    """cross has no keys to salt on — the helper must refuse."""
     import pytest
 
     ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
     dim = ev.select("user_id").distinct()
-    for how in ("right", "right_outer", "full", "full_outer", "outer", "cross"):
-        with pytest.raises(ValueError, match="not replication-safe"):
-            salted_join(ev, dim, on="user_id", how=how)
+    with pytest.raises(ValueError, match="not replication-safe"):
+        salted_join(ev, dim, on="user_id", how="cross")
