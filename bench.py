@@ -58,6 +58,7 @@ EXTRA = [
     # round-4 additions
     "sim_ivfpq_topk",
     "dedup_duplicate_passages",
+    "text_remove_duplicate_passages",
     "dedup_semantic",
 ]
 

@@ -51,9 +51,8 @@ PASSAGE_W = 10  # window width in tokens; Lee et al. use 50 on web-scale
 # appears verbatim in >= 2 distinct documents.
 
 
-@register(
-    "dedup_duplicate_passages",
-    oracle=f"""
+# The WITH-body through the merged islands — shared by both oracles.
+_SPANS_CTES = f"""
     WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     win AS (
       SELECT doc_id, i AS pos,
@@ -76,11 +75,20 @@ PASSAGE_W = 10  # window width in tokens; Lee et al. use 50 on web-scale
              sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
                                ROWS UNBOUNDED PRECEDING) AS island
       FROM brk
-    )
-    SELECT doc_id, min(pos) AS span_start,
-           max(pos) + {PASSAGE_W} - 1 AS span_end,
-           count(*) AS n_windows
-    FROM isl GROUP BY doc_id, island
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS span_start,
+             max(pos) + {PASSAGE_W} - 1 AS span_end,
+             count(*) AS n_windows
+      FROM isl GROUP BY doc_id, island
+    )"""
+
+
+@register(
+    "dedup_duplicate_passages",
+    oracle=_SPANS_CTES
+    + """
+    SELECT doc_id, span_start, span_end, n_windows FROM spans
     """,
 )
 def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,6 +102,13 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     Three narrow shuffles, all linear: window-hash frequency (partial+
     final agg), the dup-hash semi-join back, and the per-doc island
     window. The wide text column never leaves the first map stage."""
+    return _duplicate_spans(spark, sf_dir)
+
+
+def _duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows) — shared by the span
+    detector above and the remediation operator below. Islands are merged
+    with gap <= W, so emitted spans are disjoint and non-adjacent."""
     doc = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_TOKS).alias("toks")
     )
@@ -137,3 +152,73 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "span_start", "span_end", "n_windows")
     )
     return spans
+
+
+@register(
+    "text_remove_duplicate_passages",
+    oracle=_SPANS_CTES
+    + """,
+    rm AS (
+      SELECT DISTINCT doc_id, span_start + k AS i
+      FROM spans, unnest(generate_series(0, span_end - span_start)) AS t(k)
+    ),
+    pos AS (
+      SELECT doc_id, i, toks[i] AS tok
+      FROM tok, unnest(generate_series(1, len(toks))) AS t(i)
+    ),
+    kept AS (
+      SELECT p.doc_id, p.i, p.tok
+      FROM pos p LEFT JOIN rm ON rm.doc_id = p.doc_id AND rm.i = p.i
+      WHERE rm.i IS NULL
+    ),
+    cleaned AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(tok, ' ' ORDER BY i)) AS clean_hash
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.toks)                                AS n_tokens,
+           len(t.toks) - coalesce(c.n_kept, 0)        AS n_removed,
+           coalesce(c.clean_hash, md5(''))            AS clean_hash
+    FROM tok t LEFT JOIN cleaned c USING (doc_id)
+    """,
+)
+def text_remove_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee-et-al. REMEDIATION: cut every duplicated span out of each
+    document, emitting per-doc token counts (before / removed) and the
+    hash of the cleaned text — the hash keeps the compared output narrow
+    while certifying every byte of the edit (the ``text_pii_scrub``
+    convention). One row per document; untouched docs carry n_removed=0
+    and the hash of their original normalized text.
+
+    The cut itself is ROW-LOCAL: spans collapse to one array per doc
+    (disjoint by construction), then a higher-order filter drops token
+    positions covered by any span — no token-level explode on the apply
+    side. Only the span detector shuffles; the remediation adds one
+    broadcast-sized join (spans exist only for docs with duplicated
+    passages) and a map-side projection. The oracle rebuilds the cleaned
+    text independently via position anti-join + ordered string_agg."""
+    spans_per_doc = (
+        _duplicate_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+        )
+    )
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKS).alias("toks")
+    )
+    kept = (
+        "filter(transform(sequence(1, size(toks)),"
+        " i -> named_struct('i', cast(i as bigint), 't', toks[i - 1])),"
+        " x -> NOT exists(coalesce(spans, array()),"
+        "   s -> x.i >= s.span_start AND x.i <= s.span_end))"
+    )
+    return doc.join(spans_per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.expr("size(toks)").cast("long").alias("n_tokens"),
+        F.expr(f"size(toks) - size({kept})").cast("long").alias("n_removed"),
+        F.expr(f"md5(concat_ws(' ', transform({kept}, x -> x.t)))").alias(
+            "clean_hash"
+        ),
+    )

@@ -63,6 +63,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     one distinct over dup pairs → left join back. The only corpus-wide
     shuffles are the cell-block collect and the final join, both on
     narrow keys."""
+    # Deliberately NOT staged despite two consumers (block build + final
+    # left join): the raw corpus inside kmeans_assignments is already
+    # cached, so the recomputed part is one broadcast-join argmin pass
+    # over that cache — measured equal to staging at sf0.1 (4.8 vs 4.9 s
+    # best-of-3), while staging would add a SECOND corpus-sized cache
+    # (embedding + cl). Same measured-recompute-wins call as the minhash
+    # signature stage (dedup.py). Determinism holds either way via the
+    # 6-dp centroid rounding contract.
     assigned = kmeans_assignments(spark, sf_dir)
     blks = (
         assigned.withColumn("blk", (F.col("vec_id") / _COS_BLOCK).cast("int"))

@@ -41,6 +41,39 @@ def test_duplicate_passages_hand_computed(spark, monkeypatch):
     }
 
 
+def test_remove_duplicate_passages_hand_computed(spark, monkeypatch):
+    """The remediation must cut exactly the detected spans: doc 1 keeps
+    its prefix+suffix, doc 3 is untouched, doc 4 (passage twice) keeps
+    only the middle filler."""
+    import hashlib
+
+    import kafka_streams_join_spark.queries.dedup_passages as dp
+
+    P = _passage(12, "p")
+    d1_pre, d1_suf = _passage(5, "a"), _passage(13, "b")
+    d3 = _passage(20, "u")
+    d4_mid = _passage(11, "e")
+    rows = [
+        (1, d1_pre + " " + P + " " + d1_suf),
+        (2, _passage(3, "c") + " " + P + " " + _passage(2, "d")),
+        (3, d3),
+        (4, P + " " + d4_mid + " " + P),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(dp, "load_table", lambda s, d, n: df)
+    out = {
+        r["doc_id"]: r
+        for r in dp.text_remove_duplicate_passages(spark, "unused").collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (out[1]["n_tokens"], out[1]["n_removed"]) == (30, 12)
+    assert out[1]["clean_hash"] == md5(d1_pre + " " + d1_suf)
+    assert (out[3]["n_tokens"], out[3]["n_removed"]) == (20, 0)
+    assert out[3]["clean_hash"] == md5(d3)
+    assert (out[4]["n_tokens"], out[4]["n_removed"]) == (35, 24)
+    assert out[4]["clean_hash"] == md5(d4_mid)
+
+
 def test_semdedup_keep_rule_hand_computed(spark, monkeypatch):
     """Two identical vectors collapse into one cluster; the lower id is
     kept, the higher dropped; an orthogonal vector stays kept."""
@@ -56,6 +89,59 @@ def test_semdedup_keep_rule_hand_computed(spark, monkeypatch):
 
     out = {r["vec_id"]: r["kept"] for r in dedup_semantic(spark, "unused").collect()}
     assert out == {0: 1, 1: 0, 2: 1}
+
+
+def _py_spans(texts_by_id, W):
+    """Independent pure-Python model of the passage detector (shares no
+    code with the Spark expressions or the DuckDB oracle)."""
+    from collections import defaultdict
+
+    wins = {}  # doc -> [(pos, window-tuple)]
+    docs_of = defaultdict(set)
+    for doc_id, text in texts_by_id.items():
+        toks = text.split(" ")
+        rows = [
+            (i + 1, tuple(toks[i : i + W])) for i in range(len(toks) - W + 1)
+        ]
+        wins[doc_id] = rows
+        for _, w in rows:
+            docs_of[w].add(doc_id)
+    out = {}
+    for doc_id, rows in wins.items():
+        hits = sorted(p for p, w in rows if len(docs_of[w]) >= 2)
+        spans = []
+        for p in hits:
+            if spans and p - spans[-1][1] <= W:
+                s, prev, n = spans[-1]
+                spans[-1] = (s, p, n + 1)
+            else:
+                spans.append((p, p, 1))
+        for s, e, n in spans:
+            out[(doc_id, s, e + W - 1)] = n
+    return out
+
+
+def test_duplicate_passages_matches_python_model(spark, monkeypatch):
+    import random
+
+    import kafka_streams_join_spark.queries.dedup_passages as dp
+
+    rng = random.Random(11)
+    vocab = ["x", "y", "z"]  # tiny vocab -> heavy cross-doc window overlap
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randrange(4, 40)))
+        for i in range(30)
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    monkeypatch.setattr(dp, "load_table", lambda s, d, n: df)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_windows"]
+        for r in dp.dedup_duplicate_passages(spark, "unused").collect()
+    }
+    assert got == _py_spans(texts, dp.PASSAGE_W)
+    assert got  # the corpus must actually exercise the operator
 
 
 def test_semdedup_selection_is_consistent(spark):
