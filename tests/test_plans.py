@@ -337,6 +337,16 @@ def test_duplicate_passages_never_shuffles_text(spark):
     assert_read_schema_pruned(df, max_columns=2)
 
 
+def test_remove_passages_apply_side_stays_map_side(spark):
+    """The remediation join must build on the (small) span side so the
+    wide token arrays never enter an Exchange; the only shuffles are the
+    narrow span-detector stages."""
+    df = QUERIES["text_remove_duplicate_passages"](spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    assert_no_wide_shuffle(df, "text")
+    assert_no_wide_shuffle(df, "toks")
+
+
 def test_semdedup_gemm_is_per_cell_equi_join(spark):
     """SemDeDup: the pair space must be confined to k-means cells — the
     block join is an equi-join on the cell id (never CartesianProduct /
