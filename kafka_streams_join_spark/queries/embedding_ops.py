@@ -116,3 +116,128 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as string)), ',')"
         ).alias("qvec"),
     )
+
+
+_DIM = 64
+PCA_K = 8
+
+
+@register(
+    "emb_covariance",
+    oracle=f"""
+    SELECT i, j,
+           round(covar_pop(CAST(embedding[i] AS DOUBLE),
+                           CAST(embedding[j] AS DOUBLE)), 6) + 0.0 AS cov
+    FROM embeddings,
+         unnest(generate_series(1, {_DIM})) AS ti(i),
+         unnest(generate_series(1, {_DIM})) AS tj(j)
+    WHERE j >= i
+    GROUP BY i, j
+    """,
+)
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle population covariance of the embedding dimensions —
+    the distributed Gramian pass every spectral method (PCA, whitening,
+    OPQ rotation) starts from, and the oracle-certified core of
+    ``emb_pca_project``.
+
+    Scale shape (the MLlib computeCovariance pattern, relationally): each
+    row explodes to its dim(dim+1)/2 upper-triangle (i, j, x, y) cells —
+    map-side, one scan — and ``covar_pop`` is algebraic (sum/sum-product
+    partials), so partial aggregation collapses each partition to at most
+    2080 cells before the one shuffle. What moves is O(partitions · d²),
+    independent of corpus size. 6-dp rounding is the usual cross-engine
+    float-sum-order contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, {_DIM}), i ->"
+                f" transform(sequence(i, {_DIM}), j -> named_struct("
+                "  'i', i, 'j', j,"
+                "  'x', cast(embedding[i - 1] as double),"
+                "  'y', cast(embedding[j - 1] as double)))))"
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.x", "c.y")
+    # ``+ 0.0`` collapses IEEE -0.0 to +0.0 in both engines (the
+    # emb_l2_normalize serialization contract) — a tiny negative
+    # covariance rounding to zero must not hash as "-0.0" vs "0.0"
+    return cells.groupBy("i", "j").agg(
+        (F.round(F.covar_pop("x", "y"), 6) + F.lit(0.0)).alias("cov")
+    )
+
+
+def _pca_model(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
+    """(means, components): fit the PCA model — per-dim means and the top
+    PCA_K eigenvectors of the covariance matrix. The distributed work is
+    the mean/covariance aggregation (the ``emb_covariance`` plan); only
+    the MODEL (64 means + 2080 covariance cells → a 64×64 eigh) reaches
+    the driver — bounded by d², never by corpus size, exactly like a
+    broadcast codebook, and the same split MLlib's PCA uses
+    (computeCovariance → local breeze eigh). Deterministic: covariance is
+    6-dp rounded before eigh (drowning partition-order float drift), and
+    each eigenvector's sign is fixed so its largest-|coordinate| entry is
+    positive (eigh returns an arbitrary sign)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean_rows = (
+        emb.select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    means = [0.0] * _DIM
+    for r in mean_rows:
+        means[r["d"]] = r["m"]
+    cov_rows = emb_covariance(spark, sf_dir).collect()
+    C = np.zeros((_DIM, _DIM))
+    for r in cov_rows:
+        C[r["i"] - 1, r["j"] - 1] = r["cov"]
+        C[r["j"] - 1, r["i"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)  # ascending eigenvalues
+    order = np.argsort(vals)[::-1][:PCA_K]
+    comps = []
+    for k in order:
+        v = vecs[:, k]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return means, comps
+
+
+@register("emb_pca_project")  # rows-only: eigendecomposition has no SQL
+# twin in DuckDB — the distributed core is oracle-certified as
+# emb_covariance; the projection itself is certified by the invariant +
+# differential-vs-numpy tests in tests/test_extensions.py.
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of every embedding onto the top PCA_K=8 principal
+    components — the dimensionality-reduction / whitening front end of
+    embedding pipelines (and the rotation primitive OPQ-style quantizers
+    train). Two phases, cleanly split by size:
+
+    - FIT (distributed agg → driver): means + covariance via the
+      ``emb_covariance`` plan, one 64×64 eigh on the driver — model-sized,
+      see ``_pca_model``;
+    - TRANSFORM (map-side): each score p_k = Σ_d c_kd·(e_d − μ_d) is a
+      flat 64-term codegen'd expression with the model inlined as
+      literals (a broadcast of constants) — one scan, zero shuffles, no
+      Python on the data path.
+
+    Scores are 6-dp rounded for a partition-invariant output."""
+    means, comps = _pca_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj_cols = [
+        F.round(
+            F.expr(
+                " + ".join(
+                    f"({c[d]!r}) * (cast(embedding[{d}] as double) - ({means[d]!r}))"
+                    for d in range(_DIM)
+                )
+            ),
+            6,
+        ).alias(f"p{k}")
+        for k, c in enumerate(comps)
+    ]
+    return emb.select("vec_id", *proj_cols)

@@ -248,6 +248,64 @@ def test_sketch_flag_is_live_not_trivially_true(spark):
         assert r["ok_wrong"] == 0, r  # ...and the comparison can fail
 
 
+def test_pca_projection_invariants_and_numpy_differential(spark):
+    """emb_pca_project: (1) per-component variances are the descending top
+    eigenvalues, (2) components decorrelate (off-diagonal covariances of
+    the scores vanish), (3) the whole projection matches an independent
+    full-numpy PCA on the collected corpus up to the documented sign
+    convention. The covariance CORE is oracle-certified separately
+    (emb_covariance); this certifies the eigen/projection half."""
+    import numpy as np
+
+    from kafka_streams_join_spark.queries.embedding_ops import PCA_K
+    from kafka_streams_join_spark.queries import QUERIES
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    rows = QUERIES["emb_pca_project"](spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    P = np.array(
+        [[r[f"p{k}"] for k in range(PCA_K)] for r in sorted(rows, key=lambda r: r["vec_id"])]
+    )
+
+    # independent model: full PCA on the collected corpus (test-side
+    # collect of 500 rows — fine in a test)
+    E = np.array(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in sorted(
+                load_table(spark, SF_SMOKE, "embeddings")
+                .select("vec_id", "embedding")
+                .collect(),
+                key=lambda r: r["vec_id"],
+            )
+        ]
+    )
+    C = np.cov(E, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:PCA_K]
+    want_vals = vals[order]
+
+    # (1) score variances == descending eigenvalues
+    got_vars = P.var(axis=0)
+    assert np.all(np.diff(got_vars) <= 1e-6)  # descending
+    assert np.allclose(got_vars, want_vals, atol=1e-3)
+
+    # (2) decorrelation
+    S = np.cov(P, rowvar=False, bias=True)
+    off = S - np.diag(np.diag(S))
+    assert np.max(np.abs(off)) < 1e-3
+
+    # (3) full differential vs numpy with the same sign convention
+    W = []
+    for k in order:
+        v = vecs[:, k]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        W.append(v)
+    want = (E - E.mean(axis=0)) @ np.stack(W).T
+    assert np.allclose(P, want, atol=1e-3)
+
+
 class TestMihProbeRecall:
     """Pure-Python pigeonhole proof for the simhash candidate scheme: ANY
     pair of 60-bit signatures within hamming SIMHASH_MAX_HAMMING must share
