@@ -97,11 +97,18 @@ def assign_to_codebook(
 ) -> DataFrame:
     """Nearest-centroid assignment: join against the broadcast codebook,
     argmin by (dist2, cl) — the deterministic tie-break both engines
-    share. ``key_cols`` co-keys the join and the argmin window (PQ passes
-    ["m"] so all subspaces assign in one pass); empty = plain cross join
-    against one codebook."""
+    share. ``key_cols`` co-keys the join and the argmin (PQ passes ["m"]
+    so all subspaces assign in one pass); empty = plain cross join
+    against one codebook.
+
+    The argmin is a hash AGGREGATE — ``min(struct(dist2, cl))``, whose
+    lexicographic struct ordering IS the (dist2 asc, cl asc) contract —
+    not a rank window: the aggregate combines map-side, so the K×
+    candidate fan-out collapses back to one row per (vec_id, keys)
+    before the shuffle, where a row_number window must shuffle and sort
+    all K candidate rows. ``any_value(vec_col)`` is deterministic here
+    because every candidate row of a group carries the same vector."""
     keys = list(key_cols or [])
-    w = Window.partitionBy("vec_id", *keys).orderBy(F.asc("dist2"), F.asc("cl"))
     joined = (
         df.join(F.broadcast(cents), keys)
         if keys
@@ -112,9 +119,12 @@ def assign_to_codebook(
             "vec_id", *keys, vec_col, "cl",
             F.expr(dist2_expr(vec_col, dim)).alias("dist2"),
         )
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", *keys, vec_col, "cl")
+        .groupBy("vec_id", *keys)
+        .agg(
+            F.min(F.struct("dist2", "cl")).alias("mn"),
+            F.any_value(vec_col).alias(vec_col),
+        )
+        .select("vec_id", *keys, vec_col, F.col("mn.cl").alias("cl"))
     )
 
 
