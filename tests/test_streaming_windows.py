@@ -71,6 +71,56 @@ def test_tumbling_agg_emits_finalized_windows(spark, tmpdir):
     }
 
 
+def test_tumbling_sketch_agg_matches_batch_twin(spark, tmpdir):
+    """Sketches compose with streaming windows: approx_count_distinct (an
+    algebraic HLL agg) inside a tumbling window must produce the same
+    estimates as the identical batch aggregation on the same rows —
+    deferred finalization changes WHEN a window emits, never its value.
+    The window spans two micro-batches, so partial sketches really do
+    merge across batches before finalization."""
+    rows = [
+        {"key": "a", "value": f"u{i % 7}", "ts": _ts(i)} for i in range(0, 40, 2)
+    ]
+    rows2 = [
+        {"key": "a", "value": f"u{i % 5}", "ts": _ts(i)} for i in range(40, 90, 3)
+    ]
+    src = FileStream(spark, tmpdir, "input")
+    src.add_batch(rows)
+    src.add_batch(rows2)
+    src.add_batch([{"key": "flush", "value": "x", "ts": _ts(3600)}])
+
+    sketch = [F.approx_count_distinct("value").alias("approx_users")]
+    out = stream_tumbling_agg(
+        src.df(), window="1 minute", key="key", aggs=sketch
+    )
+    q, sink = start_memory_sink(out, checkpoint_root=tmpdir)
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["win_start"], r["key"]): r["approx_users"]
+            for r in read_until(spark, sink, expect=3)
+            if r["key"] == "a"
+        }
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(
+        [(r["key"], r["value"], r["ts"]) for r in rows + rows2],
+        "key string, value string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = {
+        (r["w"]["start"], r["key"]): r["approx_users"]
+        for r in batch.groupBy(F.window("ts", "1 minute").alias("w"), "key")
+        .agg(*sketch)
+        .collect()
+    }
+    assert got == want
+    assert len(got) == 2  # windows [0,60) and [60,120)
+    # and the estimates are sane for the known cardinalities (7 and 5+7)
+    vals = sorted(got.values())
+    assert 0 < vals[0] <= 14
+
+
 def test_session_agg_splits_on_gap(spark, tmpdir):
     """Events 10s apart fuse into one session; a 60s silence splits it."""
     src = FileStream(spark, tmpdir, "input")
