@@ -112,6 +112,43 @@ def test_salted_join_full_outer_matches_plain(spark):
     assert any(t[1] is None for t in rows)  # other-side-only rows kept
 
 
+def test_salted_join_property_full_matrix(spark):
+    """Property test over adversarial mini-frames: for EVERY supported
+    how, salted == plain — exercised on key distributions the corpus
+    doesn't produce (all-one-hot-key, keys only on one side, empty
+    sides, null-bearing payloads). Frames are seeded-random but fixed
+    per run (hypothesis's DataFrame interop is poor, so the generator
+    is a plain PRNG with a pinned seed)."""
+    import random
+
+    rng = random.Random(123)
+    hows = ["inner", "left", "left_semi", "left_anti", "right", "full"]
+    for case in range(4):
+        n_keys = [1, 3, 8, 2][case]  # case 0 = one giant hot key
+        left_rows = [
+            (rng.randrange(n_keys), rng.randrange(100), f"l{i}")
+            for i in range(rng.randrange(0, 40))
+        ]
+        right_rows = [
+            (rng.randrange(n_keys + 2), rng.randrange(100))  # +2: orphan keys
+            for _ in range(rng.randrange(0, 20))
+        ]
+        left = spark.createDataFrame(
+            left_rows or [(None, None, None)],
+            "k long, v long, tag string",
+        )
+        right = spark.createDataFrame(
+            right_rows or [(None, None)], "k long, w long"
+        )
+        for how in hows:
+            plain = left.join(right, "k", how)
+            salted = salted_join(left, right, on="k", buckets=4, how=how)
+            assert sorted(salted.columns) == sorted(plain.columns), how
+            got = _sorted(salted.select(*plain.columns))
+            want = _sorted(plain)
+            assert got == want, f"case={case} how={how}"
+
+
 def test_salted_join_rejects_cross(spark):
     """cross has no keys to salt on — the helper must refuse."""
     import pytest
