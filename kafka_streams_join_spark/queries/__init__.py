@@ -73,7 +73,17 @@ def _driver_green() -> set[str]:
     return green
 
 
-_green = _driver_green()
+# Materially reworked this round: their past driver-green rows certify the
+# OLD implementation, so they re-queue for a fresh sweep row ahead of the
+# long-stable tail (cleared once the new row lands in CORRECTNESS_r*).
+_RECERTIFY = {
+    "text_repetition_stats",  # r4: staged gram frame -> zero-shuffle row-local
+    "cluster_kmeans_embeddings",  # r4: argmin window -> map-side min(struct) agg
+    "sim_pq_topk",  # r4: same assignment rework (three passes)
+    "dedup_minhash_lsh",  # r4: banding refactored through _band_sig_exprs
+}
+
+_green = _driver_green() - _RECERTIFY
 _names = list(QUERIES)
 _ordered = [n for n in _names if n not in _green] + [n for n in _names if n in _green]
 _q = {n: QUERIES[n] for n in _ordered}
