@@ -81,12 +81,17 @@ def salted_join(
         unmatched = other.join(
             skewed.select(*keys).distinct(), on=keys, how="left_anti"
         )
+        # Resolve key names against the schemas CASE-INSENSITIVELY, like
+        # Spark's own analyzer (default caseSensitive=false): a Python
+        # `not in keys` comparison would treat a case-mismatched key
+        # column as payload and null-pad a duplicate of it.
+        key_set = {k.lower() for k in keys}
         pad = [
             F.lit(None).cast(f.dataType).alias(f.name)
             for f in skewed.schema.fields
-            if f.name not in keys
+            if f.name.lower() not in key_set
         ]
-        other_rest = [c for c in other.columns if c not in keys]
+        other_rest = [c for c in other.columns if c.lower() not in key_set]
         unmatched = unmatched.select(*keys, *pad, *other_rest)
         return matched.unionByName(unmatched)
     if how_n not in _SALT_SAFE_HOW:

@@ -26,30 +26,31 @@ tool.)
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-_STAGED: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
+# STRONG references, not a WeakSet: staged frames are locals of query
+# builder functions and the downstream DataFrames hold no Python
+# reference to their parents, so weak entries die the moment the builder
+# returns — a weak registry is empty by the time cleanup runs (it would
+# silently release nothing). The held objects are tiny plan handles; the
+# registry is bounded by unpersist_staged() calls between queries.
+_STAGED: list[DataFrame] = []
 
 
 def staged(df: DataFrame) -> DataFrame:
-    _STAGED.add(df)
+    _STAGED.append(df)
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def unpersist_staged(blocking: bool = False) -> int:
-    """Unpersist every live frame ``staged()`` has handed out and clear
-    the registry; returns how many were released. The per-query cleanup
-    hook for sessions that outlive single queries (notebooks, sweeps) —
-    without it, disk-backed cache blocks accumulate until session end."""
+    """Unpersist every frame ``staged()`` has handed out since the last
+    call and clear the registry; returns how many were released. The
+    per-query cleanup hook for sessions that outlive single queries
+    (notebooks, sweeps) — without it, disk-backed cache blocks accumulate
+    until session end."""
     n = 0
-    for df in list(_STAGED):
-        df.unpersist(blocking)
+    while _STAGED:
+        _STAGED.pop().unpersist(blocking)
         n += 1
-    # WeakSet mutation during iteration is avoided via the list() copy;
-    # surviving entries are dropped so a double call is a no-op
-    for df in list(_STAGED):
-        _STAGED.discard(df)
     return n

@@ -18,6 +18,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 from .registry import ORACLES, QUERIES, register
 
@@ -51,7 +52,9 @@ def _driver_green() -> set[str]:
     hash_match, or a recorded rows-only run for queries that are STILL
     oracle-less (the strongest signal they can ever get). A query that has
     since gained an oracle is deliberately NOT green on its old rows-only
-    record — it re-queues for a hash-certified driver row."""
+    record — it re-queues for a hash-certified driver row. Reworked
+    queries (``_RECERTIFY_FROM_ROUND``) only count rows from the rework
+    round onward."""
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
         try:
@@ -59,8 +62,11 @@ def _driver_green() -> set[str]:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
+        rnd = _round_of(path)
         for name, row in rows.items():
             if not isinstance(row, dict):
+                continue
+            if rnd < _RECERTIFY_FROM_ROUND.get(name, 0):
                 continue
             if row.get("hash_match") is True:
                 green.add(name)
@@ -73,17 +79,26 @@ def _driver_green() -> set[str]:
     return green
 
 
-# Materially reworked this round: their past driver-green rows certify the
-# OLD implementation, so they re-queue for a fresh sweep row ahead of the
-# long-stable tail (cleared once the new row lands in CORRECTNESS_r*).
-_RECERTIFY = {
-    "text_repetition_stats",  # r4: staged gram frame -> zero-shuffle row-local
-    "cluster_kmeans_embeddings",  # r4: argmin window -> map-side min(struct) agg
-    "sim_pq_topk",  # r4: same assignment rework (three passes)
-    "dedup_minhash_lsh",  # r4: banding refactored through _band_sig_exprs
+# Materially reworked queries: a driver-green row only counts if it was
+# recorded at or after the round the rework landed — older rows certify an
+# implementation that no longer exists. SELF-CLEARING: once the named
+# round's sweep writes a fresh green row, the query sorts back into the
+# certified tail with no manual cleanup (entries become dead weight, never
+# wrong, and can be pruned at leisure).
+_RECERTIFY_FROM_ROUND = {
+    "text_repetition_stats": 4,  # staged gram frame -> zero-shuffle row-local
+    "cluster_kmeans_embeddings": 4,  # argmin window -> map-side min(struct)
+    "sim_pq_topk": 4,  # same assignment rework (three passes)
+    "dedup_minhash_lsh": 4,  # banding refactored through _band_sig_exprs
 }
 
-_green = _driver_green() - _RECERTIFY
+
+def _round_of(path: str) -> int:
+    m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+    return int(m.group(1)) if m else 0
+
+
+_green = _driver_green()
 _names = list(QUERIES)
 _ordered = [n for n in _names if n not in _green] + [n for n in _names if n in _green]
 _q = {n: QUERIES[n] for n in _ordered}

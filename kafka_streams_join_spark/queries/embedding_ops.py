@@ -148,8 +148,19 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     2080 cells before the one shuffle. What moves is O(partitions · d²),
     independent of corpus size. 6-dp rounding is the usual cross-engine
     float-sum-order contract."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cells = emb.select(
+    cells = _cov_cells(load_table(spark, sf_dir, "embeddings"))
+    # ``+ 0.0`` collapses IEEE -0.0 to +0.0 in both engines (the
+    # emb_l2_normalize serialization contract) — a tiny negative
+    # covariance rounding to zero must not hash as "-0.0" vs "0.0"
+    return cells.groupBy("i", "j").agg(
+        (F.round(F.covar_pop("x", "y"), 6) + F.lit(0.0)).alias("cov")
+    )
+
+
+def _cov_cells(emb: DataFrame) -> DataFrame:
+    """(i, j, x, y) upper-triangle cells per row — the map-side explode
+    shared by the covariance query and the one-pass PCA fit."""
+    return emb.select(
         F.explode(
             F.expr(
                 f"flatten(transform(sequence(1, {_DIM}), i ->"
@@ -160,12 +171,6 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c")
     ).select("c.i", "c.j", "c.x", "c.y")
-    # ``+ 0.0`` collapses IEEE -0.0 to +0.0 in both engines (the
-    # emb_l2_normalize serialization contract) — a tiny negative
-    # covariance rounding to zero must not hash as "-0.0" vs "0.0"
-    return cells.groupBy("i", "j").agg(
-        (F.round(F.covar_pop("x", "y"), 6) + F.lit(0.0)).alias("cov")
-    )
 
 
 def _pca_model(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
@@ -175,27 +180,32 @@ def _pca_model(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     the MODEL (64 means + 2080 covariance cells → a 64×64 eigh) reaches
     the driver — bounded by d², never by corpus size, exactly like a
     broadcast codebook, and the same split MLlib's PCA uses
-    (computeCovariance → local breeze eigh). Deterministic: covariance is
-    6-dp rounded before eigh (drowning partition-order float drift), and
-    each eigenvector's sign is fixed so its largest-|coordinate| entry is
-    positive (eigh returns an arbitrary sign)."""
+    (computeCovariance → local breeze eigh). ONE aggregation job fits
+    both statistics: avg("x") rides on the covariance groupBy, and the
+    diagonal (i == i) rows carry the per-dim means — no second corpus
+    pass. Deterministic: covariance AND means are 6-dp rounded before
+    use (drowning partition-order float drift — unrounded means would
+    let a score on a rounding boundary flip across partitionings), and
+    each eigenvector's sign is fixed so its largest-|coordinate| entry
+    is positive (eigh returns an arbitrary sign)."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    mean_rows = (
-        emb.select(F.posexplode("embedding").alias("d", "x"))
-        .groupBy("d")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+    rows = (
+        _cov_cells(load_table(spark, sf_dir, "embeddings"))
+        .groupBy("i", "j")
+        .agg(
+            (F.round(F.covar_pop("x", "y"), 6) + F.lit(0.0)).alias("cov"),
+            (F.round(F.avg("x"), 6) + F.lit(0.0)).alias("mx"),
+        )
         .collect()
     )
     means = [0.0] * _DIM
-    for r in mean_rows:
-        means[r["d"]] = r["m"]
-    cov_rows = emb_covariance(spark, sf_dir).collect()
     C = np.zeros((_DIM, _DIM))
-    for r in cov_rows:
+    for r in rows:
         C[r["i"] - 1, r["j"] - 1] = r["cov"]
         C[r["j"] - 1, r["i"] - 1] = r["cov"]
+        if r["i"] == r["j"]:
+            means[r["i"] - 1] = r["mx"]
     vals, vecs = np.linalg.eigh(C)  # ascending eigenvalues
     order = np.argsort(vals)[::-1][:PCA_K]
     comps = []
@@ -217,9 +227,9 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding pipelines (and the rotation primitive OPQ-style quantizers
     train). Two phases, cleanly split by size:
 
-    - FIT (distributed agg → driver): means + covariance via the
-      ``emb_covariance`` plan, one 64×64 eigh on the driver — model-sized,
-      see ``_pca_model``;
+    - FIT (one distributed agg → driver): means + covariance in a single
+      aggregation job, one 64×64 eigh on the driver — model-sized, see
+      ``_pca_model``;
     - TRANSFORM (map-side): each score p_k = Σ_d c_kd·(e_d − μ_d) is a
       flat 64-term codegen'd expression with the model inlined as
       literals (a broadcast of constants) — one scan, zero shuffles, no

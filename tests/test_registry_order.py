@@ -6,7 +6,7 @@ driver-green row in any checked-in CORRECTNESS_r*.json sort first."""
 from __future__ import annotations
 
 from kafka_streams_join_spark.queries import ORACLES, QUERIES
-from kafka_streams_join_spark.queries import _RECERTIFY, _driver_green
+from kafka_streams_join_spark.queries import _driver_green
 
 SWEEP_WINDOW = 50
 
@@ -21,7 +21,7 @@ def test_unproven_queries_sort_before_certified_ones():
     """Every query lacking a driver-green row must come before every query
     that has one — a capped sweep then always certifies new surface."""
     names = list(QUERIES)
-    green = _driver_green() - _RECERTIFY  # reworked queries re-queue
+    green = _driver_green()  # already excludes pre-rework rows
     unproven = [n for n in names if n not in green]
     assert names[: len(unproven)] == unproven, (
         "certified query interleaved before unproven ones"
@@ -33,7 +33,7 @@ def test_sweep_window_covers_unproven_surface():
     sit inside the window (if ever more, the window must still be entirely
     unproven names)."""
     names = list(QUERIES)
-    green = _driver_green() - _RECERTIFY
+    green = _driver_green()
     unproven = [n for n in names if n not in green]
     window = names[:SWEEP_WINDOW]
     if len(unproven) <= SWEEP_WINDOW:

@@ -149,6 +149,19 @@ def test_salted_join_property_full_matrix(spark):
             assert got == want, f"case={case} how={how}"
 
 
+def test_salted_join_right_resolves_keys_case_insensitively(spark):
+    """Spark resolves join keys case-insensitively by default; the
+    right/full pad/rest construction must too, or a case-mismatched key
+    name null-pads a duplicate key column."""
+    left = spark.createDataFrame([(1, "a")], "k long, tag string")
+    right = spark.createDataFrame([(1, 10), (2, 20)], "k long, w long")
+    plain = _sorted(left.join(right, "K", "right").select("k", "tag", "w"))
+    salted = _sorted(
+        salted_join(left, right, on="K", how="right").select("k", "tag", "w")
+    )
+    assert salted == plain == [(1, "a", 10), (2, None, 20)]
+
+
 def test_salted_join_rejects_cross(spark):
     """cross has no keys to salt on — the helper must refuse."""
     import pytest
