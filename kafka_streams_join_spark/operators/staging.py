@@ -14,7 +14,7 @@ manager keys entries on the canonicalized plan, so repeated invocations of
 the same query share one materialization instead of stacking copies. LRU
 eviction bounds the MEMORY footprint, but disk-spilled blocks live until
 unpersist or session end. Lifecycle contract for long-lived multi-query
-sessions: every ``staged()`` frame is tracked in a weak registry, and
+sessions: every ``staged()`` frame is tracked in a registry, and
 callers release blocks between queries with either
 ``spark.catalog.clearCache()`` (the bench and the parity sweep — global,
 also drops caches staged elsewhere) or :func:`unpersist_staged` (scoped

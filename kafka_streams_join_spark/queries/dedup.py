@@ -292,11 +292,15 @@ def minhash_signature_cols(df: DataFrame, text_col: str) -> DataFrame:
             " s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
         ),
     )
-    for i, (a, b) in enumerate(_HASH_PARAMS):
-        df = df.withColumn(
-            f"mh{i}", F.expr(f"array_min(transform(_h32s, h -> ({a} * h + {b}) % {_P}))")
+    # one select, not K chained withColumns — identical result, O(1)
+    # analysis depth instead of K nested projections
+    mh = [
+        F.expr(f"array_min(transform(_h32s, h -> ({a} * h + {b}) % {_P}))").alias(
+            f"mh{i}"
         )
-    return df.drop("_toks", "_h32s")
+        for i, (a, b) in enumerate(_HASH_PARAMS)
+    ]
+    return df.select("*", *mh).drop("_toks", "_h32s")
 
 
 def _minhash_bands(docsets: DataFrame) -> DataFrame:

@@ -94,8 +94,7 @@ def test_salted_join_right_outer_matches_plain(spark):
 
 
 def test_salted_join_full_outer_matches_plain(spark):
-    # restrict the skewed side so it ALSO has unmatched rows (dim misses
-    # purchase-only users? use a filtered dim instead: drop half the dim)
+    # drop half the dim's keys so the skewed side ALSO has unmatched rows
     ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
     dim = _dim_with_orphans(spark).filter(
         (F.col("user_id") % 2 == 0) | (F.col("user_id") < 0)
