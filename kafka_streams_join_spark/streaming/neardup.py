@@ -74,3 +74,34 @@ def stream_dedup_minhash(
     return bands.withWatermark(ts, watermark_delay).dropDuplicatesWithinWatermark(
         ["band", "band_sig"]
     )
+
+
+def stream_novelty_counts(
+    df: DataFrame,
+    text_col: str = "value",
+    key: str = "key",
+    ts: str = "ts",
+    window: str = "1 minute",
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Doc-granular novelty: per key, how many of its bands were novel —
+    the band-level dedup CHAINED with a windowed count, i.e. two stateful
+    operators in one append-mode pipeline (dropDuplicatesWithinWatermark
+    → window aggregation; supported since Spark 3.5's multi-stateful
+    support, and the shape a production firehose-dedup job runs).
+
+    Reading the output: ``novel_bands`` = B → the document is novel;
+    a missing key (zero surviving bands) → near-duplicate of a recent
+    record; 0 < novel_bands < B → LSH candidate (shares bands). Rows
+    finalize when the watermark passes their window's end."""
+    survived = stream_dedup_minhash(df, text_col, ts, watermark_delay)
+    return (
+        survived.groupBy(F.window(ts, window).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("novel_bands"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            key,
+            "novel_bands",
+        )
+    )

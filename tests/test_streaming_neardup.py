@@ -134,6 +134,45 @@ def test_stream_neardup_emission_and_eviction(spark, tmpdir):
         q.stop()
 
 
+def test_stream_novelty_counts_chains_two_stateful_ops(spark, tmpdir):
+    """dropDuplicatesWithinWatermark chained into a windowed aggregation
+    (two stateful operators, one append pipeline): a novel doc reports
+    all 8 bands, an exact dup reports nothing (zero surviving rows → no
+    group), and a near-dup reports its novel-band count — finalized when
+    the watermark passes the window."""
+    from kafka_streams_join_spark.streaming.neardup import stream_novelty_counts
+
+    bands = _bands(spark, [A, A_EDIT])
+    novel_edit = len(bands[A_EDIT] - bands[A])
+    assert 0 < novel_edit < 8
+
+    docs = FileStream(spark, tmpdir, "docs")
+    out = stream_novelty_counts(
+        docs.df(), window="1 minute", watermark_delay="10 seconds"
+    )
+    q, sink = start_memory_sink(out, checkpoint_root=tmpdir)
+    try:
+        docs.add_batch(
+            [
+                {"key": "d1", "value": A, "ts": "2024-01-01T00:00:01"},
+                {"key": "d2", "value": A, "ts": "2024-01-01T00:00:02"},
+                {"key": "d3", "value": A_EDIT, "ts": "2024-01-01T00:00:03"},
+            ]
+        )
+        # advance the watermark far past the window end to finalize it
+        docs.add_batch([{"key": "w", "value": E, "ts": "2024-01-01T02:00:00"}])
+        q.processAllAvailable()
+        got = {
+            r["key"]: r["novel_bands"]
+            for r in read_until(spark, sink, expect=2)
+        }
+    finally:
+        q.stop()
+    assert got.get("d1") == 8  # novel
+    assert "d2" not in got  # exact dup: zero surviving bands, no group
+    assert got.get("d3") == novel_edit  # LSH candidate: partial novelty
+
+
 def test_stream_neardup_short_doc_fallback(spark, tmpdir):
     """< 3-token records have no shingles; they dedup on exact normalized
     text instead of colliding on NULL signatures."""
