@@ -57,6 +57,7 @@ EXTRA = [
     "sim_pq_topk",
     # round-4 additions
     "sim_ivfpq_topk",
+    "sim_ivfpq_residual_topk",
     "dedup_duplicate_passages",
     "text_remove_duplicate_passages",
     "dedup_semantic",

@@ -69,20 +69,29 @@ def assert_no_cartesian(df: DataFrame) -> None:
             raise AssertionError(f"{bad} in plan:\n{plan[:2000]}")
 
 
-def assert_no_wide_shuffle(df: DataFrame, col: str = "embedding") -> None:
-    """No Exchange node may carry ``col`` — wide payload columns (vector
-    arrays, document text) must be dropped or broadcast before any
-    shuffle; only narrow index/key frames may move. Formatted explain
-    lists each node's input columns, so parse the Exchange entries."""
+def assert_no_wide_shuffle(
+    df: DataFrame, col: str = "embedding", max_exchanges: int = 0
+) -> None:
+    """At most ``max_exchanges`` Exchange nodes may carry ``col`` — wide
+    payload columns (vector arrays, document text) must be dropped or
+    broadcast before shuffling; only narrow index/key frames move freely.
+    ``max_exchanges=0`` (default) forbids it outright; an index-build
+    pass that legitimately co-locates the corpus once can gate with 1.
+    Formatted explain lists each node's input columns, so parse the
+    Exchange entries."""
     plan = explain_str(df)
+    hits = []
     for m in re.finditer(
         r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
     ):
         cols = m.group(1)
         if re.search(rf"\b{re.escape(col)}#", cols):
-            raise AssertionError(
-                f"Exchange shuffles wide column {col!r}: [{cols}]"
-            )
+            hits.append(cols)
+    if len(hits) > max_exchanges:
+        raise AssertionError(
+            f"{len(hits)} Exchanges shuffle wide column {col!r} "
+            f"(allowed {max_exchanges}): {hits}"
+        )
 
 
 def assert_wholestage_codegen(df: DataFrame) -> None:

@@ -72,16 +72,18 @@ def _sub_dist2_sql() -> str:
     )
 
 
-def _pq_ctes() -> str:
+def _pq_ctes(source: str = "embeddings", vec: str = "embedding") -> str:
     """The shared per-subspace CTE chain (init → assign → update → encode
-    → LUT) plus the ``codes``/``lut`` unions — the front half of both the
-    plain-PQ and the IVFADC oracle."""
+    → LUT) plus the ``codes``/``lut`` unions — the front half of the
+    plain-PQ, IVFADC, and residual-IVFADC oracles. ``source``/``vec``
+    pick the relation and vector column the subspaces slice (the residual
+    variant passes its residual CTE)."""
     blocks = []
     for m in range(PQ_M):
         lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
         blocks.append(
             f"""sub{m} AS (
-      SELECT vec_id, embedding[{lo}:{hi}] AS sub FROM embeddings
+      SELECT vec_id, {vec}[{lo}:{hi}] AS sub FROM {source}
     ),
     c{m}_0 AS (
       SELECT cl, list(c ORDER BY d) AS centroid FROM (
@@ -125,6 +127,28 @@ def _pq_ctes() -> str:
     )
 
 
+def _residual_lut_ctes() -> str:
+    """Per-(query, probed-cell) residual LUT: the query's residual against
+    EACH probed cell's centroid, sliced per subspace and scored against
+    the residual-trained codebooks c{{m}}_1 (which the surrounding oracle
+    defines via ``_pq_ctes(source='resid', ...)``)."""
+    blocks = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+        blocks.append(
+            f"""qlut{m} AS (
+      SELECT e.query_id, e.cell, {m} AS m, c.cl AS code,
+             CAST(round({_sub_dist2_sql()}) AS BIGINT) AS d2i
+      FROM (SELECT query_id, cell, qremb[{lo}:{hi}] AS sub, query_id AS vec_id
+            FROM qresid) e
+      CROSS JOIN c{m}_1 c
+    )"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM qlut{m}" for m in range(PQ_M))
+    return ",\n    ".join(blocks) + f""",
+    qlut AS ({union})"""
+
+
 def _oracle_sql() -> str:
     """Exhaustive ADC: the shared PQ CTEs, then score every (query, vec)
     pair and rank — the Spark plan, unrolled in SQL."""
@@ -148,18 +172,22 @@ def _oracle_sql() -> str:
     )
 
 
-def _subspace_rows(emb: DataFrame) -> DataFrame:
+def _subspace_structs(vec: str) -> str:
+    """SQL for the array of (m, sub) subspace slices of ``vec``."""
+    return ", ".join(
+        f"named_struct('m', {m}, 'sub',"
+        f" slice({vec}, {m * PQ_SUB + 1}, {PQ_SUB}))"
+        for m in range(PQ_M)
+    )
+
+
+def _subspace_rows(emb: DataFrame, vec: str = "embedding") -> DataFrame:
     """(vec_id, m, sub): the subspace index flattened into a DATA dimension.
     One map-side explode replaces M separate per-subspace pipelines — every
     later stage (train, assign, encode, LUT) keys on ``m`` instead of being
     its own plan branch, collapsing plan depth M-fold."""
-    structs = ", ".join(
-        f"named_struct('m', {m}, 'sub',"
-        f" slice(embedding, {m * PQ_SUB + 1}, {PQ_SUB}))"
-        for m in range(PQ_M)
-    )
     return emb.select(
-        "vec_id", F.explode(F.expr(f"array({structs})")).alias("s")
+        "vec_id", F.explode(F.expr(f"array({_subspace_structs(vec)})")).alias("s")
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
 
 
@@ -245,6 +273,32 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQ_NPROBE = 2  # same probe budget as sim_ivf_topk
 
 
+def _coarse_cells(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(cents, assigned, probes): the shared IVF coarse stage — per-label
+    centroids, each vector's home cell (argmin), and each query's nprobe
+    probed cells. The argmin/probe window runs over NARROW rows only (the
+    embedding is dropped before it), and the cell map is staged because
+    the corpus side and the query side both consume it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb)
+    w_cell = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell_id"))
+    cdists = _staged(
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell_id", F.expr(_COARSE_DIST2_SPARK).alias("dist2"))
+        .withColumn("crnk", F.row_number().over(w_cell))
+        .filter(F.col("crnk") <= IVFPQ_NPROBE)
+        .select("vec_id", "cell_id", "crnk")
+    )
+    assigned = cdists.filter(F.col("crnk") == 1).select("vec_id", "cell_id")
+    probes = cdists.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), "cell_id"
+    )
+    return cents, assigned, probes
+
+
 def _ivfpq_oracle_sql() -> str:
     """IVFADC: the shared PQ CTEs plus the coarse-quantizer CTEs from the
     IVF oracle; scoring joins codes → cell assignment → probed cells →
@@ -292,11 +346,14 @@ def _ivfpq_oracle_sql() -> str:
 
 @register("sim_ivfpq_topk", oracle=_ivfpq_oracle_sql())
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFADC (Jégou et al. §IV): IVF cell pruning composed with PQ/ADC
-    scoring — the composition both halves' docstrings promise, and the
-    scale answer to exhaustive ADC's Q·N·M scoring cost. Queries probe
-    their nprobe nearest coarse cells; only vectors assigned to a probed
-    cell are ADC-scored via the broadcast LUT.
+    """IVF cell pruning composed with PQ/ADC scoring — the composition
+    both halves' docstrings promise, and the scale answer to exhaustive
+    ADC's Q·N·M scoring cost. Queries probe their nprobe nearest coarse
+    cells; only vectors assigned to a probed cell are ADC-scored via the
+    broadcast LUT. This is the NON-RESIDUAL variant (codes trained on raw
+    vectors — one codebook, one LUT per query); Jégou et al. §IV's full
+    IVFADC encodes residuals and is implemented as
+    ``sim_ivfpq_residual_topk`` below.
 
     Plan shape (the part that must survive 100 TB):
     - the WIDE corpus (64-float embedding arrays) is never shuffled — the
@@ -312,24 +369,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index BUILD (written as a table bucketed by cell — the inverted
     file); only the probe/score stages run per query batch.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
     codes, lut = _pq_index(spark, sf_dir)
-    cents = label_centroids(emb)
-    w_cell = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell_id"))
-    # staged: the cell-map feeds both the corpus side (crnk=1) and the
-    # query-probe side; narrow (vec_id, cell, crnk) rows only
-    cdists = _staged(
-        emb.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cents))
-        .select("vec_id", "cell_id", F.expr(_COARSE_DIST2_SPARK).alias("dist2"))
-        .withColumn("crnk", F.row_number().over(w_cell))
-        .filter(F.col("crnk") <= IVFPQ_NPROBE)
-        .select("vec_id", "cell_id", "crnk")
-    )
-    assigned = cdists.filter(F.col("crnk") == 1).select("vec_id", "cell_id")
-    probes = cdists.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), "cell_id"
-    )
+    cents, assigned, probes = _coarse_cells(spark, sf_dir)
     cand = (
         assigned.join(F.broadcast(probes), "cell_id")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -338,6 +379,169 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand.join(codes, "vec_id")
         .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2i").alias("ad2"))
+    )
+    return _rank_topk(scored)
+
+
+# Residual determinism contract — INTEGER residuals, exact from the
+# source: the residual subtracts a 6-dp-ROUNDED centroid (coarse6 /
+# cents6 below) and is itself quantized to BIGINT micro-units. Two
+# rounding steps, each chosen to kill a drift channel:
+# (1) rounding the 640-value centroid table first confines the coarse
+#     avg's partition-order drift to 640 boundary exposures instead of
+#     N·64 subtraction-level ones (the k-means codebook argument);
+# (2) integer residuals make every downstream aggregate exact — the PQ
+#     codebook avgs become sums of integers (exact in double to 2^53),
+#     so both engines round IDENTICAL bits, and 6-dp-rounded fractional
+#     forms were observed flipping ±1 in the integer ADC contract.
+# ADC distances for this variant are already micro²-scaled, so d2i drops
+# the _SCALE multiply.
+_RESID_SPARK = (
+    "zip_with(embedding, centroid,"
+    " (x, c) -> cast(round((cast(x as double) - c) * 1000000) as bigint))"
+)
+_RESID_SQL = (
+    "list_transform(list_zip({emb}, {cent}),"
+    " pz -> CAST(round((CAST(pz[1] AS DOUBLE) - pz[2]) * 1000000) AS BIGINT))"
+)
+
+
+def _ivfpq_residual_oracle_sql() -> str:
+    """Residual IVFADC: coarse CTEs, residuals (corpus w.r.t. home cell,
+    queries w.r.t. EACH probed cell), the PQ chain trained on residuals,
+    the per-(query, cell) residual LUT, and cell-scoped ADC scoring."""
+    resid_corpus = _RESID_SQL.format(emb="e.embedding", cent="c.centroid")
+    resid_query = _RESID_SQL.format(emb="e.embedding", cent="c.centroid")
+    return (
+        f"""WITH ccells AS (
+      SELECT label, d, avg(CAST(embedding[d] AS DOUBLE)) AS c
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(d)
+      GROUP BY label, d
+    ),
+    coarse AS (
+      SELECT label, list(c ORDER BY d) AS centroid FROM ccells GROUP BY label
+    ),
+    cdists AS (
+      SELECT e.vec_id, c.label,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_COARSE_DIST2_SQL} ASC, c.label) AS crnk
+      FROM embeddings e CROSS JOIN coarse c
+    ),
+    cassigned AS (SELECT vec_id, label AS cell FROM cdists WHERE crnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, label AS cell
+      FROM cdists WHERE crnk <= {IVFPQ_NPROBE} AND vec_id % {QUERY_STRIDE} = 0
+    ),
+    coarse6 AS (
+      SELECT label, list(round(c, 6) ORDER BY d) AS centroid
+      FROM ccells GROUP BY label
+    ),
+    resid AS (
+      SELECT e.vec_id, {resid_corpus} AS remb
+      FROM embeddings e
+      JOIN cassigned a ON a.vec_id = e.vec_id
+      JOIN coarse6 c ON c.label = a.cell
+    ),
+    qresid AS (
+      SELECT p.query_id, p.cell, {resid_query} AS qremb
+      FROM probes p
+      JOIN embeddings e ON e.vec_id = p.query_id
+      JOIN coarse6 c ON c.label = p.cell
+    ),
+    """
+        + _pq_ctes(source="resid", vec="remb")
+        + ",\n    "
+        + _residual_lut_ctes()
+        + f""",
+    scored AS (
+      SELECT p.query_id, x.vec_id AS neighbor_id,
+             CAST(sum(l.d2i) AS BIGINT) AS ad2
+      FROM codes x
+      JOIN cassigned s ON s.vec_id = x.vec_id
+      JOIN probes p ON p.cell = s.cell AND p.query_id != x.vec_id
+      JOIN qlut l ON l.query_id = p.query_id AND l.cell = s.cell
+                 AND l.m = x.m AND l.code = x.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rnk, ad2 FROM (
+      SELECT query_id, neighbor_id, ad2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ad2 ASC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}"""
+    )
+
+
+@register("sim_ivfpq_residual_topk", oracle=_ivfpq_residual_oracle_sql())
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVFADC (Jégou et al. PAMI'11 §IV), residual encoding: each
+    vector is PQ-coded on its RESIDUAL from its home coarse cell, and a
+    query builds one LUT per probed cell from its residual against THAT
+    cell. Residuals have much lower energy than raw vectors, so the same
+    code budget quantizes finer — the refinement that separates IVFADC
+    from plain cell-pruned ADC (``sim_ivfpq_topk``).
+
+    Same scale shape as the non-residual variant — wide vectors never
+    shuffle (residuals are computed in a broadcast join against the
+    K-row centroid table and immediately sliced to narrow subspace rows),
+    pruning precedes scoring, the per-(query, cell) LUT broadcasts —
+    plus one new map-side stage: the residual projection. The 6-dp
+    residual rounding is the cross-engine determinism contract (see
+    ``_RESID_SPARK``)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, assigned, probes = _coarse_cells(spark, sf_dir)
+    # 6-dp-rounded centroid copy for the residual projection (see the
+    # determinism contract above); cell RANKING keeps the shared
+    # unrounded table for parity with sim_ivf_topk / sim_ivfpq_topk
+    cents_b = F.broadcast(
+        cents.withColumn("centroid", F.expr("transform(centroid, c -> round(c, 6))"))
+    )
+    resid = (
+        emb.join(assigned, "vec_id")
+        .join(cents_b, "cell_id")
+        .select("vec_id", F.expr(_RESID_SPARK).alias("remb"))
+    )
+    # PQ train/encode on residuals — the same flattened-subspace pipeline
+    subs = _staged(_subspace_rows(resid, "remb"))
+    c0 = _codebooks_of(subs, F.col("vec_id") % PQ_K)
+    c1 = _staged(_codebooks_of(_assign_subs(subs, c0), F.col("cl")))
+    codes = _assign_subs(subs, c1).select("vec_id", "m", F.col("cl").alias("code"))
+    # per-(query, probed cell) residual LUT — probes is Q·nprobe rows and
+    # broadcasts, so the wide embedding side never shuffles here
+    qresid = (
+        emb.join(F.broadcast(probes), probes.query_id == emb.vec_id)
+        .join(cents_b, "cell_id")
+        .select("query_id", "cell_id", F.expr(_RESID_SPARK).alias("qremb"))
+    )
+    qlut = (
+        qresid.select(
+            "query_id",
+            "cell_id",
+            F.explode(F.expr(f"array({_subspace_structs('qremb')})")).alias("s"),
+        )
+        .select("query_id", "cell_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+        .join(F.broadcast(c1), "m")
+        .select(
+            "query_id",
+            "cell_id",
+            "m",
+            F.col("cl").alias("code"),
+            # micro²-scaled already (integer residuals) — no _SCALE
+            F.expr(
+                f"cast(round({dist2_expr('sub', PQ_SUB)}) as bigint)"
+            ).alias("d2i"),
+        )
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "cell_id", "vec_id")
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qlut), ["query_id", "cell_id", "m", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d2i").alias("ad2"))
     )

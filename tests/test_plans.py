@@ -365,6 +365,20 @@ def test_semdedup_gemm_is_per_cell_equi_join(spark):
     assert_read_schema_pruned(df, max_columns=2)
 
 
+def test_ivfpq_residual_one_wide_shuffle_and_broadcast_scoring(spark):
+    """Residual IVFADC: the ONLY Exchange allowed to carry the embedding
+    column is the index-build join that meets each vector with its home
+    cell (residual projection); the query-side residual join broadcasts
+    the probe set, scoring broadcasts the LUT, and no cartesian exists on
+    the data path."""
+    df = QUERIES["sim_ivfpq_residual_topk"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert_no_wide_shuffle(df, "embedding", max_exchanges=1)
+    assert_read_schema_pruned(df, max_columns=2)
+
+
 def test_ivfpq_prunes_before_scoring_and_never_shuffles_vectors(spark):
     """IVFADC: cell pruning and LUT scoring are broadcast hash joins, no
     cartesian on the data path, and — the load-bearing property — NO

@@ -167,6 +167,26 @@ def test_ivfpq_recall_floor_and_containment(spark):
     assert len(ivfpq & bf) / len(bf) >= 0.08
 
 
+def test_ivfpq_residual_recall_floor(spark):
+    """Residual encoding quantizes finer than raw-vector codes (lower
+    residual energy per subspace), so the floor matches the non-residual
+    variant's; on near-random unit vectors the gain is modest, which is
+    why this asserts a floor rather than strict dominance."""
+    from kafka_streams_join_spark.queries.pq import sim_ivfpq_residual_topk
+    from kafka_streams_join_spark.queries.similarity import sim_topk_bruteforce
+
+    rq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_ivfpq_residual_topk(spark, SF_SMOKE).collect()
+    }
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_topk_bruteforce(spark, SF_SMOKE).collect()
+    }
+    assert len(bf) == 25
+    assert len(rq & bf) / len(bf) >= 0.08
+
+
 def test_kmeans_inertia_monotone_nonincreasing(spark):
     """Lloyd's algorithm guarantee: each assign+update round cannot
     increase total within-cluster squared distance (inertia). Verified on
