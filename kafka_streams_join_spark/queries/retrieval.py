@@ -1,0 +1,488 @@
+"""Retrieval & data-selection operators (round 4b): scalar-quantized ANN,
+tf-idf keyword extraction, BM25 ranked retrieval, and DSIR-style importance
+resampling.
+
+These fill the retrieval/selection corner of the training-data pipeline
+surface: after dedup (queries/dedup*.py) and quality gating
+(queries/quality.py), real curation pipelines (a) *select* data that looks
+like a target domain (DSIR, Xie et al. NeurIPS'23) and (b) *retrieve* over
+the corpus for decontamination audits and eval-set construction (BM25,
+tf-idf). The SQ-ANN query completes the compression ladder next to PQ
+(queries/pq.py): int8 scalar quantization is the standard first rung — 4×
+memory reduction with near-exact recall — before PQ's 32×.
+
+Engine-exactness contracts (shared with the rest of the repo):
+- integer dot products rank the SQ-ANN results (drift-proof, like PQ's ADC);
+- every float score is rounded BEFORE ranking, and every ranking breaks ties
+  on an id column, so both engines order identically;
+- the DSIR feature hash is md5-hex→BIGINT (the ``text_fingerprint``
+  contract) — the one hash both engines compute bit-identically.
+
+Scale shape: each query is one corpus scan; the only frames that shuffle are
+narrow (id, score) rows or Zipf-bounded vocab aggregates. Wide columns
+(embedding arrays, document text) never enter an Exchange — plan-gated in
+``tests/test_retrieval.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.staging import staged as _staged
+from ..sources.parquet import load_table
+from .registry import register
+from .similarity import QUERY_STRIDE
+from .text import _TOKS, _TOKS_SQL
+
+# --------------------------------------------------------------------------
+# sim_sq_topk — int8 scalar-quantized ANN (asymmetric-ready, symmetric here)
+# --------------------------------------------------------------------------
+
+_SQ_TOPK = 10
+# unit-normalize then quantize with the FIXED scale 127 (cells of a unit
+# vector are in [-1, 1]); a fixed scale makes the integer dot product a
+# direct cosine surrogate: dot(qc, cc) ≈ cos(q, c) · 127²
+_SQ_DENOM = 127 * 127
+
+_NRM_SPARK = (
+    "sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),"
+    " cast(0 as double), (acc, v) -> acc + v))"
+)
+_NRM_SQL = (
+    "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_SQ_CODES_SPARK = (
+    "transform(embedding, x -> cast(round("
+    " CASE WHEN nrm = cast(0 as double) THEN cast(0 as double)"
+    " ELSE cast(x as double) / nrm * 127 END) as int))"
+)
+_SQ_CODES_SQL = (
+    "list_transform(embedding, x -> CAST(round("
+    " CASE WHEN nrm = 0 THEN 0.0"
+    " ELSE CAST(x AS DOUBLE) / nrm * 127 END) AS INTEGER))"
+)
+
+
+@register(
+    "sim_sq_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {_NRM_SQL} AS nrm FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id, {_SQ_CODES_SQL} AS cc FROM n
+    ),
+    q AS (
+      SELECT vec_id AS q_id, cc AS qc FROM c WHERE vec_id % {QUERY_STRIDE} = 0
+    ),
+    s AS (
+      SELECT q.q_id, c.vec_id,
+             CAST(list_dot_product(q.qc, c.cc) AS BIGINT) AS idot
+      FROM c, q
+      WHERE c.vec_id <> q.q_id
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY idot DESC, vec_id)
+             AS rnk
+      FROM s
+    )
+    SELECT q_id, rnk, vec_id, idot,
+           round(idot / {_SQ_DENOM}.0, 4) AS approx_cos
+    FROM r WHERE rnk <= {_SQ_TOPK}
+    """,
+)
+def sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k ANN over int8 scalar-quantized embeddings — the first rung of
+    the ANN compression ladder (4× smaller index than float32; PQ in
+    queries/pq.py is the 32× rung). Each vector is unit-normalized and
+    quantized cell-wise with the fixed scale 127, so the integer dot
+    product of two code arrays is a direct cosine surrogate (≈ cos·127²)
+    and — being exact integer arithmetic — ranks identically in every
+    engine (the same drift-proofing argument as PQ's integer ADC,
+    queries/pq.py).
+
+    Scale shape: the query batch (one per QUERY_STRIDE ids) broadcasts and
+    the corpus is scored in its scan pipeline — per corpus row, a loop over
+    the broadcast queries, which is exactly blocked brute-force scoring
+    with an integer kernel. The BroadcastNestedLoopJoin here is the
+    *intended* physical plan for bounded-Q × corpus scoring (same bounded-Q
+    contract as the PQ LUT broadcast, and the same caveat: stride-defined Q
+    grows with the corpus, so a production system caps the query batch and
+    loops). Wide columns never shuffle: only narrow (q_id, vec_id, idot)
+    rows reach the per-query top-k Exchange — at 100 TB that is
+    Q·N/corpus-partition rows of 24 bytes, and the window is replaceable by
+    a per-query TakeOrdered for truly unbounded N."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", F.expr(_NRM_SPARK)
+    )
+    codes = emb.select("vec_id", F.expr(_SQ_CODES_SPARK).alias("cc"))
+    qcodes = (
+        codes.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("cc").alias("qc"))
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qcodes))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(qc, cc, (a, b) -> cast(a as bigint) * b),"
+                " cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("idot"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("idot").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SQ_TOPK)
+        .select(
+            "q_id",
+            "rnk",
+            "vec_id",
+            "idot",
+            F.round(F.col("idot") / _SQ_DENOM, 4).alias("approx_cos"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# text_tfidf_topterms — per-document keyword extraction
+# --------------------------------------------------------------------------
+
+_TFIDF_TOPN = 3
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lower(unnest({_TOKS_SQL})) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, count(*) AS df_docs FROM tf GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df_docs,
+             round(tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df_docs), 4)
+               AS tfidf
+      FROM tf JOIN df USING (token)
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, token) AS term_rank
+      FROM scored
+    )
+    SELECT doc_id, term_rank, token, tf, df_docs, tfidf
+    FROM r WHERE term_rank <= {_TFIDF_TOPN}
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TFIDF_TOPN} tf-idf terms per document — the classic keyword
+    extractor (and the feature stage of every sparse-retrieval index
+    build). tf-idf = tf · ln(N/df), rounded to 4 dp BEFORE ranking and
+    tie-broken on the token string, so both engines produce the same
+    ranking even at float-ulp drift.
+
+    Scale shape: one corpus scan feeds the (doc_id, token) tf aggregate —
+    one shuffle of narrow token rows with map-side combine. df is an
+    aggregate OF the tf frame (already token-keyed after the first
+    shuffle's repartition is reusable) and is Zipf-bounded ≪ corpus, so it
+    broadcasts back into the scoring join; the per-doc top-k window
+    re-shuffles only (doc_id, token, score) rows. Document text never
+    enters an Exchange."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.expr(f"transform({_TOKS}, t -> lower(t))")).alias("token"),
+    )
+    tf = _staged(tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df_docs",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df_docs")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= _TFIDF_TOPN)
+        .select("doc_id", "term_rank", "token", "tf", "df_docs", "tfidf")
+    )
+
+
+# --------------------------------------------------------------------------
+# text_bm25_search — ranked retrieval for a fixed query-term set
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = "1.2"  # exact decimal literals, spelled identically in both engines
+_BM25_B = "0.75"
+_BM25_TOPN = 20
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lower(unnest({_TOKS_SQL})) AS token FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(CAST(doclen AS DOUBLE)) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok
+      WHERE token IN {_BM25_TERMS_SQL}
+      GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ),
+    contrib AS (
+      SELECT tf.doc_id,
+             ln(1 + ((SELECT n_docs FROM stats) - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1))
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                   + {_BM25_B} * dl.doclen / (SELECT avgdl FROM stats)))
+               AS c
+      FROM tf
+      JOIN df USING (token)
+      JOIN dl ON tf.doc_id = dl.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, count(*) AS n_terms_hit, round(sum(c), 4) AS bm25
+      FROM contrib GROUP BY doc_id
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT rnk, doc_id, n_terms_hit, bm25 FROM r WHERE rnk <= {_BM25_TOPN}
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson/Okapi) ranked retrieval for a fixed query-term set —
+    the sparse-retrieval primitive a decontamination audit or eval-set
+    builder runs over the corpus. Standard parameters k1=1.2, b=0.75; idf
+    is the +1-smoothed Robertson form, always positive. Scores are rounded
+    to 4 dp BEFORE the global ranking and tie-broken on doc_id, so the
+    ranking is engine-stable.
+
+    Scale shape: one corpus scan; the term filter (3 literals) is applied
+    map-side inside the scan pipeline, so only matching (doc_id, token)
+    rows — a tiny fraction of the corpus — reach the tf aggregate. Doc
+    lengths need their own full-token aggregate (shuffle of narrow rows,
+    map-side combined); df (3 rows) and the corpus stats (1 row) broadcast.
+    The global top-{_BM25_TOPN} window is the oracle-parity surface; an
+    unbounded corpus swaps it for TakeOrdered (rank-free top-k), same as
+    ``sim_topk_bruteforce``."""
+    tok = _staged(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.explode(F.expr(f"transform({_TOKS}, t -> lower(t))")).alias("token"),
+        )
+    )
+    dl = _staged(tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen")))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("doclen").cast("double")).alias("avgdl"),
+    )
+    tf = tok.filter(F.col("token").isin(*_BM25_TERMS)).groupBy(
+        "doc_id", "token"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    contrib = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.expr(f"{k1} + 1"))
+                / (
+                    F.col("tf")
+                    + F.expr(k1)
+                    * (
+                        F.expr(f"1 - {b}")
+                        + F.expr(b) * F.col("doclen") / F.col("avgdl")
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.round(F.sum("c"), 4).alias("bm25"),
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _BM25_TOPN)
+        .select("rnk", "doc_id", "n_terms_hit", "bm25")
+    )
+
+
+# --------------------------------------------------------------------------
+# pipeline_importance_resample — DSIR-style hashed-n-gram data selection
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+_DSIR_TARGET_SOURCES = ("src0", "src1")  # the "looks like my domain" target set
+_DSIR_KEEP_PPM = 250_000  # keep the top 25% by importance weight
+_DSIR_TGT_SQL = "(" + ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES) + ")"
+# the md5-hex→BIGINT hash contract proven engine-stable by text_fingerprint
+_DSIR_BUCKET_SPARK = (
+    f"cast(conv(substring(md5(token), 1, 8), 16, 10) as bigint) % {_DSIR_BUCKETS}"
+)
+_DSIR_BUCKET_SQL = (
+    f"CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % {_DSIR_BUCKETS}"
+)
+
+
+@register(
+    "pipeline_importance_resample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, lower(unnest({_TOKS_SQL})) AS token FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, source, {_DSIR_BUCKET_SQL} AS bucket FROM tok
+    ),
+    tgt AS (
+      SELECT bucket, count(*) AS ct FROM feat
+      WHERE source IN {_DSIR_TGT_SQL} GROUP BY bucket
+    ),
+    src AS (
+      SELECT bucket, count(*) AS cs FROM feat GROUP BY bucket
+    ),
+    tot AS (
+      SELECT (SELECT sum(ct) FROM tgt) AS tt, (SELECT sum(cs) FROM src) AS ts
+    ),
+    lam AS (
+      SELECT src.bucket,
+             ln(((COALESCE(tgt.ct, 0) + 1.0) / (tot.tt + {_DSIR_BUCKETS}))
+                / ((src.cs + 1.0) / (tot.ts + {_DSIR_BUCKETS}))) AS lam
+      FROM src LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+    ),
+    w AS (
+      SELECT feat.doc_id,
+             count(*) AS n_toks,
+             round(avg(lam.lam), 4) AS iw
+      FROM feat JOIN lam USING (bucket)
+      GROUP BY feat.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY iw DESC, doc_id) AS sel_rank,
+             (SELECT count(*) FROM w) AS n_docs
+      FROM w
+    )
+    SELECT doc_id, n_toks, iw, sel_rank,
+           CASE WHEN sel_rank * 1000000 <= n_docs * {_DSIR_KEEP_PPM}
+                THEN 1 ELSE 0 END AS kept
+    FROM ranked
+    """,
+)
+def pipeline_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. NeurIPS'23): select the
+    slice of the corpus that looks most like a target domain, scored under
+    hashed-unigram bag-of-words language models. Features are md5-hash
+    buckets (B={_DSIR_BUCKETS}; the ``text_fingerprint`` hash contract, so
+    both engines bucket identically); the importance weight of a document
+    is the mean over its tokens of ln(p_target(b)/p_source(b)) with +1
+    smoothing — mean, not sum, so weight is length-normalized. Weights are
+    rounded to 4 dp BEFORE the global ranking and tie-broken on doc_id;
+    the keep decision is exact integer ppm arithmetic
+    (rank·10⁶ ≤ n_docs·{_DSIR_KEEP_PPM}), the ``pipeline_domain_mix``
+    contract — no float threshold.
+
+    Scale shape: one corpus scan → map-side bucket projection; both LM
+    count tables are B={_DSIR_BUCKETS}-row aggregates (map-side combined —
+    what moves is O(partitions·B)) that broadcast back into per-doc
+    scoring; the corpus shuffles once, on doc_id, for the weight average.
+    The global ranking window is the oracle-parity surface; at production
+    scale DSIR keeps by a fixed weight threshold learned on a sample (a
+    map-side decision), or ranks within shards — both shapes noted here so
+    the single-partition window is not mistaken for the 100 TB plan."""
+    feat = _staged(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(f"transform({_TOKS}, t -> lower(t))")).alias("token"),
+        ).select(
+            "doc_id", "source", F.expr(_DSIR_BUCKET_SPARK).alias("bucket")
+        )
+    )
+    tgt = feat.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES)).groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).alias("ct"))
+    src = feat.groupBy("bucket").agg(F.count(F.lit(1)).alias("cs"))
+    tot = tgt.agg(F.sum("ct").alias("tt")).crossJoin(
+        src.agg(F.sum("cs").alias("ts"))
+    )
+    lam = (
+        src.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.log(
+                ((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                 / (F.col("tt") + F.lit(_DSIR_BUCKETS)))
+                / ((F.col("cs") + F.lit(1.0))
+                   / (F.col("ts") + F.lit(_DSIR_BUCKETS)))
+            ).alias("lam"),
+        )
+    )
+    weights = (
+        feat.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.avg("lam"), 4).alias("iw"),
+        )
+    )
+    n_docs = weights.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy(F.col("iw").desc(), F.col("doc_id"))
+    return (
+        weights.withColumn("sel_rank", F.row_number().over(w))
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "n_toks",
+            "iw",
+            "sel_rank",
+            F.when(
+                F.col("sel_rank") * 1_000_000
+                <= F.col("n_docs") * _DSIR_KEEP_PPM,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("kept"),
+        )
+    )
