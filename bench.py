@@ -61,6 +61,10 @@ EXTRA = [
     "dedup_duplicate_passages",
     "text_remove_duplicate_passages",
     "dedup_semantic",
+    # round-4b retrieval & data selection
+    "sim_sq_topk",
+    "text_bm25_search",
+    "pipeline_importance_resample",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest
