@@ -44,6 +44,7 @@ from . import pq  # noqa: E402,F401
 from . import dedup_passages  # noqa: E402,F401
 from . import semdedup  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
+from . import classifier  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
