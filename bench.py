@@ -65,6 +65,8 @@ EXTRA = [
     "sim_sq_topk",
     "text_bm25_search",
     "pipeline_importance_resample",
+    "quality_classifier_logreg",
+    "dedup_ngram_prefix_filter",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

@@ -45,6 +45,7 @@ from . import dedup_passages  # noqa: E402,F401
 from . import semdedup  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 from . import classifier  # noqa: E402,F401
+from . import dedup_prefix  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
