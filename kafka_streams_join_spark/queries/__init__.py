@@ -46,6 +46,7 @@ from . import semdedup  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 from . import classifier  # noqa: E402,F401
 from . import dedup_prefix  # noqa: E402,F401
+from . import layout  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
