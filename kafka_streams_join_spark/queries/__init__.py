@@ -47,6 +47,7 @@ from . import retrieval  # noqa: E402,F401
 from . import classifier  # noqa: E402,F401
 from . import dedup_prefix  # noqa: E402,F401
 from . import layout  # noqa: E402,F401
+from . import bpe  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
