@@ -57,6 +57,8 @@ AUDITED = [
     ("pipeline_importance_resample", "DSIR: B-row LM tables broadcast, one doc_id shuffle"),
     ("quality_classifier_logreg", "logreg GD: broadcast model, 4-cell gradient aggregates"),
     ("dedup_ngram_prefix_filter", "PPJoin prefix index: lossless candidate bound, narrow shuffles"),
+    ("layout_zorder_key", "z-order keys: stats broadcast, no data repartition"),
+    ("text_bpe_merge_mining", "BPE rounds on the vocab: corpus scanned once"),
 ]
 
 # plan lines worth showing: node heads and the pushdown/pruning facts
