@@ -486,3 +486,64 @@ def pipeline_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# pipeline_weighted_sample — Efraimidis–Spirakis weighted sampling
+# --------------------------------------------------------------------------
+
+_WS_K = 50
+# u in (0, 1]: md5-derived 32-bit uniform, +1 so ln(u) is always defined.
+# The md5-hex→BIGINT contract is the text_fingerprint one — engine-stable.
+_WS_U_SPARK = (
+    "(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as double)"
+    " + 1.0) / 4294967296.0"
+)
+_WS_U_SQL = (
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " + 1.0) / 4294967296.0"
+)
+
+
+@register(
+    "pipeline_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars AS w,
+             round(ln({_WS_U_SQL}) / n_chars, 6) AS es_key
+      FROM documents
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY es_key DESC, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT rnk, doc_id, w, es_key FROM r WHERE rnk <= {_WS_K}
+    """,
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement in one distributed pass —
+    Efraimidis–Spirakis (IPL 2006), the algorithm behind every
+    quality-weighted corpus subsample: each item draws key = u^(1/w)
+    (here its log form ln(u)/w, monotone-equivalent) and the global
+    top-K keys ARE a weighted sample without replacement. The uniform u
+    is md5-hash-derived from doc_id — fully deterministic and
+    engine-identical (the ``text_fingerprint`` hash contract), which is
+    exactly how a reproducible production sample pins its seed. Weight =
+    n_chars (longer documents proportionally likelier).
+
+    Scale shape: key computation is map-side inside the scan; the global
+    top-K is the oracle-parity window here and a TakeOrdered (rank-free,
+    no single-partition sort) at production scale — the same note as
+    ``text_bm25_search``. Keys are rounded to 6 dp BEFORE ranking with
+    doc_id tie-breaks, the repo's engine-stable ordering contract."""
+    keyed = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        F.round(F.log(F.expr(_WS_U_SPARK)) / F.col("n_chars"), 6).alias("es_key"),
+    )
+    w = Window.orderBy(F.col("es_key").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _WS_K)
+        .select("rnk", "doc_id", "w", "es_key")
+    )

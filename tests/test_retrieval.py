@@ -128,3 +128,25 @@ def test_dsir_weights_favor_target_sources(spark):
     rest = [r["iw"] for r in joined if r["source"] not in _DSIR_TARGET_SOURCES]
     assert tgt and rest
     assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_weighted_sample_favors_heavy_docs_and_is_deterministic(spark):
+    """Efraimidis–Spirakis with weight = n_chars: the sample's mean weight
+    must exceed the corpus mean (heavier docs proportionally likelier),
+    and a second run must reproduce the sample exactly (hash-seeded u)."""
+    from kafka_streams_join_spark.queries.retrieval import (
+        _WS_K,
+        pipeline_weighted_sample,
+    )
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    rows = pipeline_weighted_sample(spark, SF_SMOKE).collect()
+    assert len(rows) == _WS_K
+    sample_mean = sum(r["w"] for r in rows) / len(rows)
+    corpus = load_table(spark, SF_SMOKE, "documents").collect()
+    corpus_mean = sum(r["n_chars"] for r in corpus) / len(corpus)
+    assert sample_mean > corpus_mean
+    again = pipeline_weighted_sample(spark, SF_SMOKE).collect()
+    assert {(r["rnk"], r["doc_id"]) for r in rows} == {
+        (r["rnk"], r["doc_id"]) for r in again
+    }
