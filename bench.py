@@ -67,6 +67,9 @@ EXTRA = [
     "pipeline_importance_resample",
     "quality_classifier_logreg",
     "dedup_ngram_prefix_filter",
+    "layout_zorder_key",
+    "text_bpe_merge_mining",
+    "pipeline_weighted_sample",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

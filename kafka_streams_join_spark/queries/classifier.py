@@ -161,23 +161,10 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("quality_classifier_logreg", oracle=_oracle_sql())
-def quality_classifier_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train a logistic-regression domain classifier over row-local text
-    features (log length, stopword ratio, mean token length + bias) with
-    T={_LR_ROUNDS} unrolled full-batch GD rounds, then score every
-    document with the trained model. Output: (doc_id, label, score,
-    pred).
-
-    Scale shape: the feature frame is built row-locally in the scan (one
-    corpus pass, staged for the T+1 consumers). Each GD round joins the
-    broadcast 1-row weight frame and aggregates 4 gradient averages —
-    map-side combined, so O(partitions·4) doubles shuffle per round and
-    the model never leaves the executors except as the 4-value broadcast.
-    This is the k-means iteration shape (queries/clustering.py) applied
-    to supervised training; the same plan trains any linear model at
-    100 TB."""
-    feat = _staged(_features(spark, sf_dir))
+def _train(spark: SparkSession, feat: DataFrame) -> DataFrame:
+    """The unrolled full-batch GD loop over a standardized feature frame:
+    returns the trained 1-row (a, b, c, d) weight frame. Shared by the
+    oracle-checked query and the deployment path (``fit_model``)."""
     w = spark.range(1).select(
         F.lit(0.0).alias("a"),
         F.lit(0.0).alias("b"),
@@ -208,6 +195,74 @@ def quality_classifier_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c") - F.expr(eta) * F.col("g2"), 6).alias("c"),
             F.round(F.col("d") - F.expr(eta) * F.col("g3"), 6).alias("d"),
         )
+    return w
+
+
+def fit_model(spark: SparkSession, sf_dir: str) -> dict:
+    """Train on the batch corpus and return the DEPLOYABLE model: the 4
+    weights plus the 6 scaler moments, as plain floats. This is the one
+    place the model crosses to the driver — 10 numbers, the offline-train
+    / online-score boundary every production classifier has. Feed the
+    result to :func:`scoring_expr` to score any frame (batch or stream)
+    with an inlined zero-shuffle projection."""
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("source").isin(*_DSIR_TARGET_SOURCES), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        *[F.expr(expr).alias(name) for name, expr in _FEAT_SPARK.items()],
+    )
+    stats_row = raw.agg(
+        *[
+            agg
+            for j in (1, 2, 3)
+            for agg in (
+                F.round(F.avg(f"x{j}"), 6).alias(f"m{j}"),
+                F.round(F.stddev_pop(f"x{j}"), 6).alias(f"s{j}"),
+            )
+        ]
+    ).collect()[0]
+    w_row = _train(spark, _features(spark, sf_dir)).collect()[0]
+    return {**stats_row.asDict(), **w_row.asDict()}
+
+
+def scoring_expr(model: dict) -> str:
+    """The trained model as ONE inlined Spark SQL expression over a frame
+    with a ``text`` column — a zero-shuffle, stateless projection, which
+    is why the identical definition scores a batch frame and a streaming
+    frame (certified by tests/test_streaming_classifier.py). Repr'd
+    float literals round-trip exactly, so scores bit-match the training
+    query's."""
+    zs = {
+        f"z{j}": f"round(({_FEAT_SPARK[f'x{j}']} - {model[f'm{j}']!r})"
+        f" / {model[f's{j}']!r}, 6)"
+        for j in (1, 2, 3)
+    }
+    margin = (
+        f"({model['a']!r} + {model['b']!r} * {zs['z1']}"
+        f" + {model['c']!r} * {zs['z2']} + {model['d']!r} * {zs['z3']})"
+    )
+    return f"round(1.0 / (1.0 + exp(-{margin})), 4)"
+
+
+@register("quality_classifier_logreg", oracle=_oracle_sql())
+def quality_classifier_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic-regression domain classifier over row-local text
+    features (log length, stopword ratio, mean token length + bias) with
+    T={_LR_ROUNDS} unrolled full-batch GD rounds, then score every
+    document with the trained model. Output: (doc_id, label, score,
+    pred).
+
+    Scale shape: the feature frame is built row-locally in the scan (one
+    corpus pass, staged for the T+1 consumers). Each GD round joins the
+    broadcast 1-row weight frame and aggregates 4 gradient averages —
+    map-side combined, so O(partitions·4) doubles shuffle per round and
+    the model never leaves the executors except as the 4-value broadcast.
+    This is the k-means iteration shape (queries/clustering.py) applied
+    to supervised training; the same plan trains any linear model at
+    100 TB."""
+    feat = _staged(_features(spark, sf_dir))
+    w = _train(spark, feat)
     scored = feat.crossJoin(F.broadcast(w)).select(
         "doc_id",
         F.col("y").cast("bigint").alias("label"),
