@@ -1,0 +1,185 @@
+"""Event-sequence analytics over the ``events`` table: ordered funnels
+and cohort retention — the two queries every product-analytics engine
+(Amplitude/Mixpanel-class) is built around, expressed relationally.
+
+Both are narrow-row pipelines: per-user timestamp aggregates and
+user-keyed joins. At 100 TB the events table shuffles only as
+(user_id, ts) pairs — never with the ``props`` payload column (pruned at
+the scan, plan-gated) — and every aggregate is map-side combined.
+
+Determinism: all sequencing compares microsecond timestamps (exact
+integers in both engines); ratios are integer-ppm (the domain-mix
+contract) so no float boundary exists anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .registry import register
+
+_FUNNEL_WINDOW_H = 24
+
+
+@register(
+    "events_funnel_conversion",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        AND e.ts <= v.v_ts + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        AND e.ts <= c.c_ts + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,
+           CASE WHEN p.p_ts IS NOT NULL THEN 3
+                WHEN c.c_ts IS NOT NULL THEN 2
+                ELSE 1 END AS stage
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click → purchase), each step within
+    {_FUNNEL_WINDOW_H} h of the previous: per user, the first view, the
+    first click strictly after it, the first purchase strictly after
+    that, and the funnel stage reached (1–3). The "first event after a
+    per-user anchor" steps are anchor-join + min aggregates — each is one
+    user_id-keyed equi-join and one map-side-combined aggregate of
+    (user_id, ts) pairs, the shape that survives any event volume.
+
+    Timestamp comparisons are microsecond-exact in both engines; the
+    interval bound is closed on the right (<=), stated so the oracle and
+    any reimplementation agree on boundary events."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("v_ts"))
+            & (F.col("ts") <= F.col("v_ts") + F.expr(f"INTERVAL {_FUNNEL_WINDOW_H} HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + F.expr(f"INTERVAL {_FUNNEL_WINDOW_H} HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "v_ts",
+            "c_ts",
+            "p_ts",
+            F.when(F.col("p_ts").isNotNull(), F.lit(3))
+            .when(F.col("c_ts").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("stage"),
+        )
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    cohort_sizes AS (
+      SELECT cohort_week, count(*) AS cohort_n FROM signup GROUP BY cohort_week
+    ),
+    activity AS (
+      SELECT DISTINCT s.user_id, s.cohort_week,
+             CAST(date_diff('day', CAST(s.cohort_week AS DATE),
+                            CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT)
+               AS week_offset
+      FROM events e JOIN signup s ON s.user_id = e.user_id
+      WHERE e.ts >= s.cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset,
+           count(*) AS n_active,
+           count(*) * 1000000 // cs.cohort_n AS retention_ppm
+    FROM activity a JOIN cohort_sizes cs ON cs.cohort_week = a.cohort_week
+    GROUP BY a.cohort_week, a.week_offset, cs.cohort_n
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by the week of their first
+    ``signup``, activity bucketed by week offset from the cohort week,
+    retention as exact integer ppm of the cohort size (the domain-mix
+    arithmetic — no float ratio anywhere). (cohort_week, week_offset,
+    n_active, retention_ppm) rows.
+
+    Shape: first-signup aggregate (one user_id shuffle), user-keyed
+    activity join, distinct (user, cohort, offset), then the matrix
+    aggregate — all narrow (id, week) rows; the cohort-size side of the
+    final join is weeks-bounded and broadcasts."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    cohort_sizes = signup.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    activity = (
+        ev.join(signup, "user_id")
+        .filter(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            # integer FLOOR division on both sides: a float divide + cast
+            # truncates in Spark but rounds in DuckDB's BIGINT cast
+            F.expr("n_active * 1000000 div cohort_n").alias("retention_ppm"),
+        )
+    )
