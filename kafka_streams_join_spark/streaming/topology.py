@@ -55,15 +55,23 @@ def stream_interval_join(
     left_prefix: str = "l_",
     right_prefix: str = "r_",
     watermark_delay: str | None = None,
+    watermark_left: bool = True,
 ) -> DataFrame:
     """Streaming twin of ``operators.interval_join`` — watermarks + the same
     equi+band condition. Mirrors ``JoinWindows.of(…).before/after``
     (``TimeoutJoinTest.scala:78,85``): window → (watermark, range-condition)
-    derivation is automatic, per SURVEY §7's API requirement."""
+    derivation is automatic, per SURVEY §7's API requirement.
+
+    ``watermark_left=False`` is for CHAINED stateful pipelines: an input
+    that is itself the output of a watermarked join already carries a
+    propagated watermark, and redefining one is a Spark analysis error
+    (multiple-stateful-operator rule) — see ``stream_funnel``."""
     delay = watermark_delay or _interval_delay(window)
     lp = left.select([F.col(c).alias(f"{left_prefix}{c}") for c in left.columns])
     rp = right.select([F.col(c).alias(f"{right_prefix}{c}") for c in right.columns])
-    lw = lp.withWatermark(f"{left_prefix}{left_ts}", delay)
+    lw = (
+        lp.withWatermark(f"{left_prefix}{left_ts}", delay) if watermark_left else lp
+    )
     rw = rp.withWatermark(f"{right_prefix}{right_ts}", delay)
     cond = (
         (F.col(f"{left_prefix}{on}") == F.col(f"{right_prefix}{on}"))
@@ -160,3 +168,48 @@ class TimeoutJoinTopology:
             displays, clicks, on="key", window=JoinWindow(after=self.window),
         )
         return missed.select("key", "value")
+
+
+def stream_funnel(
+    views: DataFrame,
+    clicks: DataFrame,
+    purchases: DataFrame,
+    on: str = "key",
+    step_window: JoinWindow | None = None,
+) -> DataFrame:
+    """Ordered 3-step streaming funnel — the reference's windowed-join
+    capability COMPOSED: two chained watermarked stream-stream interval
+    joins (view → click within W, then → purchase within W of the click).
+    Spark plans two StreamingSymmetricHashJoinExec operators in one
+    append-mode pipeline (multiple stateful operators); each join's state
+    is watermark-bounded exactly like the single-join topologies, so the
+    chain's state is 2·W per key — this is the streaming twin of the
+    batch ``events_funnel_conversion``.
+
+    Output: (key, view_ts, click_ts, purchase_ts), one row per completed
+    chain, emitted in append mode once both joins have matched."""
+    w = step_window or JoinWindow(after="2 seconds")
+    j1 = stream_interval_join(
+        views, clicks, on=on, window=w, how="inner",
+        left_prefix="v_", right_prefix="c_",
+    )
+    mid = j1.select(
+        F.col(f"v_{on}").alias(on),
+        # rebuild view_ts through unix_micros to STRIP its event-time tag:
+        # a stream may carry at most one event-time column, and the chain's
+        # clock from here on is the click time
+        F.timestamp_micros(F.unix_micros(F.col("v_ts"))).alias("view_ts"),
+        F.col("c_ts").alias("ts"),
+    )
+    j2 = stream_interval_join(
+        mid, purchases, on=on, window=w, how="inner",
+        left_prefix="m_", right_prefix="p_",
+        # mid carries j1's propagated watermark; redefining it is an error
+        watermark_left=False,
+    )
+    return j2.select(
+        F.col(f"m_{on}").alias(on),
+        F.col("m_view_ts").alias("view_ts"),
+        F.col("m_ts").alias("click_ts"),
+        F.col("p_ts").alias("purchase_ts"),
+    )
