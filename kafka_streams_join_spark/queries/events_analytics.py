@@ -14,7 +14,7 @@ contract) so no float boundary exists anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
@@ -182,4 +182,61 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             # truncates in Spark but rounds in DuckDB's BIGINT cast
             F.expr("n_active * 1000000 div cohort_n").alias("retention_ppm"),
         )
+    )
+
+
+@register(
+    "events_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type AS state, ts, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, state, ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 history from a changelog: collapse
+    consecutive same-state records per user (SCD2 emits only on CHANGE),
+    then derive each state's validity interval [valid_from, valid_to) via
+    lead(), with the open current row flagged. The temporal complement of
+    ``latest_state_per_user`` (the SCD1 snapshot) — together they are the
+    CDC → warehouse-dimension pair.
+
+    Scale: one shuffle on user_id serves BOTH windows (the change filter
+    and the lead interval run over the same partitioning, which Spark
+    reuses — no second Exchange); all rows are narrow (user, type, ts).
+    Ordering is (ts, event_id), the repo's unique-tie-break contract."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", F.col("event_type").alias("state"), "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.when(F.lead("ts").over(w2).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_current"),
     )

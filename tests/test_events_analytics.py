@@ -51,3 +51,25 @@ def test_cohort_week0_is_full_and_ppm_bounded(spark):
     assert week0
     assert all(r["retention_ppm"] == 1_000_000 for r in week0)
     assert all(0 < r["retention_ppm"] <= 1_000_000 for r in rows)
+
+
+def test_scd2_intervals_tile_the_timeline(spark):
+    """SCD2 invariants: per user exactly one open (is_current) row, and
+    the validity intervals tile without gaps — each row's valid_to equals
+    the next row's valid_from."""
+    from kafka_streams_join_spark.queries.events_analytics import (
+        events_scd2_history,
+    )
+
+    rows = events_scd2_history(spark, SF_SMOKE).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, hist in by_user.items():
+        hist.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in hist if r["is_current"] == 1) == 1, user
+        assert hist[-1]["is_current"] == 1 and hist[-1]["valid_to"] is None
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to"] == b["valid_from"], user
+            assert a["state"] != b["state"], user  # change-only rows
