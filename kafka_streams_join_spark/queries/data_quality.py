@@ -1,0 +1,166 @@
+"""Data-quality validation: the dbt-test / Deequ-style audit every lake
+runs before anything downstream trusts a table.
+
+Two operators:
+- ``dq_constraint_checks``: declarative constraint audit over the TPC-H
+  schema — key uniqueness, referential integrity (child keys ⊆ parent
+  keys), and null-rate checks — one output row per check with violation
+  counts, so the pass condition is ``violations = 0`` and a failure is
+  quantified, not boolean.
+- ``events_value_outliers``: per-group statistical outlier flags
+  (|x − mean| > 3σ within event_type) — the numeric-column anomaly scan.
+
+Scale shape: every check is an aggregate or an anti-join keyed on the
+child's key — Spark plans the anti-joins as broadcast when the parent
+side is small and SMJ otherwise, and each null/uniqueness check is one
+map-side-combined aggregate. The checks UNION into one result relation,
+so a 100 TB audit is one job, not N.
+
+Determinism: counts are integers; the outlier boundary compares against
+6-dp-rounded moments (both engines share the rounded threshold, the
+k-means contract), so a value on the boundary decides identically.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .registry import register
+
+
+@register(
+    "dq_constraint_checks",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS violations
+    UNION ALL
+    SELECT 'customer_pk_unique',
+           (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders_priority_not_null',
+           (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL)
+    UNION ALL
+    SELECT 'lineitem_qty_positive',
+           (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+    ORDER BY check_name
+    """,
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit: (check_name, violations) per declared constraint
+    — primary-key uniqueness, foreign-key containment (left-anti counts),
+    not-null, and a value-domain check. All checks run in one UNION'd
+    job; a violation count quantifies the break instead of a boolean.
+
+    The FK checks are left-anti joins on the child key — broadcastable
+    when the parent key set is bounded, shuffle-partitioned otherwise;
+    uniqueness is count − count(distinct) in one aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(
+            F.lit(name).alias("check_name"), F.col("violations").cast("long")
+        )
+
+    checks = [
+        one(
+            "orders_pk_unique",
+            orders.agg(
+                (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+                    "violations"
+                )
+            ),
+        ),
+        one(
+            "customer_pk_unique",
+            customer.agg(
+                (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias(
+                    "violations"
+                )
+            ),
+        ),
+        one(
+            "orders_custkey_fk",
+            orders.join(
+                customer, orders.o_custkey == customer.c_custkey, "left_anti"
+            ).agg(F.count(F.lit(1)).alias("violations")),
+        ),
+        one(
+            "lineitem_orderkey_fk",
+            lineitem.join(
+                orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+            ).agg(F.count(F.lit(1)).alias("violations")),
+        ),
+        one(
+            "orders_priority_not_null",
+            orders.filter(F.col("o_orderpriority").isNull()).agg(
+                F.count(F.lit(1)).alias("violations")
+            ),
+        ),
+        one(
+            "lineitem_qty_positive",
+            lineitem.filter(F.col("l_quantity") <= 0).agg(
+                F.count(F.lit(1)).alias("violations")
+            ),
+        ),
+    ]
+    return reduce(lambda a, b: a.unionAll(b), checks).orderBy("check_name")
+
+
+@register(
+    "events_value_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             round(avg(value), 6) AS mu,
+             round(stddev_pop(value), 6) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, count(*) AS n,
+           CAST(sum(CASE WHEN abs(e.value - s.mu) > 3 * s.sigma
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 3-sigma outlier counts on the numeric value column — the
+    anomaly scan a pipeline runs on every metric-bearing table. Group
+    moments are rounded to 6 dp before the boundary compare, so both
+    engines flag boundary values identically (the k-means moment
+    contract). Two passes over narrow (event_type, value) rows: the
+    group-moment aggregate (map-side combined, groups-bounded result
+    broadcasts back) and the flag count."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_pop("value"), 6).alias("sigma"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
