@@ -70,6 +70,10 @@ EXTRA = [
     "layout_zorder_key",
     "text_bpe_merge_mining",
     "pipeline_weighted_sample",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "events_scd2_history",
+    "dq_constraint_checks",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

@@ -59,6 +59,9 @@ AUDITED = [
     ("dedup_ngram_prefix_filter", "PPJoin prefix index: lossless candidate bound, narrow shuffles"),
     ("layout_zorder_key", "z-order keys: stats broadcast, no data repartition"),
     ("text_bpe_merge_mining", "BPE rounds on the vocab: corpus scanned once"),
+    ("events_funnel_conversion", "funnel: pushed type filters, narrow user_id joins"),
+    ("events_cohort_retention", "cohort matrix: one signup shuffle, broadcast sizes"),
+    ("dq_constraint_checks", "union'd audit: anti-join FKs, single-agg uniqueness"),
 ]
 
 # plan lines worth showing: node heads and the pushdown/pruning facts
