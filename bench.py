@@ -109,10 +109,14 @@ def main() -> int:
         # code-path warm-up, and folding it in would report deliberate
         # warm-up cost as co-tenant noise; it is still listed as "cold"
         warm = sorted(runs[1:]) or runs
+        # true median (mean of the middle two for even counts): with 2
+        # warm runs, warm[len//2] would just repeat max
+        mid = len(warm) // 2
+        med = warm[mid] if len(warm) % 2 else (warm[mid - 1] + warm[mid]) / 2
         spread[name] = {
             "cold": round(runs[0], 3),
             "min": round(warm[0], 3),
-            "med": round(warm[len(warm) // 2], 3),
+            "med": round(med, 3),
             "max": round(warm[-1], 3),
         }
         # the headline value stays min-over-ALL-runs — the r1-r3 metric —

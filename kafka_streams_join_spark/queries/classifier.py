@@ -127,19 +127,22 @@ def _oracle_sql() -> str:
     return "".join(parts)
 
 
-def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Standardized (doc_id, y, z1, z2, z3) feature frame: raw row-local
-    features, then z-scored against broadcast corpus moments (mean and
-    population std, rounded to 6 dp — the moments are part of the MODEL,
-    exactly as a production classifier ships its scaler)."""
-    raw = load_table(spark, sf_dir, "documents").select(
+def _raw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, y, x1..x3): label + raw row-local features, one scan."""
+    return load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(F.col("source").isin(*_DSIR_TARGET_SOURCES), F.lit(1.0))
         .otherwise(F.lit(0.0))
         .alias("y"),
         *[F.expr(expr).alias(name) for name, expr in _FEAT_SPARK.items()],
     )
-    stats = raw.agg(
+
+
+def _moments(raw: DataFrame) -> DataFrame:
+    """1-row scaler moments (m1, s1, …): mean + population std per raw
+    feature, rounded to 6 dp — part of the MODEL, exactly as a production
+    classifier ships its scaler."""
+    return raw.agg(
         *[
             agg
             for j in (1, 2, 3)
@@ -149,6 +152,13 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized (doc_id, y, z1, z2, z3) feature frame: raw row-local
+    features, then z-scored against the broadcast corpus moments."""
+    raw = _raw_features(spark, sf_dir)
+    stats = _moments(raw)
     return raw.crossJoin(F.broadcast(stats)).select(
         "doc_id",
         "y",
@@ -204,25 +214,15 @@ def fit_model(spark: SparkSession, sf_dir: str) -> dict:
     place the model crosses to the driver — 10 numbers, the offline-train
     / online-score boundary every production classifier has. Feed the
     result to :func:`scoring_expr` to score any frame (batch or stream)
-    with an inlined zero-shuffle projection."""
-    raw = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(F.col("source").isin(*_DSIR_TARGET_SOURCES), F.lit(1.0))
-        .otherwise(F.lit(0.0))
-        .alias("y"),
-        *[F.expr(expr).alias(name) for name, expr in _FEAT_SPARK.items()],
-    )
-    stats_row = raw.agg(
-        *[
-            agg
-            for j in (1, 2, 3)
-            for agg in (
-                F.round(F.avg(f"x{j}"), 6).alias(f"m{j}"),
-                F.round(F.stddev_pop(f"x{j}"), 6).alias(f"s{j}"),
-            )
-        ]
-    ).collect()[0]
-    w_row = _train(spark, _features(spark, sf_dir)).collect()[0]
+    with an inlined zero-shuffle projection.
+
+    Cost shape: the scaler moments are one aggregate over the raw frame,
+    and the TRAINING feature frame is staged — one materialization feeds
+    all {_LR_ROUNDS} gradient rounds (the same 'T+1 consumers' staging
+    the oracle query uses), so a fit is two corpus passes, not five."""
+    stats_row = _moments(_raw_features(spark, sf_dir)).collect()[0]
+    feat = _staged(_features(spark, sf_dir))
+    w_row = _train(spark, feat).collect()[0]
     return {**stats_row.asDict(), **w_row.asDict()}
 
 

@@ -65,12 +65,15 @@ def stream_dedup_minhash(
     text_col: str = "value",
     ts: str = "ts",
     watermark_delay: str = "1 minute",
+    key: str = "key",
 ) -> DataFrame:
     """Streaming MinHash-band dedup: band rows surviving first-seen
     filtering within the watermark. The streaming sibling of
     ``dedup_minhash_lsh`` the way ``stream_dedup`` is ``dedup_exact``'s —
-    state keyed on (band, band_sig), evicted by the watermark."""
-    bands = minhash_band_rows(df, text_col)
+    state keyed on (band, band_sig), evicted by the watermark. The
+    ``key``/``ts`` columns are forwarded into the band rows' carry list,
+    so non-default column names work end to end."""
+    bands = minhash_band_rows(df, text_col, carry=[key, ts])
     return bands.withWatermark(ts, watermark_delay).dropDuplicatesWithinWatermark(
         ["band", "band_sig"]
     )
@@ -94,7 +97,7 @@ def stream_novelty_counts(
     a missing key (zero surviving bands) → near-duplicate of a recent
     record; 0 < novel_bands < B → LSH candidate (shares bands). Rows
     finalize when the watermark passes their window's end."""
-    survived = stream_dedup_minhash(df, text_col, ts, watermark_delay)
+    survived = stream_dedup_minhash(df, text_col, ts, watermark_delay, key=key)
     return (
         survived.groupBy(F.window(ts, window).alias("w"), F.col(key))
         .agg(F.count(F.lit(1)).alias("novel_bands"))

@@ -200,3 +200,26 @@ def test_stream_neardup_short_doc_fallback(spark, tmpdir):
         assert "s3" not in by_key
     finally:
         q.stop()
+
+
+def test_neardup_respects_non_default_column_names(spark, tmpdir):
+    """Regression: ts/key parameters must be forwarded into the band-row
+    carry list — a renamed stream resolves and keeps its columns."""
+    from pyspark.sql import functions as F
+    from kafka_streams_join_spark.streaming.neardup import (
+        stream_dedup_minhash,
+        stream_novelty_counts,
+    )
+    from kafka_streams_join_spark.streaming.harness import FileStream
+
+    s = FileStream(spark, tmpdir, "renamed")
+    s.add_batch([{"key": "a", "value": "x y z", "ts": "2024-01-01T00:00:00"}])
+    df = (
+        s.df()
+        .withColumnRenamed("key", "doc")
+        .withColumnRenamed("ts", "event_ts")
+    )
+    deduped = stream_dedup_minhash(df, ts="event_ts", key="doc")
+    assert {"doc", "event_ts", "band", "band_sig"} <= set(deduped.columns)
+    novel = stream_novelty_counts(df, key="doc", ts="event_ts")
+    assert {"win_start", "win_end", "doc", "novel_bands"} <= set(novel.columns)
