@@ -407,6 +407,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nearly no pruning at corpus scale), 4 chunks of 15 bits give 32768 buckets
 # per chunk at the cost of a bounded 121× probe-side explode — candidate
 # volume drops ~16× and the explode is map-side, never shuffled twice.
+#
+# Chunk-count trade, measured (sf0.1, warm best-of-3): 6 chunks of 10 bits
+# shrink the probe explode 484→66 rows/doc and run ~15% faster HERE
+# (3.2 s vs 3.7 s, identical 334k-pair output) — but 10-bit chunks have
+# only 1024 buckets, so at 10⁹ docs a bucket holds ~10⁶ docs and candidate
+# pairs explode quadratically per bucket. MIH's own guidance is
+# chunks ≈ bits/log₂(n); for the 100 TB target n, FEWER, WIDER chunks win,
+# so 4×15 stands and the local delta is deliberately not taken.
 SIMHASH_MIH_CHUNKS = 4
 _MIH_WIDTH = SIMHASH_BITS // SIMHASH_MIH_CHUNKS
 _MIH_RADIUS = SIMHASH_MAX_HAMMING // SIMHASH_MIH_CHUNKS
