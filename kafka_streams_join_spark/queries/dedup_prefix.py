@@ -88,14 +88,27 @@ def dedup_ngram_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_TOKS).alias("toks")
     )
+    return prefix_jaccard_pairs(shingle_docsets(doc))
+
+
+def shingle_docsets(doc: DataFrame) -> DataFrame:
+    """(doc_id, hs, n): staged per-doc distinct shingle-hash sets from a
+    (doc_id, toks) frame — the dedup.py machinery, reusable by any
+    near-dup consumer (the curation funnel passes a survivor subset)."""
     hashed = doc.select(
         "doc_id", F.explode(F.expr(_SHINGLE_ARRAY)).alias("shingle")
     ).select("doc_id", F.xxhash64("shingle").alias("h"))
-    docsets = _staged(
+    return _staged(
         hashed.groupBy("doc_id")
         .agg(F.collect_set("h").alias("hs"))
         .select("doc_id", "hs", F.size("hs").alias("n"))
     )
+
+
+def prefix_jaccard_pairs(docsets: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard): all pairs with Jaccard >= tau over a
+    (doc_id, hs, n) shingle-set frame, via the lossless prefix filter +
+    exact full-set verification (see the module docstring)."""
     # inverted rows re-derived from the aggregated arrays (post-shuffle
     # projection, not a rescan), then df per shingle for the global order
     exploded = docsets.select("doc_id", "n", F.explode("hs").alias("h"))

@@ -66,3 +66,24 @@ def test_prefix_filter_text_never_shuffles(spark):
     df = dedup_ngram_prefix_filter(spark, SF_SMOKE)
     assert_no_wide_shuffle(df, col="text", max_exchanges=0)
     assert_no_wide_shuffle(df, col="toks", max_exchanges=0)
+
+
+def test_curation_funnel_is_monotone_and_complete(spark):
+    """Cumulative gates can only lose docs/tokens; all 7 stages present;
+    stage 1 equals the corpus size."""
+    from kafka_streams_join_spark.queries.curation_funnel import (
+        pipeline_curation_funnel,
+    )
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    rows = sorted(
+        pipeline_curation_funnel(spark, SF_SMOKE).collect(),
+        key=lambda r: r["stage_ord"],
+    )
+    assert [r["stage_ord"] for r in rows] == list(range(1, 8))
+    docs = [r["n_docs"] for r in rows]
+    toks = [r["n_tokens"] for r in rows]
+    assert all(a >= b for a, b in zip(docs, docs[1:]))
+    assert all(a >= b for a, b in zip(toks, toks[1:]))
+    assert docs[0] == load_table(spark, SF_SMOKE, "documents").count()
+    assert docs[-1] > 0  # the funnel keeps a real corpus
