@@ -74,6 +74,7 @@ EXTRA = [
     "events_cohort_retention",
     "events_scd2_history",
     "dq_constraint_checks",
+    "pipeline_curation_funnel",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

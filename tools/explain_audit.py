@@ -62,6 +62,7 @@ AUDITED = [
     ("events_funnel_conversion", "funnel: pushed type filters, narrow user_id joins"),
     ("events_cohort_retention", "cohort matrix: one signup shuffle, broadcast sizes"),
     ("dq_constraint_checks", "union'd audit: anti-join FKs, single-agg uniqueness"),
+    ("pipeline_curation_funnel", "7-gate funnel: row-local flags, bounded pair stage"),
 ]
 
 # plan lines worth showing: node heads and the pushdown/pruning facts
