@@ -66,14 +66,17 @@ def stream_dedup_minhash(
     ts: str = "ts",
     watermark_delay: str = "1 minute",
     key: str = "key",
+    extra_carry: list[str] | None = None,
 ) -> DataFrame:
     """Streaming MinHash-band dedup: band rows surviving first-seen
     filtering within the watermark. The streaming sibling of
     ``dedup_minhash_lsh`` the way ``stream_dedup`` is ``dedup_exact``'s —
     state keyed on (band, band_sig), evicted by the watermark. The
     ``key``/``ts`` columns are forwarded into the band rows' carry list,
-    so non-default column names work end to end."""
-    bands = minhash_band_rows(df, text_col, carry=[key, ts])
+    so non-default column names work end to end; ``extra_carry`` rides
+    additional upstream columns (scrubbed text, quality scores) through
+    the stateful stage for downstream consumers."""
+    bands = minhash_band_rows(df, text_col, carry=[key, ts, *(extra_carry or [])])
     return bands.withWatermark(ts, watermark_delay).dropDuplicatesWithinWatermark(
         ["band", "band_sig"]
     )
