@@ -95,7 +95,7 @@ def test_stream_neardup_emission_and_eviction(spark, tmpdir):
             ]
         )
         q.processAllAvailable()
-        got = read_until(spark, sink, expect=16, wait_s=30.0)
+        got = read_until(spark, sink, expect=16, wait_s=60.0)
         assert len(got) == 16
 
         # batch 2: an exact dup emits nothing; a near-dup emits only its
@@ -107,7 +107,7 @@ def test_stream_neardup_emission_and_eviction(spark, tmpdir):
             ]
         )
         q.processAllAvailable()
-        got = read_until(spark, sink, expect=16 + (n_bands - shared), wait_s=30.0)
+        got = read_until(spark, sink, expect=16 + (n_bands - shared), wait_s=60.0)
         by_key: dict[str, int] = {}
         for r in got:
             by_key[r["key"]] = by_key.get(r["key"], 0) + 1
@@ -126,7 +126,7 @@ def test_stream_neardup_emission_and_eviction(spark, tmpdir):
         docs.add_batch([{"key": "d6", "value": A, "ts": "2024-01-01T01:00:05"}])
         q.processAllAvailable()
         got = read_until(
-            spark, sink, expect=len(got) + n_bands + n_bands, wait_s=30.0
+            spark, sink, expect=len(got) + n_bands + n_bands, wait_s=60.0
         )
         by_key = {}
         for r in got:
@@ -166,7 +166,7 @@ def test_stream_novelty_counts_chains_two_stateful_ops(spark, tmpdir):
         q.processAllAvailable()
         got = {
             r["key"]: r["novel_bands"]
-            for r in read_until(spark, sink, expect=2, wait_s=30.0)
+            for r in read_until(spark, sink, expect=2, wait_s=60.0)
         }
     finally:
         q.stop()
@@ -190,7 +190,7 @@ def test_stream_neardup_short_doc_fallback(spark, tmpdir):
             ]
         )
         q.processAllAvailable()
-        got = read_until(spark, sink, expect=16, wait_s=30.0)
+        got = read_until(spark, sink, expect=16, wait_s=60.0)
         by_key: dict[str, int] = {}
         for r in got:
             by_key[r["key"]] = by_key.get(r["key"], 0) + 1
