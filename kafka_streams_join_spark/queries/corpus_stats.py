@@ -1,0 +1,157 @@
+"""Corpus- and activity-level statistics: engagement ratios (DAU/WAU),
+seasonality profiles, and Heaps-law vocabulary growth.
+
+All three are aggregate-of-aggregate pipelines over narrow rows; the
+time dimensions (days, hours) are bounded, so second-stage joins
+broadcast. Ratios are exact integer ppm (the domain-mix contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .registry import register
+from .text import _TOKS, _TOKS_SQL
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM activity),
+    dau AS (SELECT d, count(*) AS dau FROM activity GROUP BY d),
+    wau AS (
+      SELECT days.d, count(DISTINCT a.user_id) AS wau
+      FROM days JOIN activity a
+        ON a.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY days.d
+    )
+    SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, wau.wau,
+           dau.dau * 1000000 // wau.wau AS stickiness_ppm
+    FROM dau JOIN wau ON wau.d = dau.d
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio every product
+    dashboard leads with. The WAU side is a bounded-band join: the day
+    list (one row per active day — bounded) broadcasts against the
+    distinct (user, day) activity frame, so no events-sized relation is
+    ever on both sides of a join. Stickiness is exact integer ppm via
+    floor division in BOTH engines (the cohort-retention contract)."""
+    activity = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .distinct()
+    )
+    days = activity.select("d").distinct()
+    dau = activity.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    a = activity.select(F.col("user_id"), F.col("d").alias("ad"))
+    wau = (
+        F.broadcast(days)
+        .join(
+            a,
+            (F.col("ad") >= F.date_sub(F.col("d"), 6)) & (F.col("ad") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    # emit the day as an ISO string: engine DATE types render differently
+    # through the comparison harness (DATE vs midnight TIMESTAMP)
+    return dau.join(wau, "d").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        F.expr("dau * 1000000 div wau").alias("stickiness_ppm"),
+    )
+
+
+@register(
+    "events_hourly_seasonality",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, sum(n) AS t FROM h GROUP BY event_type)
+    SELECT h.event_type, h.hour_of_day, h.n,
+           CAST(h.n * 1000000 // tot.t AS BIGINT) AS share_ppm
+    FROM h JOIN tot USING (event_type)
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: counts and the
+    exact-ppm share of the type's total. One map-side-combined aggregate
+    over (type, hour) — a 24×types-bounded result — and a broadcast join
+    against the per-type totals; the session's UTC timezone is what makes
+    hour() engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = h.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return h.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        F.expr("n * 1000000 div t").alias("share_ppm"),
+    )
+
+
+@register(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lower(unnest({_TOKS_SQL})) AS token FROM documents
+    ),
+    firsts AS (
+      SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY token
+    ),
+    new_terms AS (
+      SELECT first_doc AS doc_id, count(*) AS n_new FROM firsts GROUP BY first_doc
+    ),
+    doclen AS (
+      SELECT doc_id, count(*) AS n_toks FROM tok GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.n_toks) OVER w AS BIGINT)                 AS cum_tokens,
+           CAST(sum(coalesce(nt.n_new, 0)) OVER w AS BIGINT)    AS vocab_size
+    FROM doclen d LEFT JOIN new_terms nt USING (doc_id)
+    WINDOW w AS (ORDER BY d.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: cumulative token count vs distinct
+    vocabulary size as the corpus is consumed in doc_id order — the
+    curve (V ≈ K·Nᵝ) that tells a tokenizer/dedup pipeline whether a
+    corpus's vocabulary is saturating or still growing. The heavy lift
+    is one token aggregate (first-occurrence doc per token, map-side
+    combined); the cumulative window then runs over the DOCS-sized
+    (doc_id, n_new, n_toks) frame. At 100 TB that single-partition
+    cumulative sort is replaced by two-phase prefix sums (per-partition
+    totals broadcast back); noted so the window is not mistaken for the
+    scale plan."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.expr(f"transform({_TOKS}, t -> lower(t))")).alias("token"),
+    )
+    firsts = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    new_terms = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        doclen.join(new_terms, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_toks").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("vocab_size"),
+        )
+    )
