@@ -155,3 +155,63 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("vocab_size"),
         )
     )
+
+
+@register(
+    "events_daily_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS lo,
+             CAST(date_trunc('day', max(ts)) AS DATE) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(s.d AS VARCHAR) AS day, t.event_type,
+           coalesce(a.n, 0) AS n,
+           CASE WHEN a.n IS NULL THEN 1 ELSE 0 END AS gap_filled
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN actual a ON a.d = s.d AND a.event_type = t.event_type
+    """,
+)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap filling: the complete (day × event_type) grid over
+    the corpus's date range, with zero-filled counts and a gap flag —
+    the resampling primitive every metrics pipeline needs before rates,
+    moving averages, or anomaly windows make sense (a missing day must
+    read as 0, not as absent). The spine is generated from the 1-row
+    min/max bounds (sequence() — bounded, broadcasts), the type dim is
+    bounded, and the actuals are one map-side-combined aggregate; the
+    left join is spine-sized, not events-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("lo"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(types)
+        .join(actual, ["d", "event_type"], "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.when(F.col("n").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+                "gap_filled"
+            ),
+        )
+    )
