@@ -39,7 +39,7 @@ from ..sources.parquet import load_table
 from .registry import register
 from .dedup import JACCARD_THRESHOLD
 from .dedup_prefix import prefix_jaccard_pairs, shingle_docsets
-from .pipeline import DECONTAM_N, _IS_BENCH
+from .pipeline import DECONTAM_N, _IS_BENCH, decontam_gram_rows
 from .quality import _grams, _max_run
 from .text import _STOP, _STOP_SQL, _TOKS, _TOKS_SQL
 
@@ -136,7 +136,7 @@ def _oracle_sql() -> str:
       SELECT fl.*,
              (fl.s5 AND dupb.doc_id IS NULL)                   AS s6,
              (fl.s5 AND dupb.doc_id IS NULL
-              AND NOT (fl.doc_id % 10 = 7)
+              AND NOT ({_IS_BENCH.replace("doc_id", "fl.doc_id")})
               AND contaminated.doc_id IS NULL)                 AS s7
       FROM flags0 fl
       LEFT JOIN dupb ON dupb.doc_id = fl.doc_id
@@ -212,21 +212,26 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s5_docs = flags0.filter("s5").select("doc_id", "toks")
     pairs = prefix_jaccard_pairs(shingle_docsets(s5_docs))
     dupb = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    # stage 7: decontamination probe (bench shingle dict broadcasts)
-    lgrams = flags0.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(toks) < {DECONTAM_N} THEN array()"
-                f" ELSE transform(sequence(1, size(toks) - {DECONTAM_N} + 1),"
-                f"   i -> array_join(transform(slice(toks, i, {DECONTAM_N}),"
-                "     t -> lower(t)), ' ')) END"
-            )
-        ).alias("gram"),
+    # stage 7: decontamination probe (bench shingle dict broadcasts).
+    # Gram machinery is the SHARED pipeline.py contract (lowercase once
+    # per doc, then shingle); the bench side must stay corpus-wide, but
+    # the probe side only needs docs still alive after stage 6 — flags
+    # on already-dropped docs would be ANDed away, so skipping their
+    # gram explode is output-identical and saves corpus-proportional
+    # map-side work.
+    lowered = lambda df: df.select(  # noqa: E731
+        "doc_id", F.expr("transform(toks, t -> lower(t))").alias("toks")
     )
-    bench = lgrams.filter(F.expr(_IS_BENCH)).select("gram").distinct()
+    bench = (
+        decontam_gram_rows(lowered(flags0.filter(F.expr(_IS_BENCH))))
+        .select("gram")
+        .distinct()
+    )
+    probe_side = flags0.filter("s5").filter(~F.expr(_IS_BENCH)).join(
+        dupb, "doc_id", "left_anti"
+    )
     contaminated = (
-        lgrams.filter(~F.expr(_IS_BENCH))
+        decontam_gram_rows(lowered(probe_side))
         .join(F.broadcast(bench), "gram")
         .select("doc_id")
         .distinct()

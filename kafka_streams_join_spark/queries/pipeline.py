@@ -246,6 +246,28 @@ DECONTAM_N = 7  # tokens per shingle; real pipelines use 8-13ish on benchmarks
 # what the plan exploits.
 _IS_BENCH = "doc_id % 10 = 7"
 
+
+def decontam_gram_rows(df):
+    """(doc_id, gram): exploded DECONTAM_N-token shingles from a
+    (doc_id, toks) frame whose tokens are ALREADY lowercased — THE
+    decontamination shingling contract, shared by pipeline_decontaminate
+    and the curation funnel so the two cannot drift.
+
+    Short docs (< N tokens) MUST hit the CASE arm: Spark's sequence(1, 0)
+    counts DOWN to [1, 0] and slice(toks, 0, N) throws — the empty-array
+    guard dedup.py uses for the same shingle pattern (DuckDB's
+    generate_series(1, 0) is [] so the oracle needs no guard)."""
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) < {DECONTAM_N} THEN array()"
+                f" ELSE transform(sequence(1, size(toks) - {DECONTAM_N} + 1),"
+                f"   i -> array_join(slice(toks, i, {DECONTAM_N}), ' ')) END"
+            )
+        ).alias("gram"),
+    )
+
 from .text import _TOKS_SQL as _DOC_TOKS_SQL  # noqa: E402  (shared tokenizer)
 
 
@@ -293,22 +315,8 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import _TOKS
 
     doc = load_table(spark, sf_dir, "documents")
-    # short docs (< N tokens) MUST hit the CASE arm: Spark's sequence(1, 0)
-    # counts DOWN to [1, 0] and slice(toks, 0, N) throws — the empty-array
-    # guard dedup.py uses for the same shingle pattern (DuckDB's
-    # generate_series(1, 0) is [] so the oracle needs no guard)
-    grams = doc.select(
-        "doc_id",
-        F.expr(f"transform({_TOKS}, t -> lower(t))").alias("toks"),
-    ).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(toks) < {DECONTAM_N} THEN array()"
-                f" ELSE transform(sequence(1, size(toks) - {DECONTAM_N} + 1),"
-                f"   i -> array_join(slice(toks, i, {DECONTAM_N}), ' ')) END"
-            )
-        ).alias("gram"),
+    grams = decontam_gram_rows(
+        doc.select("doc_id", F.expr(f"transform({_TOKS}, t -> lower(t))").alias("toks"))
     )
     bench = (
         grams.filter(F.expr(_IS_BENCH)).select("gram").distinct()

@@ -76,7 +76,11 @@ def stream_dedup_minhash(
     so non-default column names work end to end; ``extra_carry`` rides
     additional upstream columns (scrubbed text, quality scores) through
     the stateful stage for downstream consumers."""
-    bands = minhash_band_rows(df, text_col, carry=[key, ts, *(extra_carry or [])])
+    # dict.fromkeys dedups while preserving order: an extra_carry entry
+    # repeating key/ts would otherwise duplicate the column and crash
+    # withWatermark with an ambiguous reference
+    carry = list(dict.fromkeys([key, ts, *(extra_carry or [])]))
+    bands = minhash_band_rows(df, text_col, carry=carry)
     return bands.withWatermark(ts, watermark_delay).dropDuplicatesWithinWatermark(
         ["band", "band_sig"]
     )

@@ -42,7 +42,6 @@ def test_composed_stream_curation(spark, tmpdir):
 
     model = fit_model(spark, SF_SMOKE)
     score = scoring_expr(model)
-    scrub = scrub_expressions("value")
 
     body = "the spark join window table row scan fast merge batch value part"
     rows = [
@@ -56,20 +55,24 @@ def test_composed_stream_curation(spark, tmpdir):
     docs = FileStream(spark, tmpdir, "docs")
     docs.add_batch(rows)
 
-    gated = docs.df().filter(
-        F.expr("size(split(regexp_replace(trim(value), '\\\\s+', ' '), ' ')) >= 5")
-    )
-    scrubbed = gated.select(
+    from kafka_streams_join_spark.queries.text import _TOKS
+
+    # rename value -> text so the tokenizer and scoring contracts apply
+    # VERBATIM (the test_streaming_classifier.py precedent) — no string
+    # surgery on generated SQL, no hand-copied tokenizer
+    renamed = docs.df().withColumnRenamed("value", "text")
+    gated = renamed.filter(F.expr(f"size({_TOKS}) >= 5"))
+    scored = gated.withColumn("quality", F.expr(score))
+    scrub = scrub_expressions("text")
+    scrubbed = scored.select(
         "key",
         "ts",
         F.expr(scrub["clean"]).alias("value"),
         F.expr(scrub["n_email"]).alias("n_email"),
-    )
-    scored = scrubbed.withColumn(
-        "quality", F.expr(score.replace("text", "value"))
+        "quality",
     )
     deduped = stream_dedup_minhash(
-        scored, text_col="value", extra_carry=["n_email", "quality"]
+        scrubbed, text_col="value", extra_carry=["n_email", "quality"]
     )
 
     q, sink = start_memory_sink(deduped, checkpoint_root=tmpdir)
