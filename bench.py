@@ -75,6 +75,10 @@ EXTRA = [
     "events_scd2_history",
     "dq_constraint_checks",
     "pipeline_curation_funnel",
+    # round-4c: incremental probe, training-order shuffle, bigram LM
+    "dedup_incremental_minhash",
+    "pipeline_global_shuffle",
+    "text_bigram_surprisal",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

@@ -382,3 +382,49 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("kept"), F.col("doc_id"))).alias("kept_id_sum"),
         )
     )
+
+
+# Global training-order shuffle: shard count scales with the writer fleet
+# (64 here; a 100 TB run picks shards so each output file lands near the
+# target file size). The ORDER hash uses a different LCG multiplier (69069,
+# the classic VAX/Marsaglia constant) than the SHARD hash (40503) so shard
+# membership and within-shard order are decorrelated; both stay far from
+# int64 overflow for ids to ~1e14.
+_SHUF_SHARDS = 64
+_SHUF_ORD = "(doc_id * 69069 + 5) % 1000003"
+
+
+@register(
+    "pipeline_global_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((doc_id * 40503 + 17) % {_SHUF_SHARDS} AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY (doc_id * 40503 + 17) % {_SHUF_SHARDS}
+             ORDER BY {_SHUF_ORD} ASC, doc_id ASC
+           ) AS INT) AS pos
+    FROM documents
+    """,
+)
+def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: every document gets
+    a (shard, pos) address — a uniform random permutation of the corpus,
+    grouped into {_SHUF_SHARDS} shard files — without a global sort and
+    without rand(). A trainer reads shards in any order and rows within a
+    shard in pos order; re-running the job (or re-trying a task) yields the
+    identical permutation, and a new epoch is a new pair of hash constants.
+
+    Scale: the shard assignment is a map-side projection, so the ONLY
+    shuffle is the exchange on the shard key; within-shard rank is a
+    per-shard local sort over corpus/{_SHUF_SHARDS} rows. A global
+    ``ORDER BY hash`` would range-partition and totally sort the corpus;
+    this plan never materializes a total order — exactly how shuffled
+    training shards are written at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("shard").orderBy(
+        F.expr(_SHUF_ORD).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", _bucket("doc_id", _SHUF_SHARDS).alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+    )

@@ -68,3 +68,76 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 4).alias("avg_surprisal"),
         )
     )
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_transform({_TOKS_SQL}, t -> lower(t)) AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM tok, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1)
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(-ln(c2.c2 * 1.0 / c1.c1)), 4) AS avg_bigram_surprisal
+    FROM bg
+    JOIN c2 USING (w1, w2)
+    JOIN c1 USING (w1)
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average bigram-conditional surprisal per document under the corpus's
+    own bigram model: ``-ln(c(w1 w2) / c(w1 ·))``, averaged over the doc's
+    bigrams (docs with < 2 tokens have none and are absent — deterministic
+    in both engines). The conditional denominator is the count of bigram
+    OCCURRENCES starting at w1 (= sum over w2 of c(w1, w2)), so every
+    probability is a true conditional and no smoothing is needed: every
+    scored bigram is in the model by construction. Together with
+    ``text_unigram_surprisal`` this is the 2-gram LM quality signal curation
+    stacks actually threshold on (low = boilerplate, high = noise).
+
+    Scale: ONE exploded (doc_id, w1, w2) frame is staged and fans into the
+    bigram-count build, the context-count rollup (a second tiny agg over
+    the VOCABULARY, not the corpus), and the scoring join. The bigram vocab
+    is Zipf-bounded but wider than the unigram vocab, so the scoring join
+    deliberately SHUFFLES on (w1, w2) instead of broadcasting — key-bounded
+    state, map-side combined on both inputs; the context counts then attach
+    with a vocabulary-sized (w1) join; the corpus reshuffles once more on
+    doc_id for the final average. 3 key-bounded shuffles total, no
+    broadcast whose size grows with the corpus."""
+    tok = _staged(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(f"transform({_TOKS}, t -> lower(t))").alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) < 2 THEN array()"
+                    " ELSE transform(sequence(1, size(toks) - 1),"
+                    "   i -> struct(toks[i - 1] AS w1, toks[i] AS w2)) END"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c2 = tok.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return (
+        tok.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("c2") / F.col("c1"))), 4).alias(
+                "avg_bigram_surprisal"
+            ),
+        )
+    )

@@ -390,3 +390,34 @@ def test_ivfpq_prunes_before_scoring_and_never_shuffles_vectors(spark):
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert_no_wide_shuffle(df, "embedding")
     assert_read_schema_pruned(df, max_columns=2)
+
+
+def test_global_shuffle_one_exchange_no_total_order(spark):
+    """The training-order shuffle must be ONE hash Exchange on the shard
+    key feeding a per-shard local sort — never rangepartitioning (a global
+    sort of the corpus) and never a second shuffle."""
+    plan = explain_str(QUERIES["pipeline_global_shuffle"](spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange") == 1, plan[:1500]
+    assert "rangepartitioning" not in plan.lower(), plan[:1500]
+
+
+def test_incremental_minhash_probe_stays_equi(spark):
+    """Batch-vs-base probe: the band-collision join and both verification
+    joins are equi-joins (no cartesian/BNLJ anywhere), the shape that keeps
+    the daily probe O(batch + collisions) instead of O(corpus)."""
+    df = QUERIES["dedup_incremental_minhash"](spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bigram_surprisal_text_never_shuffles(spark):
+    """The LM scoring pipeline shuffles only narrow key frames: no Exchange
+    may carry the raw text column (the corpus payload), and nothing range
+    partitions. The bigram-count join deliberately shuffles on (w1, w2) —
+    key-bounded — rather than broadcasting a corpus-growing vocab."""
+    df = QUERIES["text_bigram_surprisal"](spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    assert_no_wide_shuffle(df, "text", max_exchanges=0)
+    plan = explain_str(df, "simple")
+    assert "rangepartitioning" not in plan.lower(), plan[:1500]

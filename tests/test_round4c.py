@@ -1,0 +1,84 @@
+"""Property tests for the round-4c additions: the deterministic global
+shuffle, incremental (batch-vs-base) minhash dedup, and the bigram LM
+surprisal. Values are hash-certified by the DuckDB oracles; these tests pin
+the SEMANTIC contracts the oracles can't state (determinism across runs,
+cross-query consistency, structural invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_join_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def test_global_shuffle_is_a_permutation(spark):
+    """Every document appears exactly once, and within each shard the
+    positions are exactly 1..count (contiguous, no gaps/ties)."""
+    out = QUERIES["pipeline_global_shuffle"](spark, SF_SMOKE).cache()
+    try:
+        n_docs = out.count()
+        assert out.select("doc_id").distinct().count() == n_docs
+        bad = (
+            out.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("pos").alias("lo"),
+                 F.max("pos").alias("hi"), F.count_distinct("pos").alias("d"))
+            .filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))
+                    | (F.col("d") != F.col("n")))
+            .count()
+        )
+        assert bad == 0
+    finally:
+        out.unpersist()
+
+
+def test_global_shuffle_is_rerun_stable(spark):
+    """Re-running yields the identical (shard, pos) address for every doc —
+    the property rand()-based shuffles cannot give and the whole reason the
+    order is an id-hash."""
+    a = QUERIES["pipeline_global_shuffle"](spark, SF_SMOKE)
+    b = QUERIES["pipeline_global_shuffle"](spark, SF_SMOKE)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_incremental_minhash_agrees_with_full_self_join(spark):
+    """Cross-query consistency: the incremental probe and the full-corpus
+    self-join share one signature contract, so a batch doc's n_dups must
+    equal the number of (batch, base) pairs the full dedup_minhash_lsh
+    emits for it. One admission row per batch doc, kept <=> n_dups = 0."""
+    inc = QUERIES["dedup_incremental_minhash"](spark, SF_SMOKE).cache()
+    try:
+        rows = {r.doc_id: r for r in inc.collect()}
+        batch_ids = set(rows)
+        assert all(r.kept == (r.n_dups == 0) for r in rows.values())
+        assert all(d % 10 == 3 for d in batch_ids)
+
+        pairs = QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+        expected: dict[int, int] = {d: 0 for d in batch_ids}
+        for p in pairs:
+            for me, other in ((p.doc_a, p.doc_b), (p.doc_b, p.doc_a)):
+                if me % 10 == 3 and other % 10 != 3:
+                    expected[me] += 1
+        assert {d: r.n_dups for d, r in rows.items()} == expected
+    finally:
+        inc.unpersist()
+
+
+def test_bigram_surprisal_counts_and_bounds(spark):
+    """n_bigrams = n_tokens - 1 for every scored doc (docs with < 2 tokens
+    are absent), and MLE conditional surprisal is never negative."""
+    bs = QUERIES["text_bigram_surprisal"](spark, SF_SMOKE).cache()
+    try:
+        assert bs.filter(F.col("avg_bigram_surprisal") < 0).count() == 0
+        tc = QUERIES["text_token_count"](spark, SF_SMOKE).select(
+            "doc_id", "n_tokens"
+        )
+        joined = bs.join(tc, "doc_id", "full")
+        assert joined.filter(
+            (F.col("n_tokens") >= 2) & (F.col("n_bigrams") != F.col("n_tokens") - 1)
+        ).count() == 0
+        assert joined.filter(
+            (F.col("n_tokens") < 2) & F.col("n_bigrams").isNotNull()
+        ).count() == 0
+    finally:
+        bs.unpersist()

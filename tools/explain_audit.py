@@ -63,6 +63,9 @@ AUDITED = [
     ("events_cohort_retention", "cohort matrix: one signup shuffle, broadcast sizes"),
     ("dq_constraint_checks", "union'd audit: anti-join FKs, single-agg uniqueness"),
     ("pipeline_curation_funnel", "7-gate funnel: row-local flags, bounded pair stage"),
+    ("dedup_incremental_minhash", "batch-vs-base probe: band-index equi-join, candidate-only verify"),
+    ("pipeline_global_shuffle", "training-order shuffle: one hash Exchange, per-shard sort"),
+    ("text_bigram_surprisal", "bigram LM: key-bounded (w1,w2) shuffles, text never moves"),
 ]
 
 # plan lines worth showing: node heads and the pushdown/pruning facts
