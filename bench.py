@@ -79,6 +79,7 @@ EXTRA = [
     "dedup_incremental_minhash",
     "pipeline_global_shuffle",
     "text_bigram_surprisal",
+    "dedup_fuzzy_edit_distance",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

@@ -421,3 +421,15 @@ def test_bigram_surprisal_text_never_shuffles(spark):
     assert_no_wide_shuffle(df, "text", max_exchanges=0)
     plan = explain_str(df, "simple")
     assert "rangepartitioning" not in plan.lower(), plan[:1500]
+
+
+def test_fuzzy_edit_distance_blocks_before_verify(spark):
+    """Edit-distance dedup: segment blocking and both verify joins are
+    equi-joins (never a cartesian — Levenshtein may only run on blocked
+    candidates), and the raw text column never enters an Exchange (only
+    the derived match key and narrow (i, seg) frames move)."""
+    df = QUERIES["dedup_fuzzy_edit_distance"](spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert_no_wide_shuffle(df, "text", max_exchanges=0)

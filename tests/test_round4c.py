@@ -82,3 +82,36 @@ def test_bigram_surprisal_counts_and_bounds(spark):
         ).count() == 0
     finally:
         bs.unpersist()
+
+
+def test_fuzzy_edit_distance_independently_verified(spark):
+    """Every emitted pair re-checked by an independent pure-Python DP
+    Levenshtein over the same match keys: distances must agree exactly and
+    respect the threshold; pairs are canonical (doc_a < doc_b)."""
+    from kafka_streams_join_spark.queries.fuzzy import KEY_LEN, MAX_EDIT_DIST
+
+    pairs = QUERIES["dedup_fuzzy_edit_distance"](spark, SF_SMOKE).collect()
+    assert pairs, "smoke corpus should contain fuzzy pairs"
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    titles = {
+        r.doc_id: r.title
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.lower(F.substring("text", 1, KEY_LEN)).alias("title"))
+        .collect()
+    }
+
+    def lev(s: str, t: str) -> int:
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    for p in pairs:
+        assert p.doc_a < p.doc_b
+        assert 0 <= p.edit_dist <= MAX_EDIT_DIST
+        assert lev(titles[p.doc_a], titles[p.doc_b]) == p.edit_dist

@@ -66,6 +66,7 @@ AUDITED = [
     ("dedup_incremental_minhash", "batch-vs-base probe: band-index equi-join, candidate-only verify"),
     ("pipeline_global_shuffle", "training-order shuffle: one hash Exchange, per-shard sort"),
     ("text_bigram_surprisal", "bigram LM: key-bounded (w1,w2) shuffles, text never moves"),
+    ("dedup_fuzzy_edit_distance", "edit-distance dedup: segment blocking, threshold Levenshtein verify"),
 ]
 
 # plan lines worth showing: node heads and the pushdown/pruning facts
