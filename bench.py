@@ -80,6 +80,8 @@ EXTRA = [
     "pipeline_global_shuffle",
     "text_bigram_surprisal",
     "dedup_fuzzy_edit_distance",
+    "text_char_entropy",
+    "pipeline_group_holdout_split",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

@@ -428,3 +428,50 @@ def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", _bucket("doc_id", _SHUF_SHARDS).alias("shard"))
         .withColumn("pos", F.row_number().over(w))
     )
+
+
+@register(
+    "pipeline_group_holdout_split",
+    oracle="""
+    SELECT source,
+           CASE WHEN CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 10 < 8
+                THEN 'train'
+                WHEN CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 10 = 8
+                THEN 'val' ELSE 'test' END AS fold,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-holdout (leakage-safe) split: every SOURCE lands wholly in one
+    fold (80/10/10 by an md5 hash of the source name), so near-duplicates
+    and stylistic twins — which cluster within a source — can never straddle
+    train and eval. The complement of ``pipeline_train_test_split``'s
+    per-document split: that one maximizes balance, this one guarantees
+    group isolation (the sklearn GroupShuffleSplit contract, distributed).
+    The fold is a function of the group KEY alone, so membership is
+    rerun-stable and new documents from a known source join its existing
+    fold without reshuffling history.
+
+    Scale: fold assignment is a map-side string-hash projection; the only
+    Exchange is the (source, fold) rollup. The md5-prefix hash is the same
+    engine-identical string-hash contract the weighted-sample and minhash
+    queries use (Spark ``conv(substring(md5(x),1,8),16,10)`` = DuckDB
+    ``('0x' || substr(md5(x),1,8))::BIGINT``)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.expr("cast(conv(substring(md5(source), 1, 8), 16, 10) as bigint) % 10")
+    return (
+        d.withColumn(
+            "fold",
+            F.when(h < 8, F.lit("train")).when(h == 8, F.lit("val")).otherwise(
+                F.lit("test")
+            ),
+        )
+        .groupBy("source", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -222,3 +222,59 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(ex["n_denied"]).alias("n_denied"),
         F.md5(F.expr(ex["clean"])).alias("clean_hash"),
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, string_split(text, '') AS chars
+      FROM documents WHERE length(text) >= 1
+    ),
+    d AS (
+      SELECT doc_id, chars, len(chars) AS n,
+             list_sort(list_distinct(chars)) AS dist
+      FROM c
+    )
+    SELECT doc_id,
+           len(dist) AS n_distinct_chars,
+           round(-list_sum(list_transform(dist,
+             ch -> (len(list_filter(chars, x -> x = ch)) * 1.0 / n)
+                   * ln(len(list_filter(chars, x -> x = ch)) * 1.0 / n))), 4)
+             AS char_entropy
+    FROM d
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's character distribution — the
+    gibberish/binary-junk gate curation stacks run alongside the repetition
+    filters: natural language sits in a narrow entropy band (~2.5-3.2 nats
+    for English), while base64 blobs, minified code, and binary spill score
+    far above and single-character padding far below. Emits (doc_id,
+    n_distinct_chars, char_entropy).
+
+    Determinism across engines: the per-character probabilities are summed
+    in SORTED-distinct-character order on BOTH sides (Spark ``aggregate``
+    over ``array_sort(array_distinct(...))``, DuckDB ``list_sum`` over the
+    same sorted list), so the float summation order is identical — the same
+    ordered-fold contract the k-means/logreg queries use — then rounded to
+    4 dp. Docs are pre-filtered on ``length(text) >= 1`` in BOTH engines
+    because the engines' empty-string splits disagree (Spark yields [''],
+    DuckDB []).
+
+    Scale: strictly per-document, so like the other gates in this module
+    it is a ZERO-shuffle row-local projection (plan-gated); the fold is
+    O(alphabet × doc_len) per row — alphabet-bounded, JVM-side, no Python.
+    """
+    doc = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    return doc.select(
+        "doc_id", F.expr("split(text, '')").alias("chars")
+    ).select(
+        "doc_id",
+        F.expr("size(array_sort(array_distinct(chars)))").alias("n_distinct_chars"),
+        F.expr(
+            "round(-aggregate(array_sort(array_distinct(chars)), 0.0D,"
+            " (acc, ch) -> acc + (size(filter(chars, x -> x = ch)) * 1.0 / size(chars))"
+            "   * ln(size(filter(chars, x -> x = ch)) * 1.0 / size(chars))), 4)"
+        ).alias("char_entropy"),
+    )

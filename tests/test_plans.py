@@ -433,3 +433,22 @@ def test_fuzzy_edit_distance_blocks_before_verify(spark):
     plan = explain_str(df)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert_no_wide_shuffle(df, "text", max_exchanges=0)
+
+
+def test_char_entropy_is_zero_shuffle_map_pass(spark):
+    """Char entropy is strictly per-document: ZERO Exchange, one corpus
+    FileScan, 2-column pruned read — the same gate shape as the other
+    quality filters in queries/quality.py."""
+    df = QUERIES["text_char_entropy"](spark, SF_SMOKE)
+    simple = explain_str(df, "simple")
+    assert "Exchange" not in simple, simple[:1500]
+    assert simple.count("FileScan parquet") == 1, simple[:1500]
+    assert_read_schema_pruned(df, max_columns=2)
+
+
+def test_group_holdout_single_rollup_shuffle(spark):
+    """Fold assignment is a map-side hash of the group key; the only
+    Exchange is the (source, fold) rollup — same gate as the per-doc
+    split."""
+    plan = explain_str(QUERIES["pipeline_group_holdout_split"](spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange") == 1, plan[:1500]

@@ -115,3 +115,40 @@ def test_fuzzy_edit_distance_independently_verified(spark):
         assert p.doc_a < p.doc_b
         assert 0 <= p.edit_dist <= MAX_EDIT_DIST
         assert lev(titles[p.doc_a], titles[p.doc_b]) == p.edit_dist
+
+
+def test_char_entropy_information_bounds(spark):
+    """0 <= H <= ln(n_distinct_chars) for every doc (4-dp slack), and a
+    single-character text has exactly zero entropy."""
+    import math
+
+    rows = QUERIES["text_char_entropy"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert -1e-4 <= r.char_entropy <= math.log(r.n_distinct_chars) + 1e-4, r
+    one = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    from kafka_streams_join_spark.queries.quality import text_char_entropy  # noqa: F401
+    ent = one.selectExpr(
+        "round(-aggregate(array_sort(array_distinct(split(text, ''))), 0.0D,"
+        " (acc, ch) -> acc + (size(filter(split(text, ''), x -> x = ch)) * 1.0"
+        "   / size(split(text, ''))) * ln(size(filter(split(text, ''), x -> x = ch))"
+        "   * 1.0 / size(split(text, '')))), 4) AS h"
+    ).collect()[0].h
+    assert ent == 0.0
+
+
+def test_group_holdout_isolates_every_source(spark):
+    """The leakage contract: every source maps to exactly ONE fold, folds
+    cover the corpus, and fold membership is a pure function of the
+    source name (rerun-stable)."""
+    rows = QUERIES["pipeline_group_holdout_split"](spark, SF_SMOKE).collect()
+    assert rows
+    folds: dict[str, set] = {}
+    for r in rows:
+        folds.setdefault(r.source, set()).add(r.fold)
+    assert all(len(v) == 1 for v in folds.values()), folds
+    again = {
+        (r.source, r.fold) for r in
+        QUERIES["pipeline_group_holdout_split"](spark, SF_SMOKE).collect()
+    }
+    assert again == {(r.source, r.fold) for r in rows}

@@ -67,6 +67,8 @@ AUDITED = [
     ("pipeline_global_shuffle", "training-order shuffle: one hash Exchange, per-shard sort"),
     ("text_bigram_surprisal", "bigram LM: key-bounded (w1,w2) shuffles, text never moves"),
     ("dedup_fuzzy_edit_distance", "edit-distance dedup: segment blocking, threshold Levenshtein verify"),
+    ("text_char_entropy", "char-entropy gate: zero-shuffle ordered-fold projection"),
+    ("pipeline_group_holdout_split", "group-holdout split: map-side key hash, one rollup Exchange"),
 ]
 
 # plan lines worth showing: node heads and the pushdown/pruning facts
