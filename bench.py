@@ -82,6 +82,9 @@ EXTRA = [
     "dedup_fuzzy_edit_distance",
     "text_char_entropy",
     "pipeline_group_holdout_split",
+    "retrieval_hybrid_rrf",
+    "dq_table_profile",
+    "pipeline_token_budget_plan",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

@@ -164,3 +164,58 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dq_table_profile — ANALYZE-style per-column statistics in one pass
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@register(
+    "dq_table_profile",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           count(*) AS n_rows,
+           count({c}) AS n_nonnull,
+           count(DISTINCT {c}) AS n_distinct
+    FROM events"""
+        for c in _PROFILE_COLS
+    ),
+)
+def dq_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile of ``events`` — row count, non-null count,
+    and EXACT distinct cardinality for every column, one output row per
+    column: the ANALYZE TABLE / dbt-docs statistics surface a catalog (and
+    a cost-based optimizer) feeds on. Zero null counts here are a verified
+    result, not dead code — the same argument as the PII regex counts.
+
+    Plan: ONE job — a single aggregate computes all 6 count-distincts via
+    Spark's Expand-based multi-distinct rewrite (each input row fans into
+    one narrow row per distinct-column before the shuffle), then a
+    ``stack`` projection unpivots the 1-row wide result into the long
+    (column, stats) form. Per-column UNION'd subqueries — the oracle's
+    spelling, and what 6 separate ANALYZE calls would do — would scan the
+    table 6 times; the Expand plan scans it once. At 100 TB swap
+    ``count_distinct`` for ``approx_count_distinct`` (HLL): same single
+    scan, Expand drops out, and the catalog stores estimates as every
+    production stats collector does (the exact form here is what makes the
+    oracle hash-checkable)."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(c).alias(f"nn_{c}") for c in _PROFILE_COLS],
+        *[F.count_distinct(F.col(c)).alias(f"nd_{c}") for c in _PROFILE_COLS],
+    )
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return agg.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (column_name, n_nonnull, n_distinct)"
+        ),
+    ).select("column_name", "n_rows", "n_nonnull", "n_distinct")

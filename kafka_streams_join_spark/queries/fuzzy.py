@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -76,15 +77,27 @@ def dedup_fuzzy_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys and runs Spark's codegen'd ``levenshtein`` WITH the threshold
     argument (early-abandon: the DP loop exits once the distance provably
     exceeds {MAX_EDIT_DIST}, turning O(L²) per pair into O(L·k)). The raw
-    text column never leaves the scan projection."""
-    t = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.lower(F.substring("text", 1, KEY_LEN)).alias("title")
+    text column never leaves the scan projection.
+
+    Both multi-consumer frames are staged (operators/staging.py): ``t``
+    feeds the segment build plus the two verify joins and ``segs`` feeds
+    the DF filter plus both sides of the blocking self-join, so the corpus
+    parquet is scanned ONCE per run instead of ~8 times — and unlike
+    dedup_minhash_lsh's measured staging revert, the staged forms here
+    (192-char keys, 64-char segments) are far smaller than the text scan
+    they replace."""
+    t = _staged(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.lower(F.substring("text", 1, KEY_LEN)).alias("title")
+        )
     )
     seg_arr = ", ".join(
         f"substring(title, {1 + SEG_LEN * i}, {SEG_LEN})" for i in range(_N_SEGS)
     )
-    segs = t.select(
-        "doc_id", F.posexplode(F.expr(f"array({seg_arr})")).alias("i", "seg")
+    segs = _staged(
+        t.select(
+            "doc_id", F.posexplode(F.expr(f"array({seg_arr})")).alias("i", "seg")
+        )
     )
     keep = (
         segs.groupBy("i", "seg")

@@ -386,12 +386,16 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Global training-order shuffle: shard count scales with the writer fleet
 # (64 here; a 100 TB run picks shards so each output file lands near the
-# target file size). The ORDER hash uses a different LCG multiplier (69069,
-# the classic VAX/Marsaglia constant) than the SHARD hash (40503) so shard
-# membership and within-shard order are decorrelated; both stay far from
-# int64 overflow for ids to ~1e14.
+# target file size). The ORDER key is a 60-bit md5 prefix of the id — the
+# engine-identical string-hash contract the minhash/weighted-sample queries
+# use — NOT another small-modulus LCG: a 1e6-range order key would collide
+# ~16x per value in a 1.6e7-row shard, and the doc_id tie-break would then
+# emit long ingestion-ordered runs inside the "shuffled" output. At 2^60
+# values collisions are negligible at any corpus size; the shard hash
+# (40503 LCG) and the md5 order key are trivially decorrelated.
 _SHUF_SHARDS = 64
-_SHUF_ORD = "(doc_id * 69069 + 5) % 1000003"
+_SHUF_ORD_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+_SHUF_ORD_SPARK = "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
 
 
 @register(
@@ -401,7 +405,7 @@ _SHUF_ORD = "(doc_id * 69069 + 5) % 1000003"
            CAST((doc_id * 40503 + 17) % {_SHUF_SHARDS} AS BIGINT) AS shard,
            CAST(ROW_NUMBER() OVER (
              PARTITION BY (doc_id * 40503 + 17) % {_SHUF_SHARDS}
-             ORDER BY {_SHUF_ORD} ASC, doc_id ASC
+             ORDER BY {_SHUF_ORD_SQL} ASC, doc_id ASC
            ) AS INT) AS pos
     FROM documents
     """,
@@ -412,7 +416,7 @@ def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped into {_SHUF_SHARDS} shard files — without a global sort and
     without rand(). A trainer reads shards in any order and rows within a
     shard in pos order; re-running the job (or re-trying a task) yields the
-    identical permutation, and a new epoch is a new pair of hash constants.
+    identical permutation, and a new epoch is a new salt on the order key.
 
     Scale: the shard assignment is a map-side projection, so the ONLY
     shuffle is the exchange on the shard key; within-shard rank is a
@@ -422,7 +426,7 @@ def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     training shards are written at 100 TB."""
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("shard").orderBy(
-        F.expr(_SHUF_ORD).asc(), F.col("doc_id").asc()
+        F.expr(_SHUF_ORD_SPARK).asc(), F.col("doc_id").asc()
     )
     return (
         d.select("doc_id", _bucket("doc_id", _SHUF_SHARDS).alias("shard"))
@@ -474,4 +478,92 @@ def pipeline_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
         )
+    )
+
+
+# Mixture planning under a token budget: the step BEFORE domain resampling.
+# pipeline_domain_mix applies FIXED per-source keep rates; this computes
+# them — given per-source weights and a total token budget, derive the
+# integer-ppm rate each source needs so the kept corpus hits the budget in
+# the target proportions. Premium sources weigh 3, the long tail 1; the
+# budget is a quarter of the corpus. All arithmetic is BIGINT floor
+# division (Spark `div` = DuckDB `//`), so the plan is bit-stable.
+_PLAN_BUDGET_DEN = 4  # budget = corpus_tokens / 4
+_PLAN_W_PREMIUM = 3
+_PLAN_W_TAIL = 1
+
+
+@register(
+    "pipeline_token_budget_plan",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(sum((n_chars + 3) // 4) AS BIGINT) AS total_tokens,
+             CAST(CASE WHEN source IN {_MIX_PREMIUM}
+                  THEN {_PLAN_W_PREMIUM} ELSE {_PLAN_W_TAIL} END AS BIGINT) AS weight
+      FROM documents GROUP BY source
+    ),
+    corpus AS (
+      SELECT CAST(sum(total_tokens) // {_PLAN_BUDGET_DEN} AS BIGINT) AS budget,
+             CAST(sum(weight) AS BIGINT) AS w_total
+      FROM per_src
+    )
+    SELECT source, total_tokens, weight,
+           CAST(budget * weight // w_total AS BIGINT) AS target_tokens,
+           CAST(least(1000000, budget * weight * 1000000 // (w_total * total_tokens))
+                AS BIGINT) AS rate_ppm,
+           CAST(total_tokens
+                * least(1000000, budget * weight * 1000000 // (w_total * total_tokens))
+                // 1000000 AS BIGINT) AS planned_tokens
+    FROM per_src, corpus
+    """,
+)
+def pipeline_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning: given per-source mixture weights
+    (premium {_PLAN_W_PREMIUM}:{_PLAN_W_TAIL} tail) and a corpus-wide token
+    budget (1/{_PLAN_BUDGET_DEN} of total tokens, with tokens estimated as
+    ceil(n_chars/4) — the pack_sequences contract), derive each source's
+    integer-ppm sampling rate, capped at 100% (a source smaller than its
+    target share simply keeps everything — the under-supplied-domain case
+    every real mixture table has to handle). Emits the per-source plan:
+    inventory, weight, target, rate, and the tokens the rate actually
+    yields. ``pipeline_domain_mix`` is the downstream op that applies such
+    rates row-wise.
+
+    Scale: one map-side token estimate + one (source) rollup; the corpus
+    totals are a 1-row broadcast joined back onto the per-source rows.
+    Every step is BIGINT floor division (Spark ``div`` ≡ DuckDB ``//``),
+    so both engines plan the identical integers — no float share ever
+    exists. Headroom contract: ``budget * weight * 1e6`` stays inside
+    int64 for corpora to ~1e12 tokens (≈4 TB of text per weight unit);
+    beyond that, compute a per-mille rate first and scale by 1000 — the
+    same two-step both engines would floor identically."""
+    per_src = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.expr("(n_chars + 3) div 4")).alias("total_tokens"),
+            F.max(
+                F.when(
+                    F.col("source").isin(*_MIX_PREMIUM), F.lit(_PLAN_W_PREMIUM)
+                ).otherwise(F.lit(_PLAN_W_TAIL)).cast("bigint")
+            ).alias("weight"),
+        )
+    )
+    corpus = per_src.agg(
+        F.expr(f"sum(total_tokens) div {_PLAN_BUDGET_DEN}").alias("budget"),
+        F.sum("weight").alias("w_total"),
+    )
+    return per_src.join(F.broadcast(corpus)).select(
+        "source",
+        "total_tokens",
+        "weight",
+        F.expr("budget * weight div w_total").alias("target_tokens"),
+        F.expr(
+            "least(1000000L, budget * weight * 1000000L div (w_total * total_tokens))"
+        ).alias("rate_ppm"),
+        F.expr(
+            "total_tokens * least(1000000L,"
+            " budget * weight * 1000000L div (w_total * total_tokens)) div 1000000L"
+        ).alias("planned_tokens"),
     )

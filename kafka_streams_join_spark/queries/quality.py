@@ -241,7 +241,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(-list_sum(list_transform(dist,
              ch -> (len(list_filter(chars, x -> x = ch)) * 1.0 / n)
                    * ln(len(list_filter(chars, x -> x = ch)) * 1.0 / n))), 4)
-             AS char_entropy
+             + 0.0 AS char_entropy
     FROM d
     """,
 )
@@ -258,9 +258,15 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     over ``array_sort(array_distinct(...))``, DuckDB ``list_sum`` over the
     same sorted list), so the float summation order is identical — the same
     ordered-fold contract the k-means/logreg queries use — then rounded to
-    4 dp. Docs are pre-filtered on ``length(text) >= 1`` in BOTH engines
-    because the engines' empty-string splits disagree (Spark yields [''],
-    DuckDB []).
+    4 dp, then ``+ 0.0``: a constant-character doc's entropy is exactly
+    zero, and DuckDB's negated DOUBLE fold yields ``-0.0`` where Spark
+    yields ``0.0`` — adding zero normalizes the sign in both engines (IEEE
+    ``-0.0 + 0.0 = +0.0``), so the float-formatted parity hash can't split
+    on an arithmetically identical result. Docs are pre-filtered on
+    ``length(text) >= 1`` in BOTH engines: each splits the empty string to
+    [''] (verified — the engines AGREE here), which would score the empty
+    pseudo-character as a real symbol; the filter excludes the degenerate
+    doc outright.
 
     Scale: strictly per-document, so like the other gates in this module
     it is a ZERO-shuffle row-local projection (plan-gated); the fold is
@@ -276,5 +282,6 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(-aggregate(array_sort(array_distinct(chars)), 0.0D,"
             " (acc, ch) -> acc + (size(filter(chars, x -> x = ch)) * 1.0 / size(chars))"
             "   * ln(size(filter(chars, x -> x = ch)) * 1.0 / size(chars))), 4)"
+            " + 0.0d"
         ).alias("char_entropy"),
     )

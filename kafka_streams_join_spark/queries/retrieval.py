@@ -547,3 +547,157 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _WS_K)
         .select("rnk", "doc_id", "w", "es_key")
     )
+
+
+# --------------------------------------------------------------------------
+# retrieval_hybrid_rrf — reciprocal-rank fusion of two sparse rankers
+# --------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard Cormack/Clarke/Buettcher constant
+_RRF_TOPN = 10
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lower(unnest({_TOKS_SQL})) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(CAST(doclen AS DOUBLE)) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok
+      WHERE token IN {_BM25_TERMS_SQL}
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    bm25 AS (
+      SELECT tf.doc_id, round(sum(
+               ln(1 + ((SELECT n_docs FROM stats) - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1))
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                   + {_BM25_B} * dl.doclen / (SELECT avgdl FROM stats)))), 4) AS s
+      FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id
+    ),
+    tfidf AS (
+      SELECT tf.doc_id, round(sum(
+               tf.tf * ln(((SELECT n_docs FROM stats) + 1.0) / (df.df + 1.0))
+               / dl.doclen), 6) AS s
+      FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id
+    ),
+    r1 AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+      FROM bm25
+    ),
+    r2 AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+      FROM tfidf
+    ),
+    fused AS (
+      SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+             r1.rnk AS rnk_bm25, r2.rnk AS rnk_tfidf,
+             round(COALESCE(1.0 / ({_RRF_K} + r1.rnk), 0)
+                   + COALESCE(1.0 / ({_RRF_K} + r2.rnk), 0), 6) AS rrf
+      FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+    )
+    SELECT doc_id, rnk_bm25, rnk_tfidf, rrf,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rnk
+    FROM fused
+    QUALIFY rnk <= {_RRF_TOPN}
+    """,
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. SIGIR'09):
+    two independent sparse rankers — Okapi BM25 and length-normalized
+    tf-idf, both over the same fixed query-term set — are fused by
+    ``sum(1 / (k + rank_r))`` with the standard k={_RRF_K}, the same
+    score-free fusion production search stacks use to combine sparse and
+    dense legs (rank-only fusion needs no score calibration between
+    rankers). Emits the fused top-{_RRF_TOPN} with each leg's rank for
+    audit; a doc ranked by only one leg contributes only that leg's
+    reciprocal (COALESCE, not a dropped row — hence the FULL OUTER join of
+    the rank lists).
+
+    Scale: both rankers share ONE staged token scan and the same tiny
+    tf/df/dl aggregates (the term filter runs map-side in the scan, so only
+    matching rows reach any aggregate); the rank lists are query-result
+    sized (bounded by docs matching any term), their windows and the full
+    outer fusion join are tiny, and every score is rounded before ranking
+    with doc_id tie-breaks — the repo's engine-stable ordering contract,
+    applied at all three ranking steps."""
+    tok = _staged(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.explode(F.expr(f"transform({_TOKS}, t -> lower(t))")).alias("token"),
+        )
+    )
+    dl = _staged(tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen")))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("doclen").cast("double")).alias("avgdl"),
+    )
+    tf = _staged(
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    base = _staged(
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+    )
+    bm25 = base.groupBy("doc_id").agg(
+        F.round(
+            F.sum(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.expr(f"{k1} + 1"))
+                / (
+                    F.col("tf")
+                    + F.expr(k1)
+                    * (F.expr(f"1 - {b}") + F.expr(b) * F.col("doclen") / F.col("avgdl"))
+                )
+            ),
+            4,
+        ).alias("s")
+    )
+    tfidf = base.groupBy("doc_id").agg(
+        F.round(
+            F.sum(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                / F.col("doclen")
+            ),
+            6,
+        ).alias("s")
+    )
+    w = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+    r1 = bm25.select("doc_id", F.row_number().over(w).alias("rnk_bm25"))
+    r2 = tfidf.select("doc_id", F.row_number().over(w).alias("rnk_tfidf"))
+    fused = (
+        r1.join(r2, "doc_id", "full")
+        .select(
+            "doc_id",
+            "rnk_bm25",
+            "rnk_tfidf",
+            F.round(
+                F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rnk_bm25")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rnk_tfidf")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= _RRF_TOPN)
+    )

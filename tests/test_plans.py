@@ -452,3 +452,45 @@ def test_group_holdout_single_rollup_shuffle(spark):
     split."""
     plan = explain_str(QUERIES["pipeline_group_holdout_split"](spark, SF_SMOKE), "simple")
     assert plan.count("Exchange") == 1, plan[:1500]
+
+
+def test_hybrid_rrf_shares_one_token_scan(spark):
+    """Both fusion legs must reuse the STAGED token/tf frames (every
+    FileScan in the plan text sits under an InMemoryRelation — cached
+    lineage, built once — so the corpus is read one time for both legs),
+    and no cartesian anywhere. Textual FileScan counting would overcount
+    here: a cached relation's display includes its build lineage."""
+    df = QUERIES["retrieval_hybrid_rrf"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    # the only nested-loop join allowed is the broadcast of the 1-row
+    # corpus-stats aggregate (same shape as text_bm25_search); a true
+    # cartesian of data-sized relations is still forbidden
+    assert "CartesianProduct" not in plan, plan[:1500]
+    simple = explain_str(df, "simple")
+    assert "InMemoryRelation" in simple, simple[:1500]
+    for line in simple.splitlines():
+        if "FileScan parquet" in line:
+            # indented under an InMemoryRelation subtree, never a root scan
+            assert line.lstrip() != line, line
+
+
+def test_table_profile_single_scan_expand(spark):
+    """The 6-column exact-NDV profile must be ONE scan (Expand-based
+    multi-distinct), never the oracle's 6 UNION'd scans: exactly one
+    FileScan, an Expand node, and no rangepartitioning."""
+    df = QUERIES["dq_table_profile"](spark, SF_SMOKE)
+    simple = explain_str(df, "simple")
+    assert simple.count("FileScan parquet") == 1, simple[:1500]
+    assert "Expand" in simple, simple[:1500]
+    assert "rangepartitioning" not in simple.lower(), simple[:1500]
+
+
+def test_token_budget_plan_one_rollup_and_broadcast(spark):
+    """Mixture planning: one (source) rollup; the corpus totals join back
+    as a 1-row broadcast — never a shuffle of the per-source rows against
+    the scalar frame."""
+    df = QUERIES["pipeline_token_budget_plan"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    simple = explain_str(df, "simple")
+    assert "rangepartitioning" not in simple.lower(), simple[:1500]

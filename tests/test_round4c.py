@@ -152,3 +152,68 @@ def test_group_holdout_isolates_every_source(spark):
         QUERIES["pipeline_group_holdout_split"](spark, SF_SMOKE).collect()
     }
     assert again == {(r.source, r.fold) for r in rows}
+
+
+def test_char_entropy_negative_zero_normalized():
+    """Regression pin for the -0.0 parity trap: a constant-character doc
+    has exactly zero entropy, and the DuckDB oracle's negated DOUBLE fold
+    must canonicalize to +0.0 (not -0.0) after the `+ 0.0` normalization,
+    matching Spark's 0.0 under the float-formatted parity hash."""
+    import math
+    import duckdb
+
+    v = duckdb.sql(
+        "SELECT round(-list_sum(list_transform(['a'],"
+        " ch -> (1 * 1.0 / 1) * ln(1 * 1.0 / 1))), 4) + 0.0"
+    ).fetchone()[0]
+    assert v == 0.0 and math.copysign(1.0, v) == 1.0
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark):
+    """RRF sanity: fused scores equal the reciprocal-rank formula applied
+    to the emitted leg ranks, ordering follows the fused score, and a doc
+    leading BOTH legs must lead the fusion."""
+    rows = QUERIES["retrieval_hybrid_rrf"](spark, SF_SMOKE).collect()
+    assert rows
+    from kafka_streams_join_spark.queries.retrieval import _RRF_K
+
+    for r in rows:
+        expect = 0.0
+        if r.rnk_bm25 is not None:
+            expect += 1.0 / (_RRF_K + r.rnk_bm25)
+        if r.rnk_tfidf is not None:
+            expect += 1.0 / (_RRF_K + r.rnk_tfidf)
+        assert abs(r.rrf - round(expect, 6)) < 1e-9, r
+    ordered = sorted(rows, key=lambda r: (-r.rrf, r.doc_id))
+    assert [r.rnk for r in ordered] == list(range(1, len(rows) + 1))
+    both_first = [r for r in rows if r.rnk_bm25 == 1 and r.rnk_tfidf == 1]
+    if both_first:
+        assert both_first[0].rnk == 1
+
+
+def test_table_profile_invariants(spark):
+    """One row per profiled column; n_distinct <= n_nonnull <= n_rows;
+    the primary key profiles as fully distinct and fully non-null."""
+    rows = {r.column_name: r for r in QUERIES["dq_table_profile"](spark, SF_SMOKE).collect()}
+    from kafka_streams_join_spark.queries.data_quality import _PROFILE_COLS
+
+    assert set(rows) == set(_PROFILE_COLS)
+    for r in rows.values():
+        assert r.n_distinct <= r.n_nonnull <= r.n_rows, r
+    pk = rows["event_id"]
+    assert pk.n_distinct == pk.n_nonnull == pk.n_rows
+
+
+def test_token_budget_plan_respects_budget_and_caps(spark):
+    """The planned mixture must (a) never exceed any source's inventory,
+    (b) cap rates at 100%, and (c) land the total planned tokens at or
+    under the budget (floor division only rounds down)."""
+    rows = QUERIES["pipeline_token_budget_plan"](spark, SF_SMOKE).collect()
+    assert rows
+    corpus_tokens = sum(r.total_tokens for r in rows)
+    budget = corpus_tokens // 4
+    for r in rows:
+        assert 0 <= r.rate_ppm <= 1_000_000, r
+        assert r.planned_tokens <= r.total_tokens, r
+        assert r.planned_tokens <= r.target_tokens or r.rate_ppm == 1_000_000, r
+    assert sum(r.planned_tokens for r in rows) <= budget

@@ -69,6 +69,9 @@ AUDITED = [
     ("dedup_fuzzy_edit_distance", "edit-distance dedup: segment blocking, threshold Levenshtein verify"),
     ("text_char_entropy", "char-entropy gate: zero-shuffle ordered-fold projection"),
     ("pipeline_group_holdout_split", "group-holdout split: map-side key hash, one rollup Exchange"),
+    ("retrieval_hybrid_rrf", "RRF fusion: one staged token scan feeds both rankers"),
+    ("dq_table_profile", "ANALYZE profile: one Expand scan, not 6 union'd scans"),
+    ("pipeline_token_budget_plan", "mixture planning: one rollup, 1-row broadcast, all-integer"),
 ]
 
 # plan lines worth showing: node heads and the pushdown/pruning facts
