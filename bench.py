@@ -85,6 +85,9 @@ EXTRA = [
     "retrieval_hybrid_rrf",
     "dq_table_profile",
     "pipeline_token_budget_plan",
+    "events_markov_transitions",
+    "text_pmi_collocations",
+    "agg_incremental_merge",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

@@ -240,3 +240,61 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("is_current"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    totals AS (SELECT from_type, sum(n) AS n_from FROM pairs GROUP BY from_type)
+    SELECT p.from_type, p.to_type, p.n,
+           CAST(p.n * 1000000 // t.n_from AS BIGINT) AS prob_ppm
+    FROM pairs p JOIN totals t USING (from_type)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    P(next = B | current = A) over consecutive events per user (ordered by
+    µs timestamp with event_id tie-breaks — the engine-stable sequencing
+    contract), as exact integer ppm. The free-form complement of the FIXED
+    view→click→purchase funnel: the funnel asks about one path, this
+    measures every observed path — the input to next-event prediction,
+    journey mining, and drift detection between product releases.
+
+    Scale: one user_id shuffle feeds the lead() window over narrow
+    (user_id, ts, event_id, event_type) rows (props pruned at the scan);
+    the pair counts are an event-type-vocabulary-sized aggregate (K² rows
+    for K types), the row-normalizing totals join is vocabulary-sized, and
+    the ppm division is BIGINT floor division in both engines — no float
+    probability exists."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000000 div n_from").alias("prob_ppm"),
+    )

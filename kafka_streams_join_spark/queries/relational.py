@@ -1086,3 +1086,129 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok.cast("int").alias("sketch_within_5pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_incremental_merge — incremental view maintenance, proven in-row
+# --------------------------------------------------------------------------
+
+_IVM_CUTOFF = "1997-01-01"  # old batch strictly before; delta at/after
+
+
+@register(
+    "agg_incremental_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_returnflag, l_linestatus, l_shipdate,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    old AS (
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(cents) AS cents
+      FROM base WHERE l_shipdate < DATE '{_IVM_CUTOFF}' GROUP BY 1, 2
+    ),
+    delta AS (
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(cents) AS cents
+      FROM base WHERE l_shipdate >= DATE '{_IVM_CUTOFF}' GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT COALESCE(o.l_returnflag, d.l_returnflag) AS l_returnflag,
+             COALESCE(o.l_linestatus, d.l_linestatus) AS l_linestatus,
+             COALESCE(o.cnt, 0) + COALESCE(d.cnt, 0) AS cnt,
+             CAST(COALESCE(o.cents, 0) + COALESCE(d.cents, 0) AS BIGINT) AS cents
+      FROM old o FULL OUTER JOIN delta d
+        ON o.l_returnflag = d.l_returnflag AND o.l_linestatus = d.l_linestatus
+    ),
+    full_agg AS (
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM base GROUP BY 1, 2
+    )
+    SELECT m.l_returnflag, m.l_linestatus, m.cnt, m.cents,
+           CAST(m.cnt = f.cnt AND m.cents = f.cents AS INT) AS merge_consistent
+    FROM merged m JOIN full_agg f
+      ON f.l_returnflag = m.l_returnflag AND f.l_linestatus = m.l_linestatus
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for an algebraic aggregate: the fact
+    table splits into an OLD batch (shipped before {_IVM_CUTOFF}) and a
+    DELTA (at/after), each aggregates independently, and the per-group
+    merge ``(cnt_old + cnt_delta, sum_old + sum_delta)`` is certified
+    IN-ROW against the from-scratch aggregate (``merge_consistent`` — a
+    live flag, its liveness pinned by pytest per the sketch-flag advice).
+    This is the contract that lets a 100 TB daily pipeline aggregate ONLY
+    the new partition and fold it into yesterday's materialized rollup —
+    the batch analogue of the streaming partial-state merge, and the same
+    mergeability the HLL sketch rollup certifies for approximate state.
+    Sums are exact integer cents, so merged and from-scratch totals are
+    bit-identical, never merely close.
+
+    Plan: the split is a pushed date predicate over one staged scan; each
+    aggregate is partial+final map-side combined; the merge is a
+    group-key-sized full outer join (handles groups present in only one
+    batch — COALESCE on both sides); the certification join is
+    group-key-sized too. At scale the full_agg leg exists only in this
+    proof query — production keeps the materialized rollup and runs just
+    the delta+merge legs."""
+    from ..operators.staging import staged as _staged
+
+    base = _staged(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def _agg(df):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("cents")
+        )
+
+    old = _agg(base.filter(F.col("l_shipdate") < F.lit(_IVM_CUTOFF).cast("date")))
+    delta = _agg(base.filter(F.col("l_shipdate") >= F.lit(_IVM_CUTOFF).cast("date")))
+    o = old.alias("o")
+    d = delta.alias("d")
+    merged = o.join(
+        d,
+        (F.col("o.l_returnflag") == F.col("d.l_returnflag"))
+        & (F.col("o.l_linestatus") == F.col("d.l_linestatus")),
+        "full",
+    ).select(
+        F.coalesce(F.col("o.l_returnflag"), F.col("d.l_returnflag")).alias(
+            "l_returnflag"
+        ),
+        F.coalesce(F.col("o.l_linestatus"), F.col("d.l_linestatus")).alias(
+            "l_linestatus"
+        ),
+        (
+            F.coalesce(F.col("o.cnt"), F.lit(0)) + F.coalesce(F.col("d.cnt"), F.lit(0))
+        ).alias("cnt"),
+        (
+            F.coalesce(F.col("o.cents"), F.lit(0))
+            + F.coalesce(F.col("d.cents"), F.lit(0))
+        ).alias("cents"),
+    )
+    full_agg = _agg(base).select(
+        F.col("l_returnflag").alias("f_rf"),
+        F.col("l_linestatus").alias("f_ls"),
+        F.col("cnt").alias("f_cnt"),
+        F.col("cents").alias("f_cents"),
+    )
+    return merged.join(
+        full_agg,
+        (F.col("l_returnflag") == F.col("f_rf"))
+        & (F.col("l_linestatus") == F.col("f_ls")),
+    ).select(
+        *keys,
+        "cnt",
+        "cents",
+        (
+            (F.col("cnt") == F.col("f_cnt")) & (F.col("cents") == F.col("f_cents"))
+        )
+        .cast("int")
+        .alias("merge_consistent"),
+    )

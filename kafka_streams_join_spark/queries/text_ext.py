@@ -14,7 +14,7 @@ window (local-oracle-proven; rotated in a later round).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
@@ -140,4 +140,108 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_bigram_surprisal"
             ),
         )
+    )
+
+
+_PMI_MIN_COUNT = 5  # frequency floor: PMI is unstable on rare pairs
+_PMI_TOPN = 20
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_transform({_TOKS_SQL}, t -> lower(t)) AS toks
+      FROM documents
+    ),
+    uni AS (
+      SELECT t.tk AS w, count(*) AS c1
+      FROM tok, unnest(toks) AS t(tk) GROUP BY t.tk
+    ),
+    tot AS (SELECT sum(c1) AS t_uni FROM uni),
+    bg AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*) AS c2
+      FROM tok, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS g(i)
+      GROUP BY 1, 2
+    ),
+    btot AS (SELECT sum(c2) AS t_bg FROM bg),
+    pmi AS (
+      SELECT bg.w1, bg.w2, bg.c2,
+             round(ln((bg.c2 * 1.0 / (SELECT t_bg FROM btot))
+                   / ((ua.c1 * 1.0 / (SELECT t_uni FROM tot))
+                      * (ub.c1 * 1.0 / (SELECT t_uni FROM tot)))), 4) AS pmi
+      FROM bg
+      JOIN uni ua ON ua.w = bg.w1
+      JOIN uni ub ON ub.w = bg.w2
+      WHERE bg.c2 >= {_PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c2, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rnk
+    FROM pmi
+    QUALIFY rnk <= {_PMI_TOPN}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: the top-{_PMI_TOPN}
+    adjacent token pairs by ``ln(p(w1,w2) / (p(w1) p(w2)))`` with a
+    frequency floor of {_PMI_MIN_COUNT} (PMI over-rewards hapax pairs —
+    Church & Hanks CL'90's caveat, applied as a hard floor so the contract
+    is exact). Complements ``text_bigram_top`` (raw frequency finds "of
+    the"; PMI finds genuinely ASSOCIATED pairs — multiword expressions,
+    named entities) and feeds tokenizer/phrase-vocabulary induction.
+
+    Scale: the unigram and bigram count tables are Zipf-bounded aggregates
+    of one pass over the tokens; the two scalar totals broadcast as 1-row
+    frames; the PMI join keys on the (vocabulary-sized) unigram table
+    twice — broadcast below the threshold, shuffle-on-key above, either
+    way never corpus-sized. Scores round to 4 dp BEFORE the global top-k
+    ranking with (w1, w2) tie-breaks — the engine-stable ordering
+    contract; the rank window runs over floor-filtered pairs only."""
+    tok = _staged(
+        load_table(spark, sf_dir, "documents").select(
+            F.expr(f"transform({_TOKS}, t -> lower(t))").alias("toks")
+        )
+    )
+    uni = tok.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    tot = uni.agg(F.sum("c1").alias("t_uni"))
+    bg = (
+        tok.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) < 2 THEN array()"
+                    " ELSE transform(sequence(1, size(toks) - 1),"
+                    "   i -> struct(toks[i - 1] AS w1, toks[i] AS w2)) END"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    btot = bg.agg(F.sum("c2").alias("t_bg"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
+    pmi = (
+        bg.filter(F.col("c2") >= _PMI_MIN_COUNT)
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            F.round(
+                F.log(
+                    (F.col("c2") / F.col("t_bg"))
+                    / ((F.col("c1a") / F.col("t_uni")) * (F.col("c1b") / F.col("t_uni")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+    return pmi.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _PMI_TOPN
     )

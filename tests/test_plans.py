@@ -494,3 +494,20 @@ def test_token_budget_plan_one_rollup_and_broadcast(spark):
     assert "CartesianProduct" not in plan, plan[:1500]
     simple = explain_str(df, "simple")
     assert "rangepartitioning" not in simple.lower(), simple[:1500]
+
+
+def test_markov_transitions_prunes_props_and_stays_equi(spark):
+    """The transition matrix reads only the 4 narrow event columns (props —
+    the wide payload — must be pruned at the scan) and joins only on the
+    vocabulary-sized from_type key."""
+    df = QUERIES["events_markov_transitions"](spark, SF_SMOKE)
+    assert_read_schema_pruned(df, max_columns=4)
+    assert "CartesianProduct" not in explain_str(df)
+
+
+def test_pmi_rank_window_runs_on_filtered_pairs_only(spark):
+    """PMI's global top-k window is fed by the floor-filtered vocab-sized
+    pair frame, never the corpus (no CartesianProduct of data relations;
+    the 1-row totals broadcast like the BM25 stats)."""
+    df = QUERIES["text_pmi_collocations"](spark, SF_SMOKE)
+    assert "CartesianProduct" not in explain_str(df)

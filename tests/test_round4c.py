@@ -217,3 +217,61 @@ def test_token_budget_plan_respects_budget_and_caps(spark):
         assert r.planned_tokens <= r.total_tokens, r
         assert r.planned_tokens <= r.target_tokens or r.rate_ppm == 1_000_000, r
     assert sum(r.planned_tokens for r in rows) <= budget
+
+
+def test_markov_transition_mass_conserved(spark):
+    """Each user's event sequence of length L contributes exactly L-1
+    transitions, and per-from_type ppm rows can never exceed 1e6 total
+    (floor division only loses mass, never invents it)."""
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    pairs = QUERIES["events_markov_transitions"](spark, SF_SMOKE).collect()
+    assert pairs
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(p.n for p in pairs) == n_events - n_users
+    by_from: dict[str, int] = {}
+    for p in pairs:
+        by_from[p.from_type] = by_from.get(p.from_type, 0) + p.prob_ppm
+    assert all(v <= 1_000_000 for v in by_from.values()), by_from
+
+
+def test_pmi_floor_and_ordering(spark):
+    """Every collocation respects the frequency floor and the rank order
+    follows (pmi desc, w1, w2) exactly."""
+    from kafka_streams_join_spark.queries.text_ext import _PMI_MIN_COUNT
+
+    rows = QUERIES["text_pmi_collocations"](spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.c2 >= _PMI_MIN_COUNT for r in rows)
+    ordered = sorted(rows, key=lambda r: (-r.pmi, r.w1, r.w2))
+    assert [r.rnk for r in ordered] == list(range(1, len(rows) + 1))
+
+
+def test_incremental_merge_consistent_and_flag_live(spark):
+    """All merged groups must certify consistent — and the flag is LIVE:
+    merging only the old batch (a deliberately broken merge that drops the
+    delta) must disagree with the from-scratch aggregate."""
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    rows = QUERIES["agg_incremental_merge"](spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.merge_consistent == 1 for r in rows)
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    cutoff = F.lit("1997-01-01").cast("date")
+    old_only = (
+        li.filter(F.col("l_shipdate") < cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    full = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    assert {(r.l_returnflag, r.l_linestatus): r.cnt for r in old_only} != {
+        (r.l_returnflag, r.l_linestatus): r.cnt for r in full
+    }

@@ -72,6 +72,9 @@ AUDITED = [
     ("retrieval_hybrid_rrf", "RRF fusion: one staged token scan feeds both rankers"),
     ("dq_table_profile", "ANALYZE profile: one Expand scan, not 6 union'd scans"),
     ("pipeline_token_budget_plan", "mixture planning: one rollup, 1-row broadcast, all-integer"),
+    ("events_markov_transitions", "transition matrix: one user shuffle, vocab-sized normalize"),
+    ("text_pmi_collocations", "PMI collocations: Zipf-bounded counts, floor-filtered rank"),
+    ("agg_incremental_merge", "IVM merge: staged split scan, group-key-sized certification"),
 ]
 
 # plan lines worth showing: node heads and the pushdown/pruning facts
