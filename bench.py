@@ -88,6 +88,7 @@ EXTRA = [
     "events_markov_transitions",
     "text_pmi_collocations",
     "agg_incremental_merge",
+    "sim_recall_report",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

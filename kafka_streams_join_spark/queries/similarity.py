@@ -448,3 +448,67 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "rnk", F.round("cos_raw", 3).alias("cos"))
     )
+
+
+# --------------------------------------------------------------------------
+# sim_recall_report — ANN quality evaluation as an oracle-checked query
+# --------------------------------------------------------------------------
+
+from .registry import ORACLES as _ORACLES  # noqa: E402  (both legs registered above)
+
+
+@register(
+    "sim_recall_report",
+    oracle=f"""
+    SELECT bf.query_id,
+           CAST(count(*) AS BIGINT)                 AS n_bf,
+           CAST(count(ann.neighbor_id) AS BIGINT)   AS n_hit,
+           CAST(count(ann.neighbor_id) * 1000000 // count(*) AS BIGINT)
+             AS recall_ppm
+    FROM ({_ORACLES["sim_topk_bruteforce"]}) bf
+    LEFT JOIN ({_ORACLES["sim_lsh_ann_topk"]}) ann
+      ON ann.query_id = bf.query_id AND ann.neighbor_id = bf.neighbor_id
+    GROUP BY bf.query_id
+    """,
+)
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the LSH-ANN index against exact brute force, per
+    query, in exact integer ppm — ANN EVALUATION as a first-class
+    oracle-checked query rather than a test-only assertion. The pytest
+    recall floors certify a lower bound once; this emits the per-query
+    recall surface an index operator actually monitors (which queries the
+    bucket layout fails, whether a corpus shift degraded the index), under
+    the same hash-certified contract as every other operator. The oracle
+    composes the two legs' registered SQL verbatim, so the comparison can
+    never drift from the queries it audits.
+
+    Plan: both legs run as registered (brute force = the bounded blocked
+    GEMM baseline, ANN = multi-probe bucket pruning); ground truth LEFT
+    joins the ANN list on (query_id, neighbor_id) — query-result-sized
+    frames, equi-join — so missed queries score 0 rather than vanishing.
+    At 100 TB the brute-force leg is the expensive half, which is exactly
+    the point: recall evaluation runs on a SAMPLED query set (stride-bounded
+    here), never the full workload."""
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = sim_lsh_ann_topk(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        bf.join(
+            ann,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bf"),
+            F.count("a_nid").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_bf",
+            "n_hit",
+            F.expr("n_hit * 1000000 div n_bf").alias("recall_ppm"),
+        )
+    )

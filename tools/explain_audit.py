@@ -75,6 +75,7 @@ AUDITED = [
     ("events_markov_transitions", "transition matrix: one user shuffle, vocab-sized normalize"),
     ("text_pmi_collocations", "PMI collocations: Zipf-bounded counts, floor-filtered rank"),
     ("agg_incremental_merge", "IVM merge: staged split scan, group-key-sized certification"),
+    ("sim_recall_report", "ANN recall audit: both legs as registered, result-sized join"),
 ]
 
 # plan lines worth showing: node heads and the pushdown/pruning facts
