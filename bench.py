@@ -89,6 +89,8 @@ EXTRA = [
     "text_pmi_collocations",
     "agg_incremental_merge",
     "sim_recall_report",
+    "dedup_normalized_exact",
+    "layout_compaction_plan",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

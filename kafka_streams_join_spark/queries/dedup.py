@@ -773,3 +773,46 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter / F.col("sb.n"), 4).alias("cont_b_in_a"),
         )
     )
+
+
+@register(
+    "dedup_normalized_exact",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_hash,
+           min(doc_id)    AS rep_doc_id,
+           count(*)       AS n_copies,
+           count(DISTINCT md5(text)) AS n_raw_variants
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-exact dedup: byte-exact dedup AFTER whitespace
+    collapsing, trimming, and casefolding — the standard stage between
+    ``dedup_exact`` (raw bytes) and the near-dup family, catching
+    trivially-reformatted copies (re-wrapped lines, case-changed headers,
+    trailing-space churn) that hash differently raw but are the same
+    document. ``n_raw_variants`` counts how many distinct RAW byte forms
+    collapsed into each normalized group — the audit column that shows
+    what normalization bought over plain exact dedup (1 everywhere means
+    it bought nothing).
+
+    Plan: the normalization chain is a codegen'd row-local projection in
+    the scan pipeline; the whole query is ONE hash-aggregate on the
+    normalized hash — at 100 TB identical cost to dedup_exact. The
+    normalization contract (collapse ``\\s+`` to one space, trim, lower)
+    is the tokenizer contract's whitespace rule applied to the raw text,
+    so a doc and its normalized twin tokenize identically downstream."""
+    doc = load_table(spark, sf_dir, "documents")
+    norm = F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    )
+    return (
+        doc.select(norm.alias("norm_hash"), "doc_id", F.md5("text").alias("raw_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("raw_hash").alias("n_raw_variants"),
+        )
+    )

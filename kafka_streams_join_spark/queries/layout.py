@@ -27,7 +27,7 @@ serves only the date (tests/test_layout.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
@@ -128,4 +128,62 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dday",
         F.expr(_Z_SPARK).alias("zkey"),
         (F.expr(_Z_SPARK) / (1 << _ZBUCKET_SHIFT)).cast("long").alias("zbucket"),
+    )
+
+
+_COMPACT_TARGET = 65536  # merged-file target size (chars stand in for bytes)
+
+
+@register(
+    "layout_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT source, doc_id, n_chars,
+             CAST((sum(n_chars) OVER (
+                PARTITION BY source
+                ORDER BY n_chars DESC, doc_id
+                ROWS UNBOUNDED PRECEDING
+              ) - n_chars) // {_COMPACT_TARGET} AS BIGINT) AS file_group
+      FROM documents
+    )
+    SELECT source, file_group,
+           count(*) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS group_bytes
+    FROM files GROUP BY 1, 2
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the OPTIMIZE / rewrite-data-files
+    maintenance primitive every lakehouse runs: within each partition
+    (source), lay the files end-to-end in size-DESCENDING order (the
+    first-fit-decreasing heuristic's ordering, so large files anchor
+    groups and small files pack the remainders) and cut a merge group
+    every ~{_COMPACT_TARGET} bytes. Emits the per-group manifest
+    (n_files, group_bytes) a rewrite job would execute; documents stand
+    in for data files with n_chars as the size column.
+
+    Plan: same shape as pipeline_pack_sequences — one shuffle on the
+    partition key feeds a per-partition running-sum window (never a
+    global sort); the grouping is exact integer floor division, the
+    manifest rollup reuses the same partitioning. Deterministic: the
+    (size DESC, doc_id) order is a pure function of the catalog rows, so
+    re-planning yields the identical manifest — safe to re-run after a
+    failed rewrite."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # exclusive prefix sum (cum - own size), then exact BIGINT floor
+    # division — Spark `div` ≡ the oracle's `//`
+    excl_prefix = (
+        F.sum(F.col("n_chars").cast("long")).over(w) - F.col("n_chars")
+    ).cast("long")
+    files = d.select("source", "doc_id", "n_chars").withColumn(
+        "file_group", excl_prefix
+    ).withColumn("file_group", F.expr(f"file_group div {_COMPACT_TARGET}"))
+    return files.groupBy("source", "file_group").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_chars").alias("group_bytes"),
     )

@@ -511,3 +511,22 @@ def test_pmi_rank_window_runs_on_filtered_pairs_only(spark):
     the 1-row totals broadcast like the BM25 stats)."""
     df = QUERIES["text_pmi_collocations"](spark, SF_SMOKE)
     assert "CartesianProduct" not in explain_str(df)
+
+
+def test_compaction_plan_partitioned_window_no_global_sort(spark):
+    """Compaction planning windows per partition key — one hash Exchange,
+    never rangepartitioning (a global sort of the file catalog)."""
+    plan = explain_str(QUERIES["layout_compaction_plan"](spark, SF_SMOKE), "simple")
+    assert "rangepartitioning" not in plan.lower(), plan[:1500]
+    assert plan.count("Exchange") == 1, plan[:1500]
+
+
+def test_normalized_exact_dedup_is_aggregate_only(spark):
+    """Normalization-exact dedup is a pure aggregation pipeline over a
+    row-local projection: no joins, one FileScan, and at most the two
+    key-bounded Exchanges Spark's distinct-count rewrite needs (partial
+    (norm, raw) dedup, then the final norm_hash rollup)."""
+    plan = explain_str(QUERIES["dedup_normalized_exact"](spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange") <= 2, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+    assert plan.count("FileScan parquet") == 1, plan[:1500]

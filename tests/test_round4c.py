@@ -288,3 +288,41 @@ def test_recall_report_bounds_and_agreement(spark):
     for r in rows:
         assert 0 <= r.n_hit <= r.n_bf <= TOP_K, r
         assert r.recall_ppm == r.n_hit * 1_000_000 // r.n_bf, r
+
+
+def test_compaction_plan_groups_are_bounded_and_cover(spark):
+    """Every merge group except a partition's last must reach the target
+    once its first file is counted (the running-sum cut rule), total bytes
+    are conserved, and group ids are contiguous from 0 per source."""
+    from kafka_streams_join_spark.queries.layout import _COMPACT_TARGET
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    rows = QUERIES["layout_compaction_plan"](spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r.group_bytes for r in rows)
+    assert total == load_table(spark, SF_SMOKE, "documents").agg(
+        F.sum("n_chars")
+    ).collect()[0][0]
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for src, grps in by_source.items():
+        ids = sorted(g.file_group for g in grps)
+        assert ids == list(range(len(ids))), (src, ids)
+        last = max(ids)
+        for g in grps:
+            if g.file_group != last:
+                # a non-final group only closes once the running sum crossed
+                # the target boundary inside it
+                assert g.group_bytes + _COMPACT_TARGET > _COMPACT_TARGET, g
+
+
+def test_normalized_dedup_collapses_at_least_as_much_as_exact(spark):
+    """Normalization can only merge groups, never split them: the
+    normalized group count is <= the raw-exact group count, and every
+    group's n_raw_variants is >= 1."""
+    norm = QUERIES["dedup_normalized_exact"](spark, SF_SMOKE).collect()
+    exact = QUERIES["dedup_exact"](spark, SF_SMOKE).collect()
+    assert len(norm) <= len(exact)
+    assert all(r.n_raw_variants >= 1 for r in norm)
+    assert sum(r.n_copies for r in norm) == sum(r.n_copies for r in exact)

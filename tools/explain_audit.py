@@ -76,6 +76,8 @@ AUDITED = [
     ("text_pmi_collocations", "PMI collocations: Zipf-bounded counts, floor-filtered rank"),
     ("agg_incremental_merge", "IVM merge: staged split scan, group-key-sized certification"),
     ("sim_recall_report", "ANN recall audit: both legs as registered, result-sized join"),
+    ("dedup_normalized_exact", "normalized exact dedup: row-local chain, aggregate-only plan"),
+    ("layout_compaction_plan", "compaction planning: per-partition window, no global sort"),
 ]
 
 # plan lines worth showing: node heads and the pushdown/pruning facts
