@@ -278,11 +278,17 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     for K types), the row-normalizing totals join is vocabulary-sized, and
     the ppm division is BIGINT floor division in both engines — no float
     probability exists."""
+    from ..operators.staging import staged as _staged
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
+    # staged: the K²-row pair-count frame feeds BOTH the normalizing
+    # totals and the final join — without it the events scan + user_id
+    # shuffle + window would execute twice (the single-shuffle contract
+    # above would be false)
+    pairs = _staged(
         ev.withColumn("next_type", F.lead("event_type").over(w))
         .filter(F.col("next_type").isNotNull())
         .groupBy(

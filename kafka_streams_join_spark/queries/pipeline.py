@@ -510,11 +510,15 @@ _PLAN_W_TAIL = 1
     )
     SELECT source, total_tokens, weight,
            CAST(budget * weight // w_total AS BIGINT) AS target_tokens,
-           CAST(least(1000000, budget * weight * 1000000 // (w_total * total_tokens))
+           CAST(CASE WHEN total_tokens = 0 THEN 0
+                ELSE least(1000000,
+                     budget * weight * 1000000 // (w_total * total_tokens)) END
                 AS BIGINT) AS rate_ppm,
-           CAST(total_tokens
-                * least(1000000, budget * weight * 1000000 // (w_total * total_tokens))
-                // 1000000 AS BIGINT) AS planned_tokens
+           CAST(CASE WHEN total_tokens = 0 THEN 0
+                ELSE total_tokens
+                * least(1000000,
+                        budget * weight * 1000000 // (w_total * total_tokens))
+                // 1000000 END AS BIGINT) AS planned_tokens
     FROM per_src, corpus
     """,
 )
@@ -559,11 +563,18 @@ def pipeline_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         "weight",
         F.expr("budget * weight div w_total").alias("target_tokens"),
+        # total_tokens = 0 (a source of only empty docs) must plan rate 0,
+        # not divide by zero: DuckDB errors on // 0 while Spark div yields
+        # NULL — either way a parity split without the guard
         F.expr(
-            "least(1000000L, budget * weight * 1000000L div (w_total * total_tokens))"
+            "CASE WHEN total_tokens = 0 THEN 0L"
+            " ELSE least(1000000L,"
+            "   budget * weight * 1000000L div (w_total * total_tokens)) END"
         ).alias("rate_ppm"),
         F.expr(
-            "total_tokens * least(1000000L,"
-            " budget * weight * 1000000L div (w_total * total_tokens)) div 1000000L"
+            "CASE WHEN total_tokens = 0 THEN 0L"
+            " ELSE total_tokens * least(1000000L,"
+            "   budget * weight * 1000000L div (w_total * total_tokens))"
+            "   div 1000000L END"
         ).alias("planned_tokens"),
     )

@@ -202,11 +202,17 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"transform({_TOKS}, t -> lower(t))").alias("toks")
         )
     )
-    uni = tok.select(F.explode("toks").alias("w")).groupBy("w").agg(
-        F.count(F.lit(1)).alias("c1")
+    # the two vocabulary-sized count tables are ALSO staged: uni feeds
+    # three consumers (tot, ua, ub) and bg two (btot, the PMI join) —
+    # unstaged, each consumer would re-run the corpus-sized explode+agg
+    # over the cached token frame
+    uni = _staged(
+        tok.select(F.explode("toks").alias("w")).groupBy("w").agg(
+            F.count(F.lit(1)).alias("c1")
+        )
     )
     tot = uni.agg(F.sum("c1").alias("t_uni"))
-    bg = (
+    bg = _staged(
         tok.select(
             F.explode(
                 F.expr(

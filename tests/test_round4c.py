@@ -288,12 +288,20 @@ def test_recall_report_bounds_and_agreement(spark):
     for r in rows:
         assert 0 <= r.n_hit <= r.n_bf <= TOP_K, r
         assert r.recall_ppm == r.n_hit * 1_000_000 // r.n_bf, r
+    # claim (c): the report's aggregate recall honors the same floor the
+    # ANN suite pins (test_extensions.test_ann_recall_at_5 uses 0.2)
+    agg = sum(r.n_hit for r in rows) / sum(r.n_bf for r in rows)
+    assert agg > 0.2, f"aggregate recall collapsed: {agg}"
 
 
 def test_compaction_plan_groups_are_bounded_and_cover(spark):
-    """Every merge group except a partition's last must reach the target
-    once its first file is counted (the running-sum cut rule), total bytes
-    are conserved, and group ids are contiguous from 0 per source."""
+    """Total bytes are conserved, every partition starts at group 0, and
+    the running-sum CUT RULE holds: for every non-final group id g, the
+    cumulative bytes of all groups with id <= g reach (g+1)*TARGET —
+    otherwise the next group's first file could not have crossed the
+    boundary. (Group ids may legitimately SKIP: one file larger than 2x
+    the target jumps several boundaries at once, so contiguity is NOT an
+    invariant and is deliberately not asserted.)"""
     from kafka_streams_join_spark.queries.layout import _COMPACT_TARGET
     from kafka_streams_join_spark.sources.parquet import load_table
 
@@ -307,14 +315,12 @@ def test_compaction_plan_groups_are_bounded_and_cover(spark):
     for r in rows:
         by_source.setdefault(r.source, []).append(r)
     for src, grps in by_source.items():
-        ids = sorted(g.file_group for g in grps)
-        assert ids == list(range(len(ids))), (src, ids)
-        last = max(ids)
-        for g in grps:
-            if g.file_group != last:
-                # a non-final group only closes once the running sum crossed
-                # the target boundary inside it
-                assert g.group_bytes + _COMPACT_TARGET > _COMPACT_TARGET, g
+        grps.sort(key=lambda g: g.file_group)
+        assert grps[0].file_group == 0, (src, grps[0])
+        cum = 0
+        for g in grps[:-1]:
+            cum += g.group_bytes
+            assert cum >= (g.file_group + 1) * _COMPACT_TARGET, (src, g, cum)
 
 
 def test_normalized_dedup_collapses_at_least_as_much_as_exact(spark):
