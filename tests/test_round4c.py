@@ -332,3 +332,82 @@ def test_normalized_dedup_collapses_at_least_as_much_as_exact(spark):
     assert len(norm) <= len(exact)
     assert all(r.n_raw_variants >= 1 for r in norm)
     assert sum(r.n_copies for r in norm) == sum(r.n_copies for r in exact)
+
+
+def test_fuzzy_dedup_randomized_differential(spark, tmp_path):
+    """Randomized differential test: on synthetic corpora of base strings
+    plus edited variants, the Spark query must equal a brute-force Python
+    reference that applies the SAME blocking contract (shared kept segment
+    at equal position, DF cap) and exact DP distances — catching any drift
+    between the distributed plan and the documented candidate semantics."""
+    import itertools
+    import random
+
+    from kafka_streams_join_spark.queries.fuzzy import (
+        KEY_LEN,
+        MAX_EDIT_DIST,
+        SEG_DF_CAP,
+        SEG_LEN,
+        _N_SEGS,
+    )
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(1234)
+    alphabet = "abcdef "
+    docs = []
+    doc_id = 0
+    for base_i in range(6):
+        base = "".join(rng.choice(alphabet) for _ in range(KEY_LEN + 20))
+        for variant in range(rng.randint(1, 3)):
+            s = list(base)
+            for _ in range(rng.randint(0, 5)):
+                op = rng.choice("sid")
+                pos = rng.randrange(len(s))
+                if op == "s":
+                    s[pos] = rng.choice(alphabet)
+                elif op == "i":
+                    s.insert(pos, rng.choice(alphabet))
+                elif len(s) > 1:
+                    del s[pos]
+            docs.append((doc_id, "".join(s), "en", f"src{base_i}", len(s)))
+            doc_id += 1
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in QUERIES["dedup_fuzzy_edit_distance"](spark, sf_dir).collect()
+    }
+
+    titles = {d: t[:KEY_LEN].lower() for d, t, *_ in docs}
+    segs = {
+        d: [t[SEG_LEN * i : SEG_LEN * (i + 1)] for i in range(_N_SEGS)]
+        for d, t in titles.items()
+    }
+    df_count: dict[tuple, int] = {}
+    for d, ss in segs.items():
+        for i, s in enumerate(ss):
+            df_count[(i, s)] = df_count.get((i, s), 0) + 1
+    expected = set()
+    for a, b in itertools.combinations(sorted(titles), 2):
+        blocked = any(
+            sa == sb and df_count[(i, sa)] <= SEG_DF_CAP
+            for i, (sa, sb) in enumerate(zip(segs[a], segs[b]))
+        )
+        if not blocked:
+            continue
+        d = lev(titles[a], titles[b])
+        if d <= MAX_EDIT_DIST:
+            expected.add((a, b, d))
+    assert got == expected
