@@ -411,3 +411,38 @@ def test_fuzzy_dedup_randomized_differential(spark, tmp_path):
         if d <= MAX_EDIT_DIST:
             expected.add((a, b, d))
     assert got == expected
+
+
+def test_compaction_plan_oversized_file_skips_group_ids(spark, tmp_path):
+    """A file larger than 2x the target jumps several group boundaries at
+    once: ids legitimately SKIP (the invariant contiguity would wrongly
+    forbid), each oversized file sits alone in its group, and the cut-rule
+    cumulative bound still holds. Smoke data never exercises this path —
+    this synthetic corpus does."""
+    from kafka_streams_join_spark.queries.layout import _COMPACT_TARGET
+
+    t = _COMPACT_TARGET
+    sizes = [3 * t + 10, 100, 90, t // 2, t // 2]  # one whale, small fry
+    docs = [
+        (i, "x", "en", "srcA", n) for i, n in enumerate(sizes)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    rows = sorted(
+        QUERIES["layout_compaction_plan"](spark, sf_dir).collect(),
+        key=lambda r: r.file_group,
+    )
+    ids = [r.file_group for r in rows]
+    # whale (size-desc first) fills groups 0-3's span alone: next file's
+    # exclusive prefix is 3t+10 -> group 3; so ids are {0, 3, ...} — skipped
+    assert ids[0] == 0 and rows[0].n_files == 1 and rows[0].group_bytes == 3 * t + 10
+    assert ids[1] == 3, ids
+    assert ids != list(range(len(ids)))  # the contiguity assumption is false
+    cum = 0
+    for r in rows[:-1]:
+        cum += r.group_bytes
+        assert cum >= (r.file_group + 1) * t, (r, cum)
+    assert sum(r.group_bytes for r in rows) == sum(sizes)
