@@ -446,3 +446,23 @@ def test_compaction_plan_oversized_file_skips_group_ids(spark, tmp_path):
         cum += r.group_bytes
         assert cum >= (r.file_group + 1) * t, (r, cum)
     assert sum(r.group_bytes for r in rows) == sum(sizes)
+
+
+def test_token_budget_plan_zero_token_source_guarded(spark, tmp_path):
+    """A source whose documents are all empty (0 estimated tokens) must
+    plan rate 0 / planned 0 — not divide by zero (DuckDB errors on //0,
+    Spark div yields NULL; either would break parity without the guard)."""
+    docs = [(0, "", "en", "empty_src", 0), (1, "", "en", "empty_src", 0)] + [
+        (i, "x" * 400, "en", "full_src", 400) for i in range(2, 10)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    rows = {r.source: r for r in QUERIES["pipeline_token_budget_plan"](spark, sf_dir).collect()}
+    empty = rows["empty_src"]
+    assert empty.total_tokens == 0
+    assert empty.rate_ppm == 0 and empty.planned_tokens == 0
+    full = rows["full_src"]
+    assert full.total_tokens > 0 and full.rate_ppm > 0
