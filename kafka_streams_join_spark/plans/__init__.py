@@ -14,6 +14,7 @@ from .inspect import (
     assert_broadcast_join,
     assert_no_cartesian,
     assert_no_wide_shuffle,
+    assert_no_single_partition_window_over,
     assert_wholestage_codegen,
 )
 
@@ -24,5 +25,6 @@ __all__ = [
     "assert_broadcast_join",
     "assert_no_cartesian",
     "assert_no_wide_shuffle",
+    "assert_no_single_partition_window_over",
     "assert_wholestage_codegen",
 ]

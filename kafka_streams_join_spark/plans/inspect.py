@@ -94,6 +94,34 @@ def assert_no_wide_shuffle(
         )
 
 
+def assert_no_single_partition_window_over(
+    df: DataFrame, col: str = "doc_id"
+) -> None:
+    """No ``Exchange SinglePartition`` node may carry ``col`` — the marker
+    column of a data-sized frame (e.g. ``doc_id`` for per-document rows).
+
+    An unpartitioned ``Window.orderBy`` funnels its whole input through one
+    task; that is fine for a model-sized side frame (per-level counts,
+    per-shard totals) but is the canonical driver-adjacent bottleneck when
+    the input is a row per corpus document. Gating on the *column* in the
+    Exchange input separates the two: bounded side frames never carry the
+    per-row id."""
+    plan = explain_str(df)
+    hits = []
+    for m in re.finditer(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition",
+        plan,
+    ):
+        cols = m.group(1)
+        if re.search(rf"\b{re.escape(col)}#", cols):
+            hits.append(cols)
+    if hits:
+        raise AssertionError(
+            f"Exchange SinglePartition carries data-sized column {col!r} "
+            f"(single-partition global sort of a per-row frame): {hits}"
+        )
+
+
 def assert_wholestage_codegen(df: DataFrame) -> None:
     """At least one WholeStageCodegen span — expression work stays JVM-side.
 

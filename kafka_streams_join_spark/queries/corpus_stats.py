@@ -132,11 +132,16 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve (V ≈ K·Nᵝ) that tells a tokenizer/dedup pipeline whether a
     corpus's vocabulary is saturating or still growing. The heavy lift
     is one token aggregate (first-occurrence doc per token, map-side
-    combined); the cumulative window then runs over the DOCS-sized
-    (doc_id, n_new, n_toks) frame. At 100 TB that single-partition
-    cumulative sort is replaced by two-phase prefix sums (per-partition
-    totals broadcast back); noted so the window is not mistaken for the
-    scale plan."""
+    combined); the cumulative sums over the DOCS-sized (doc_id, n_new,
+    n_toks) frame then run as TWO-PHASE PREFIX SUMS, never a
+    single-partition global sort: docs are bucketed into doc_id-range
+    shards (shard = doc_id div width, width from the 1-row max-id
+    aggregate — range sharding preserves global doc_id order across
+    shards), each shard computes its running sums under a window
+    PARTITIONED by shard, the per-shard totals (a shard-count-sized
+    frame, bounded by the chosen shard count, not the corpus) get
+    exclusive cumulative offsets, and the broadcast offsets are added
+    back. Gated: no Exchange SinglePartition carries doc_id."""
     tok = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.explode(F.expr(f"transform({_TOKS}, t -> lower(t))")).alias("token"),
@@ -146,14 +151,51 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_new")
     )
     doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        doclen.join(new_terms, "doc_id", "left")
+    per_doc = doclen.join(new_terms, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+    )
+    # Phase 0: shard width from the 1-row bounds aggregate (broadcasts);
+    # div is BIGINT floor division, so shard ranges partition the id space
+    # in order: every doc in shard i precedes every doc in shard i+1.
+    bounds = per_doc.agg(F.max("doc_id").alias("max_id"))
+    sharded = per_doc.join(F.broadcast(bounds)).select(
+        "doc_id",
+        "n_toks",
+        "n_new",
+        F.expr("doc_id div (greatest(cast(1 as bigint), (max_id div 64) + 1))").alias(
+            "shard"
+        ),
+    )
+    # Phase 1: running sums within each shard (partitioned window — the
+    # per-doc frame only crosses a hash exchange on shard).
+    in_shard = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = sharded.select(
+        "doc_id",
+        "shard",
+        F.sum("n_toks").over(in_shard).alias("loc_toks"),
+        F.sum("n_new").over(in_shard).alias("loc_new"),
+    )
+    # Phase 2: exclusive cumulative offsets over the per-shard totals — a
+    # shard-count-sized frame; its unpartitioned window is bounded by
+    # construction, not by the corpus.
+    off_w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        sharded.groupBy("shard")
+        .agg(F.sum("n_toks").alias("t_toks"), F.sum("n_new").alias("t_new"))
         .select(
-            "doc_id",
-            F.sum("n_toks").over(w).alias("cum_tokens"),
-            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("vocab_size"),
+            "shard",
+            F.coalesce(F.sum("t_toks").over(off_w), F.lit(0)).alias("off_toks"),
+            F.coalesce(F.sum("t_new").over(off_w), F.lit(0)).alias("off_new"),
         )
+    )
+    return local.join(F.broadcast(offsets), "shard").select(
+        "doc_id",
+        (F.col("loc_toks") + F.col("off_toks")).alias("cum_tokens"),
+        (F.col("loc_new") + F.col("off_new")).alias("vocab_size"),
     )
 
 

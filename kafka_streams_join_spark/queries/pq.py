@@ -30,8 +30,12 @@ stride-defined query set (Q = N/QUERY_STRIDE) does NOT satisfy that — it
 grows linearly with the corpus, so at large SF the broadcast must flip to
 either (a) a shuffle join on (m, code) with the same plan shape, or
 (b) per-query-batch execution: score a bounded slice of queries at a
-time, which is how a real ANN service runs anyway. The small-SF broadcast
-here is the measured-faster choice, not a scale claim.
+time, which is how a real ANN service runs anyway. (b) EXISTS AS CODE
+(round 5): every ANN query takes ``query_batch=<bounded id collection>``
+through ``similarity.query_admission``, and a batched sweep's union is
+pytest-proven equal to the full run. The small-SF default remains the
+stride slice — the measured-faster choice for the oracle surface, not a
+scale claim.
 """
 
 from __future__ import annotations
@@ -50,6 +54,7 @@ from .similarity import (
     _DIST2_SPARK as _COARSE_DIST2_SPARK,
     _DIST2_SQL as _COARSE_DIST2_SQL,
     label_centroids,
+    query_admission,
 )
 
 PQ_M = 4  # subspaces
@@ -205,10 +210,14 @@ def _assign_subs(subs: DataFrame, cents: DataFrame) -> DataFrame:
     return assign_to_codebook(subs, cents, "sub", PQ_SUB, key_cols=["m"])
 
 
-def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _pq_index(
+    spark: SparkSession, sf_dir: str, query_batch=None
+) -> tuple[DataFrame, DataFrame]:
     """(codes, lut): the trained PQ index the ADC queries share — corpus
     encoded as (vec_id, m, code) and the per-query integer distance table
-    (query_id, m, code, d2i)."""
+    (query_id, m, code, d2i). ``query_batch`` bounds the LUT's query side
+    (``similarity.query_admission``) — the API-level enforcement of the
+    broadcast-LUT validity condition the module docstring describes."""
     # staged: training, encode, and LUT all consume the flattened frame
     subs = _staged(
         _subspace_rows(
@@ -222,7 +231,7 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     c1 = _staged(_codebooks_of(_assign_subs(subs, c0), F.col("cl")))
     codes = _assign_subs(subs, c1).select("vec_id", "m", F.col("cl").alias("code"))
     lut = (
-        subs.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        query_admission(subs, query_batch)
         .join(F.broadcast(c1), "m")
         .select(
             F.col("vec_id").alias("query_id"),
@@ -247,7 +256,9 @@ def _rank_topk(scored: DataFrame) -> DataFrame:
 
 
 @register("sim_pq_topk", oracle=_oracle_sql())
-def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_pq_topk(
+    spark: SparkSession, sf_dir: str, query_batch=None
+) -> DataFrame:
     """PQ/ADC approximate top-k: 4×16-dim codebooks (deterministic Lloyd,
     one update round), corpus encoded to 4 code bytes, queries scored via
     integer-quantized distance lookup tables and ranked per query.
@@ -260,7 +271,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is EXHAUSTIVE ADC (every query scores every vector) — the recall
     ceiling for ``sim_ivfpq_topk``, which prunes to probed cells first."""
-    codes, lut = _pq_index(spark, sf_dir)
+    codes, lut = _pq_index(spark, sf_dir, query_batch)
     scored = (
         codes.join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -274,7 +285,7 @@ IVFPQ_NPROBE = 2  # same probe budget as sim_ivf_topk
 
 
 def _coarse_cells(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, query_batch=None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(cents, assigned, probes): the shared IVF coarse stage — per-label
     centroids, each vector's home cell (argmin), and each query's nprobe
@@ -293,7 +304,7 @@ def _coarse_cells(
         .select("vec_id", "cell_id", "crnk")
     )
     assigned = cdists.filter(F.col("crnk") == 1).select("vec_id", "cell_id")
-    probes = cdists.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+    probes = query_admission(cdists, query_batch).select(
         F.col("vec_id").alias("query_id"), "cell_id"
     )
     return cents, assigned, probes
@@ -345,7 +356,9 @@ def _ivfpq_oracle_sql() -> str:
 
 
 @register("sim_ivfpq_topk", oracle=_ivfpq_oracle_sql())
-def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ivfpq_topk(
+    spark: SparkSession, sf_dir: str, query_batch=None
+) -> DataFrame:
     """IVF cell pruning composed with PQ/ADC scoring — the composition
     both halves' docstrings promise, and the scale answer to exhaustive
     ADC's Q·N·M scoring cost. Queries probe their nprobe nearest coarse
@@ -369,8 +382,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index BUILD (written as a table bucketed by cell — the inverted
     file); only the probe/score stages run per query batch.
     """
-    codes, lut = _pq_index(spark, sf_dir)
-    cents, assigned, probes = _coarse_cells(spark, sf_dir)
+    codes, lut = _pq_index(spark, sf_dir, query_batch)
+    cents, assigned, probes = _coarse_cells(spark, sf_dir, query_batch)
     cand = (
         assigned.join(F.broadcast(probes), "cell_id")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -475,7 +488,9 @@ def _ivfpq_residual_oracle_sql() -> str:
 
 
 @register("sim_ivfpq_residual_topk", oracle=_ivfpq_residual_oracle_sql())
-def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ivfpq_residual_topk(
+    spark: SparkSession, sf_dir: str, query_batch=None
+) -> DataFrame:
     """Full IVFADC (Jégou et al. PAMI'11 §IV), residual encoding: each
     vector is PQ-coded on its RESIDUAL from its home coarse cell, and a
     query builds one LUT per probed cell from its residual against THAT
@@ -491,7 +506,7 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual rounding is the cross-engine determinism contract (see
     ``_RESID_SPARK``)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents, assigned, probes = _coarse_cells(spark, sf_dir)
+    cents, assigned, probes = _coarse_cells(spark, sf_dir, query_batch)
     # 6-dp-rounded centroid copy for the residual projection (see the
     # determinism contract above); cell RANKING keeps the shared
     # unrounded table for parity with sim_ivf_topk / sim_ivfpq_topk

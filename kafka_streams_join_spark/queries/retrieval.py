@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import register
-from .similarity import QUERY_STRIDE
+from .similarity import QUERY_STRIDE, query_admission
 from .text import _TOKS, _TOKS_SQL
 
 # --------------------------------------------------------------------------
@@ -92,7 +92,9 @@ _SQ_CODES_SQL = (
     FROM r WHERE rnk <= {_SQ_TOPK}
     """,
 )
-def sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_sq_topk(
+    spark: SparkSession, sf_dir: str, query_batch=None
+) -> DataFrame:
     """Top-k ANN over int8 scalar-quantized embeddings — the first rung of
     the ANN compression ladder (4× smaller index than float32; PQ in
     queries/pq.py is the 32× rung). Each vector is unit-normalized and
@@ -117,9 +119,8 @@ def sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm", F.expr(_NRM_SPARK)
     )
     codes = emb.select("vec_id", F.expr(_SQ_CODES_SPARK).alias("cc"))
-    qcodes = (
-        codes.filter(F.col("vec_id") % QUERY_STRIDE == 0)
-        .select(F.col("vec_id").alias("q_id"), F.col("cc").alias("qc"))
+    qcodes = query_admission(codes, query_batch).select(
+        F.col("vec_id").alias("q_id"), F.col("cc").alias("qc")
     )
     scored = (
         codes.crossJoin(F.broadcast(qcodes))
@@ -426,10 +427,16 @@ def pipeline_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     count tables are B={_DSIR_BUCKETS}-row aggregates (map-side combined —
     what moves is O(partitions·B)) that broadcast back into per-doc
     scoring; the corpus shuffles once, on doc_id, for the weight average.
-    The global ranking window is the oracle-parity surface; at production
-    scale DSIR keeps by a fixed weight threshold learned on a sample (a
-    map-side decision), or ranks within shards — both shapes noted here so
-    the single-partition window is not mistaken for the 100 TB plan."""
+    The global rank is then computed as a TWO-PHASE rank, never a
+    single-partition sort of the corpus: (1) a per-weight-LEVEL count
+    aggregate — bounded by the 4-dp rounding to the distinct values of a
+    mean-log-likelihood-ratio, a model-sized frame independent of corpus
+    size — gives each level its exclusive cumulative offset (the one
+    unpartitioned window in the plan runs over THIS bounded frame); (2) a
+    window partitioned BY the weight level ranks doc_ids within each
+    level; sel_rank = level offset + within-level rank, exactly the
+    global row_number. The per-document frame therefore only ever crosses
+    hash exchanges (gated: no Exchange SinglePartition carries doc_id)."""
     feat = _staged(
         load_table(spark, sf_dir, "documents").select(
             "doc_id",
@@ -467,10 +474,32 @@ def pipeline_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lam"), 4).alias("iw"),
         )
     )
+    weights = _staged(weights)
+    # Phase 1: per-weight-level counts (bounded: distinct 4-dp values of a
+    # mean log-ratio — model-sized whatever the corpus), with exclusive
+    # cumulative offsets in global iw-desc order. The unpartitioned window
+    # here runs over the bounded level frame, not the per-doc frame.
+    lvl_w = Window.orderBy(F.col("iw").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    levels = (
+        weights.groupBy("iw")
+        .agg(F.count(F.lit(1)).alias("lvl_n"))
+        .select(
+            "iw",
+            F.coalesce(F.sum("lvl_n").over(lvl_w), F.lit(0)).alias("lvl_off"),
+        )
+    )
+    # Phase 2: rank within each level (partitioned window — distributes by
+    # iw) and add the level's offset: exactly the global row_number.
+    in_lvl = Window.partitionBy("iw").orderBy("doc_id")
     n_docs = weights.agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.orderBy(F.col("iw").desc(), F.col("doc_id"))
     return (
-        weights.withColumn("sel_rank", F.row_number().over(w))
+        weights.join(F.broadcast(levels), "iw")
+        .withColumn(
+            "sel_rank",
+            (F.col("lvl_off") + F.row_number().over(in_lvl)).cast("int"),
+        )
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -555,6 +584,14 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RRF_K = 60  # the standard Cormack/Clarke/Buettcher constant
 _RRF_TOPN = 10
+# Each ranker leg feeds fusion its TOP-N only — the standard RRF contract
+# (production stacks fuse leg top-k lists, not full rankings). The cap is
+# applied as ORDER BY + LIMIT so the leg plans TakeOrderedAndProject (a
+# per-partition heap + driver merge — no global sort, no full rank); the
+# rank window then runs over the N-bounded survivors only. (WindowGroupLimit
+# cannot prune an UNpartitioned rank window in this Spark build — TakeOrdered
+# is the correct physical shape for a global top-N.)
+_RRF_LEG_N = 1000
 
 
 @register(
@@ -591,11 +628,11 @@ _RRF_TOPN = 10
     ),
     r1 AS (
       SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
-      FROM bm25
+      FROM bm25 QUALIFY rnk <= {_RRF_LEG_N}
     ),
     r2 AS (
       SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
-      FROM tfidf
+      FROM tfidf QUALIFY rnk <= {_RRF_LEG_N}
     ),
     fused AS (
       SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
@@ -624,11 +661,14 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both rankers share ONE staged token scan and the same tiny
     tf/df/dl aggregates (the term filter runs map-side in the scan, so only
-    matching rows reach any aggregate); the rank lists are query-result
-    sized (bounded by docs matching any term), their windows and the full
-    outer fusion join are tiny, and every score is rounded before ranking
-    with doc_id tie-breaks — the repo's engine-stable ordering contract,
-    applied at all three ranking steps."""
+    matching rows reach any aggregate); each leg feeds fusion its
+    top-{_RRF_LEG_N} ONLY (the standard RRF contract — mirrored in the
+    oracle's QUALIFY), applied as ORDER BY + LIMIT so each leg plans
+    TakeOrderedAndProject (per-partition heap + driver merge); the rank
+    window and the full-outer fusion join then see N-bounded frames
+    regardless of how many documents match a term. Every score is rounded
+    before ranking with doc_id tie-breaks — the repo's engine-stable
+    ordering contract, applied at all three ranking steps."""
     tok = _staged(
         load_table(spark, sf_dir, "documents").select(
             "doc_id",
@@ -681,8 +721,16 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
     w = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
-    r1 = bm25.select("doc_id", F.row_number().over(w).alias("rnk_bm25"))
-    r2 = tfidf.select("doc_id", F.row_number().over(w).alias("rnk_tfidf"))
+    r1 = (
+        bm25.orderBy(F.col("s").desc(), F.col("doc_id"))
+        .limit(_RRF_LEG_N)
+        .select("doc_id", F.row_number().over(w).alias("rnk_bm25"))
+    )
+    r2 = (
+        tfidf.orderBy(F.col("s").desc(), F.col("doc_id"))
+        .limit(_RRF_LEG_N)
+        .select("doc_id", F.row_number().over(w).alias("rnk_tfidf"))
+    )
     fused = (
         r1.join(r2, "doc_id", "full")
         .select(

@@ -30,6 +30,38 @@ QUERY_STRIDE = 100  # vec_id % 100 == 0 rows are the query set
 NUM_PLANES = 4  # 16 buckets — sized so oracle-scale buckets stay populated
 _TOPK_BLOCK = 500  # corpus vectors per GEMM block in the brute-force path
 
+
+def query_admission(
+    df: DataFrame, query_batch=None, id_col: str = "vec_id"
+) -> DataFrame:
+    """The ANN family's bounded-query admission gate (one shared helper —
+    brute force, LSH, IVF, PQ, IVFPQ, IVFADC and SQ all select their query
+    rows through this).
+
+    Every ANN query scores a QUERY BATCH against a corpus-side index, and
+    the broadcast plans (query codes, ADC LUTs, probe pairs) are valid ONLY
+    while that batch is bounded. Two modes:
+
+    - default (``query_batch=None``): the registered-oracle surface — the
+      deterministic stride slice ``id % QUERY_STRIDE == 0``. That set GROWS
+      with the corpus, which is fine at any testable SF but is NOT the
+      production contract;
+    - ``query_batch=<iterable of ids>``: the production path — an explicit
+      bounded batch (the broadcast-validity condition enforced by the API,
+      not assumed). A large query log runs as repeated per-batch calls
+      whose union equals the full run (per-query results are independent —
+      pytest-proven in tests/test_round5.py).
+
+    The stride filter applies in BOTH modes, so a batched sweep over the
+    stride set partitions exactly the default output."""
+    out = df.filter(F.col(id_col) % QUERY_STRIDE == 0)
+    if query_batch is not None:
+        ids = [int(i) for i in query_batch]
+        if not ids:
+            raise ValueError("query_batch must be a non-empty id collection")
+        out = out.filter(F.col(id_col).isin(ids))
+    return out
+
 # cosine(a.embedding, b.embedding) — float32 in, float64 accumulation. Spark
 # side precomputes the squared norm ONCE per vector (N sums, not N² inside
 # the pair expression). Both expressions are flat left-associative sums over
@@ -115,7 +147,9 @@ def _topk_block_batches(it):
     ) WHERE rnk <= {TOP_K}
     """,
 )
-def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_topk_bruteforce(
+    spark: SparkSession, sf_dir: str, query_batch=None
+) -> DataFrame:
     """Exact cosine top-k: query rows (vec_id % 100 == 0) against the full
     corpus — the correctness baseline every ANN variant is measured against.
 
@@ -132,7 +166,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume; blocked, every task holds at most two blocks."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qblks = (
-        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        query_admission(emb, query_batch)
         .withColumn("qblk", (F.col("vec_id") / (QUERY_STRIDE * _TOPK_BLOCK)).cast("int"))
         .groupBy("qblk")
         .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("q_rows"))
@@ -243,7 +277,9 @@ def sim_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rnk <= {TOP_K}
     """,
 )
-def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_lsh_ann_topk(
+    spark: SparkSession, sf_dir: str, query_batch=None
+) -> DataFrame:
     """Approximate top-k with multi-probe LSH: each query searches its own
     bucket plus every hamming-1 neighbor bucket (flip one hyperplane bit) —
     5 of 16 buckets, so the candidate set is ~N*5/16 instead of N, with
@@ -268,7 +304,7 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flips = F.array(F.lit(0), *[F.lit(1 << p) for p in range(NUM_PLANES)])
     qgrp = (
-        bucketed.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        query_admission(bucketed, query_batch)
         .select("vec_id", "embedding", F.explode(flips).alias("flip"), "bucket")
         .select(
             "vec_id",
@@ -391,7 +427,9 @@ _DIST2_SQL = (
     ) WHERE rnk <= {TOP_K}
     """,
 )
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ivf_topk(
+    spark: SparkSession, sf_dir: str, query_batch=None
+) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse quantizer of 10 centroids (per-label
     means — a deterministic stand-in for a k-means codebook), every vector
     assigned to its nearest cell, queries probing their nprobe=2 nearest
@@ -429,9 +467,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("b_rows"))
     )
     qgrp = (
-        dists.filter(
-            (F.col("crnk") <= _IVF_NPROBE) & (F.col("vec_id") % QUERY_STRIDE == 0)
-        )
+        query_admission(dists.filter(F.col("crnk") <= _IVF_NPROBE), query_batch)
         .withColumn(
             "qblk", (F.col("vec_id") / (QUERY_STRIDE * _TOPK_BLOCK)).cast("int")
         )

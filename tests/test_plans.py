@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from kafka_streams_join_spark.plans import (
     assert_broadcast_join,
     assert_no_cartesian,
+    assert_no_single_partition_window_over,
     assert_no_wide_shuffle,
     assert_pushed_filters,
     assert_read_schema_pruned,
@@ -530,3 +531,40 @@ def test_normalized_exact_dedup_is_aggregate_only(spark):
     assert plan.count("Exchange") <= 2, plan[:1500]
     assert "Join" not in plan, plan[:1500]
     assert plan.count("FileScan parquet") == 1, plan[:1500]
+
+
+def test_importance_resample_no_single_partition_rank(spark):
+    """DSIR selection (round-5 rewrite of the r4 weak): the global rank is
+    a two-phase rank — per-weight-level offsets over the bounded level
+    frame + a window PARTITIONED by level — so the per-document frame must
+    never funnel through an Exchange SinglePartition. The one allowed
+    single-partition window runs over the model-sized level counts, which
+    carry no doc_id."""
+    df = QUERIES["pipeline_importance_resample"](spark, SF_SMOKE)
+    assert_no_single_partition_window_over(df, "doc_id")
+    plan = explain_str(df)
+    # phase-2 window distributes on the weight level
+    assert "hashpartitioning(iw" in plan, plan[:2000]
+
+
+def test_vocab_growth_no_single_partition_prefix_sum(spark):
+    """Heaps-law cumulative sums (round-5 rewrite of the r4 weak): the
+    two-phase prefix sum windows per doc_id-range shard; the per-doc frame
+    must never cross an Exchange SinglePartition (only the shard-totals
+    offsets frame — bounded by shard count — may)."""
+    df = QUERIES["text_vocab_growth"](spark, SF_SMOKE)
+    assert_no_single_partition_window_over(df, "doc_id")
+    plan = explain_str(df)
+    assert "hashpartitioning(shard" in plan, plan[:2000]
+
+
+def test_hybrid_rrf_legs_are_take_ordered(spark):
+    """The RRF leg cap (top-N per ranker fed to fusion) must reach the
+    plan as TakeOrderedAndProject on BOTH legs — per-partition heaps plus
+    a driver merge of N rows, never a full global sort/rank of every
+    matching document. (WindowGroupLimit cannot prune an unpartitioned
+    rank window in this Spark build; ORDER BY + LIMIT is the correct
+    physical shape for a global top-N, same as ``sort_topk_limit``.)"""
+    df = QUERIES["retrieval_hybrid_rrf"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("TakeOrderedAndProject") >= 2, plan[:2000]

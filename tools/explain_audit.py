@@ -80,6 +80,17 @@ AUDITED = [
     ("layout_compaction_plan", "compaction planning: per-partition window, no global sort"),
 ]
 
+# Round 5: the audit covers the WHOLE registry. Any registered query not
+# curated above is appended with its docstring headline as the blurb, so a
+# new registration can never silently miss the audit again (the round-4
+# coverage gap was exactly this — curated-list drift).
+_curated = {n for n, _ in AUDITED}
+AUDITED += [
+    (n, (QUERIES[n].__doc__ or "").strip().splitlines()[0].rstrip("."))
+    for n in sorted(QUERIES)
+    if n not in _curated
+]
+
 # plan lines worth showing: node heads and the pushdown/pruning facts
 _KEEP = re.compile(
     r"^\s*(\(\d+\)|\+-|:-|PushedFilters:|ReadSchema:|Arguments:)|"
