@@ -99,8 +99,18 @@ def _driver_green() -> set[str]:
 _RECERTIFY_FROM_ROUND = {
     "text_repetition_stats": 4,  # staged gram frame -> zero-shuffle row-local
     "cluster_kmeans_embeddings": 4,  # argmin window -> map-side min(struct)
-    "sim_pq_topk": 4,  # same assignment rework (three passes)
     "dedup_minhash_lsh": 4,  # banding refactored through _band_sig_exprs
+    # round-5 reworks (the r4 weaks + the leg cap + query_admission refactor)
+    "pipeline_importance_resample": 5,  # global rank -> two-phase rank
+    "text_vocab_growth": 5,  # cumulative window -> two-phase prefix sums
+    "retrieval_hybrid_rrf": 5,  # leg top-N cap (TakeOrdered legs)
+    "sim_topk_bruteforce": 5,  # query_admission threading (default-neutral,
+    "sim_lsh_ann_topk": 5,  # but a refactor on the query side re-queues
+    "sim_ivf_topk": 5,  # the family for a fresh driver hash row)
+    "sim_pq_topk": 5,
+    "sim_ivfpq_topk": 5,
+    "sim_ivfpq_residual_topk": 5,
+    "sim_sq_topk": 5,
 }
 
 

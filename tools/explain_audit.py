@@ -86,7 +86,12 @@ AUDITED = [
 # coverage gap was exactly this — curated-list drift).
 _curated = {n for n, _ in AUDITED}
 AUDITED += [
-    (n, (QUERIES[n].__doc__ or "").strip().splitlines()[0].rstrip("."))
+    (
+        n,
+        ((QUERIES[n].__doc__ or "").strip().splitlines() or ["registered query"])[
+            0
+        ].rstrip("."),
+    )
     for n in sorted(QUERIES)
     if n not in _curated
 ]
