@@ -293,7 +293,13 @@ def _coarse_cells(
     embedding is dropped before it), and the cell map is staged because
     the corpus side and the query side both consume it."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = label_centroids(emb)
+    # staged: the centroid table is K rows but costs a full-corpus
+    # aggregate to train, and the residual variant consumes it TWICE
+    # (cell ranking below + the 6-dp residual projection) — unstaged,
+    # that training aggregate ran once per consumer (measured round 5,
+    # same-session best-of-4 min at sf0.1: residual IVFADC 7.4 → 5.0 s,
+    # plain IVFPQ 4.7 → 3.0 s — the cdists build also reads it)
+    cents = _staged(label_centroids(emb))
     w_cell = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell_id"))
     cdists = _staged(
         emb.select("vec_id", "embedding")
