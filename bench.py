@@ -199,6 +199,17 @@ COVERAGE = [
     "window_sliding_agg",
     "window_trailing_1h",
     "window_tumbling_agg",
+    # round-5 widening batch
+    "sim_hard_negatives",
+    "dedup_band_recall_audit",
+    "text_oov_rate",
+    "text_readability",
+    "corpus_length_histogram",
+    "events_anomaly_zscore",
+    "events_path_trigrams",
+    "emb_label_outliers",
+    "orders_copurchase_lift",
+    "pipeline_curriculum_order",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

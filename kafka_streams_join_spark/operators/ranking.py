@@ -1,0 +1,64 @@
+"""Distributed global ranking — the two-phase rank that replaces
+single-partition ``Window.orderBy`` over data-sized frames.
+
+An unpartitioned rank window funnels its entire input through ONE task
+(Spark plans ``Exchange SinglePartition`` + sort) — the canonical
+driver-adjacent bottleneck at 100 TB. When the ordering column has
+bounded cardinality (a rounded score, a bucketed level — true for every
+ranking this repo does, because scores are rounded BEFORE ranking as the
+engine-parity contract), the global row_number decomposes exactly:
+
+1. per-LEVEL counts — a hash aggregate, bounded by the level cardinality,
+   not the corpus;
+2. exclusive cumulative offsets over that bounded level frame (the one
+   unpartitioned window, running over model-sized input);
+3. a window PARTITIONED by level ranks ids within each level;
+4. global rank = level offset + within-level rank.
+
+The data-sized frame crosses only hash exchanges — gated by
+``plans.assert_no_single_partition_window_over``.
+
+First used by ``pipeline_importance_resample`` (round 5, replacing the
+round-4 weak); ``pipeline_curriculum_order`` ranks through the same
+helper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def two_phase_rank(
+    df: DataFrame,
+    level_col: str,
+    id_col: str,
+    rank_col: str = "rank",
+    ascending: bool = True,
+) -> DataFrame:
+    """Append ``rank_col`` = global ``row_number() OVER (ORDER BY
+    level_col [desc], id_col)`` without a single-partition sort of ``df``.
+
+    ``level_col`` must be bounded-cardinality (rounded score / bucket) —
+    that bound, not the row count, sizes the one unpartitioned window.
+    Ties within a level break ascending on ``id_col`` (the repo's
+    engine-stable ordering contract)."""
+    lvl_order: Column = F.col(level_col).asc() if ascending else F.col(level_col).desc()
+    off_w = Window.orderBy(lvl_order).rowsBetween(Window.unboundedPreceding, -1)
+    levels = (
+        df.groupBy(level_col)
+        .agg(F.count(F.lit(1)).alias("__lvl_n"))
+        .select(
+            level_col,
+            F.coalesce(F.sum("__lvl_n").over(off_w), F.lit(0)).alias("__lvl_off"),
+        )
+    )
+    in_lvl = Window.partitionBy(level_col).orderBy(F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(levels), level_col)
+        .withColumn(
+            rank_col,
+            (F.col("__lvl_off") + F.row_number().over(in_lvl)).cast("int"),
+        )
+        .drop("__lvl_off")
+    )

@@ -257,3 +257,48 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "corpus_length_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT source,
+             CAST(floor(log2(n_chars + 1)) AS BIGINT) AS len_bucket,
+             count(*) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS t FROM b GROUP BY source)
+    SELECT b.source, b.len_bucket, b.n,
+           CAST(b.n * 1000000 // tot.t AS BIGINT) AS share_ppm
+    FROM b JOIN tot USING (source)
+    """,
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length distribution per source — the shape
+    check every ingestion pipeline runs before setting chunking/packing
+    parameters (a source whose mass sits in bucket 4 needs concatenation;
+    one with a heavy 16+ tail needs splitting). Buckets are
+    floor(log2(n_chars+1)): integer-exact in both engines (powers of two
+    are exactly representable, so the floor can't straddle an ulp).
+
+    Scale: one map-side bucket projection on the pruned (source, n_chars)
+    scan, one map-side-combined (source, bucket) aggregate — the result is
+    sources × ~40 buckets — and a broadcast join of per-source totals;
+    exact-ppm shares."""
+    b = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.floor(F.log2(F.col("n_chars") + 1)).cast("long").alias("len_bucket"),
+        )
+        .groupBy("source", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = b.groupBy("source").agg(F.sum("n").alias("t"))
+    return b.join(F.broadcast(tot), "source").select(
+        "source",
+        "len_bucket",
+        "n",
+        F.expr("n * 1000000 div t").alias("share_ppm"),
+    )

@@ -816,3 +816,68 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("raw_hash").alias("n_raw_variants"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_band_recall_audit — MinHash banding quality vs exact ground truth
+# --------------------------------------------------------------------------
+
+from .registry import ORACLES as _DEDUP_ORACLES  # noqa: E402  (both legs above)
+
+
+@register(
+    "dedup_band_recall_audit",
+    oracle=f"""
+    WITH truth AS ({_DEDUP_ORACLES["dedup_ngram_jaccard"]}),
+         lsh AS ({_DEDUP_ORACLES["dedup_minhash_lsh"]}),
+         hit AS (
+           SELECT count(*) AS n_hit
+           FROM lsh JOIN truth
+             ON lsh.doc_a = truth.doc_a AND lsh.doc_b = truth.doc_b
+         )
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM lsh) AS n_lsh,
+           hit.n_hit,
+           CAST(hit.n_hit * 1000000 // greatest(1, (SELECT count(*) FROM truth))
+                AS BIGINT) AS recall_ppm,
+           CAST(hit.n_hit * 1000000 // greatest(1, (SELECT count(*) FROM lsh))
+                AS BIGINT) AS precision_ppm
+    FROM hit
+    """,
+)
+def dedup_band_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-auditing dedup (the ``sim_recall_report`` pattern applied to
+    the near-dup family): MinHash-LSH's verified pairs measured against
+    the exact-Jaccard ground truth, as recall/precision ppm. Banding is
+    probabilistic — a true pair whose 32 minhashes never agree on a full
+    band is missed — so this is the operator that tells a pipeline owner
+    whether the (bands, rows) trade is adequate BEFORE deleting data at
+    scale. Both legs compose the REGISTERED oracles verbatim, so the
+    audit can never drift from what the driver certifies; precision < 1e6
+    would mean the two legs' shingle contracts diverged (both verify at
+    the same Jaccard threshold — a regression canary, not a tolerance).
+
+    Scale: both legs are the already-gated bounded-candidate pipelines;
+    the audit adds only pair-list-sized joins and 1-row aggregates."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    hit = lsh.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    return (
+        n_true.crossJoin(n_lsh)
+        .crossJoin(hit)
+        .select(
+            "n_true",
+            "n_lsh",
+            "n_hit",
+            F.expr(
+                "cast(n_hit * 1000000 div greatest(1, n_true) as bigint)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "cast(n_hit * 1000000 div greatest(1, n_lsh) as bigint)"
+            ).alias("precision_ppm"),
+        )
+    )

@@ -251,3 +251,95 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, c in enumerate(comps)
     ]
     return emb.select("vec_id", *proj_cols)
+
+
+# --------------------------------------------------------------------------
+# emb_label_outliers — intra-class distance outliers (mislabel/noise gate)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "emb_label_outliers",
+    oracle="""
+    WITH cent AS (
+      SELECT label, d, avg(CAST(embedding[d] AS DOUBLE)) AS c
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(d)
+      GROUP BY label, d
+    ),
+    cvec AS (
+      SELECT label, list(c ORDER BY d) AS centroid FROM cent GROUP BY label
+    ),
+    dist AS (
+      SELECT e.vec_id, e.label,
+             round(sqrt(list_sum(list_transform(
+               list_zip(e.embedding, cv.centroid),
+               p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])
+             ))), 6) AS dist6
+      FROM embeddings e JOIN cvec cv USING (label)
+    ),
+    stats AS (
+      SELECT label, avg(dist6) AS mu, stddev_pop(dist6) AS sd
+      FROM dist GROUP BY label
+    )
+    SELECT dist.vec_id, dist.label, dist.dist6,
+           round((dist.dist6 - stats.mu) / stats.sd, 4) + 0.0 AS zscore
+    FROM dist JOIN stats USING (label)
+    WHERE (dist.dist6 - stats.mu) / stats.sd >= 2
+    """,
+)
+def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-class embedding outliers: vectors whose L2 distance to their
+    OWN label centroid z-scores >= 2 within the label — the mislabel/noise
+    detector a curation pipeline runs before using labels for SemDeDup
+    cells, classifier training, or hard-negative mining (a vector far from
+    its class center is a labeling error or an encoder glitch). Distances
+    are rounded to 6 dp before the per-label stats, z to 4 dp at emission
+    (+ 0.0 normalizes -0.0), so the flag boundary is engine-stable except
+    at exact-ulp ties on the raw z (none on this corpus).
+
+    Scale: centroids are a labels x dims aggregate (map-side combined,
+    bounded by the label vocabulary) that broadcasts back; the distance is
+    a row-local fold in the scan pipeline; per-label stats are another
+    bounded aggregate broadcast back. The corpus never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label", F.posexplode("embedding").alias("d0", "x")
+    ).select("label", (F.col("d0") + 1).alias("d"), F.col("x").cast("double").alias("x"))
+    cvec = (
+        cells.groupBy("label", "d")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, c))), s -> s.c)"
+            ).alias("centroid")
+        )
+    )
+    dist = emb.join(F.broadcast(cvec), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(embedding, centroid,"
+                    " (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)),"
+                    " cast(0 as double), (acc, v) -> acc + v)"
+                )
+            ),
+            6,
+        ).alias("dist6"),
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("dist6").alias("mu"), F.stddev_pop("dist6").alias("sd")
+    )
+    z = (F.col("dist6") - F.col("mu")) / F.col("sd")
+    return (
+        dist.join(F.broadcast(stats), "label")
+        .filter(z >= 2)
+        .select(
+            "vec_id",
+            "label",
+            "dist6",
+            (F.round(z, 4) + F.lit(0.0)).alias("zscore"),
+        )
+    )

@@ -304,3 +304,122 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("n * 1000000 div n_from").alias("prob_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_anomaly_zscore — per-type daily-count anomalies
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sd
+      FROM daily GROUP BY event_type
+    )
+    SELECT daily.event_type, CAST(daily.d AS VARCHAR) AS day, daily.n,
+           round(CASE WHEN stats.sd = 0 THEN 0.0
+                      ELSE (daily.n - stats.mu) / stats.sd END, 4) + 0.0
+             AS zscore,
+           CASE WHEN abs(CASE WHEN stats.sd = 0 THEN 0.0
+                              ELSE (daily.n - stats.mu) / stats.sd END) >= 2
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM daily JOIN stats USING (event_type)
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: each (event type, day) count scored as a
+    z-score against the type's own daily distribution, flagged at |z| ≥ 2
+    — the alerting primitive behind every ingestion-volume monitor (a
+    day where a type's volume triples or vanishes is a pipeline incident,
+    not a data point). The zero-variance guard keeps constant-volume
+    types at z = 0 instead of NULL/NaN; + 0.0 normalizes the −0.0 a
+    just-below-mean day rounds to (the engines disagree on −0.0 hashing).
+
+    Scale: one map-side-combined (type, day) aggregate — days × types
+    bounded — then a broadcast join of the per-type stats; the events
+    scan reads only (event_type, ts)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sd")
+    )
+    z = F.when(F.col("sd") == 0, F.lit(0.0)).otherwise(
+        (F.col("n") - F.col("mu")) / F.col("sd")
+    )
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        (F.round(z, 4) + F.lit(0.0)).alias("zscore"),
+        F.when(F.abs(z) >= 2, F.lit(1)).otherwise(F.lit(0)).alias("is_anomaly"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_path_trigrams — top user-journey 3-step paths
+# --------------------------------------------------------------------------
+
+_PATH_TOPN = 20
+
+
+@register(
+    "events_path_trigrams",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+      FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n FROM paths ORDER BY n DESC, path LIMIT {_PATH_TOPN}
+    """,
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PATH_TOPN} user-journey trigrams: the most common 3-step
+    event-type sequences across users, ordered per user by (ts, event_id)
+    — the path-mining upgrade of ``events_markov_transitions`` (which
+    sees only pairwise hops and cannot distinguish A→B→C from A→B→D).
+
+    Scale: ONE window pass partitioned by user (two leads share the
+    window's sort — Spark evaluates them in a single WindowExec), the
+    path aggregate is vocabulary³-bounded, and the top-N is a
+    TakeOrdered; props and value are pruned at the scan. The (ts,
+    event_id) ordering is total, so lead() is deterministic in both
+    engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+    )
+    return (
+        seq.filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .select(F.concat_ws(">", "t1", "t2", "t3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(_PATH_TOPN)
+    )

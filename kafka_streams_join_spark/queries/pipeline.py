@@ -578,3 +578,72 @@ def pipeline_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "   div 1000000L END"
         ).alias("planned_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# pipeline_curriculum_order — difficulty-ordered training schedule
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_curriculum_order",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             round(n_chars * 1.0 / greatest(1, len(string_split(
+               regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))), 4)
+               AS difficulty
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, difficulty,
+             CAST(row_number() OVER (ORDER BY difficulty, doc_id) AS INT)
+               AS curriculum_rank,
+             (SELECT count(*) FROM d) AS n_docs
+      FROM d
+    )
+    SELECT doc_id, difficulty, curriculum_rank,
+           CAST((curriculum_rank - 1) * 10 // n_docs AS BIGINT) AS decile
+    FROM r
+    """,
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule: every document globally ranked
+    easy→hard by a difficulty proxy (mean word length in chars, rounded to
+    4 dp — longer words ≈ rarer/more technical register), plus the decile
+    each document lands in — the schedule a curriculum trainer feeds
+    shards from (easy deciles in early epochs, full mixture later).
+
+    Scale shape: difficulty is a row-local projection; the GLOBAL rank is
+    the round-5 two-phase rank (``operators/ranking.py``) over the
+    bounded 4-dp difficulty levels — the per-doc frame never crosses an
+    Exchange SinglePartition (same gate as ``pipeline_importance_resample``,
+    which shares the helper); the decile is exact integer arithmetic on
+    that rank against the broadcast 1-row count."""
+    from .text import _TOKS
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(
+            F.col("n_chars") * 1.0 / F.greatest(F.lit(1), F.expr(f"size({_TOKS})")),
+            4,
+        ).alias("difficulty"),
+    )
+    from ..operators.ranking import two_phase_rank
+
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        two_phase_rank(
+            d, level_col="difficulty", id_col="doc_id",
+            rank_col="curriculum_rank", ascending=True,
+        )
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "difficulty",
+            "curriculum_rank",
+            F.expr("cast((curriculum_rank - 1) * 10 div n_docs as bigint)").alias(
+                "decile"
+            ),
+        )
+    )

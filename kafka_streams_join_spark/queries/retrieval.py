@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.ranking import two_phase_rank
 from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import register
@@ -475,30 +476,14 @@ def pipeline_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     weights = _staged(weights)
-    # Phase 1: per-weight-level counts (bounded: distinct 4-dp values of a
-    # mean log-ratio — model-sized whatever the corpus), with exclusive
-    # cumulative offsets in global iw-desc order. The unpartitioned window
-    # here runs over the bounded level frame, not the per-doc frame.
-    lvl_w = Window.orderBy(F.col("iw").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    levels = (
-        weights.groupBy("iw")
-        .agg(F.count(F.lit(1)).alias("lvl_n"))
-        .select(
-            "iw",
-            F.coalesce(F.sum("lvl_n").over(lvl_w), F.lit(0)).alias("lvl_off"),
-        )
-    )
-    # Phase 2: rank within each level (partitioned window — distributes by
-    # iw) and add the level's offset: exactly the global row_number.
-    in_lvl = Window.partitionBy("iw").orderBy("doc_id")
+    # Two-phase global rank over the bounded 4-dp weight levels — the
+    # distributed row_number (operators/ranking.py); the per-doc frame
+    # never crosses an Exchange SinglePartition.
     n_docs = weights.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        weights.join(F.broadcast(levels), "iw")
-        .withColumn(
-            "sel_rank",
-            (F.col("lvl_off") + F.row_number().over(in_lvl)).cast("int"),
+        two_phase_rank(
+            weights, level_col="iw", id_col="doc_id",
+            rank_col="sel_rank", ascending=False,
         )
         .join(F.broadcast(n_docs))
         .select(

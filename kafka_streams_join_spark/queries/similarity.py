@@ -359,6 +359,90 @@ def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# sim_hard_negatives — cross-label nearest neighbors for contrastive training
+# --------------------------------------------------------------------------
+
+_HARDNEG_K = 3
+# cosine with explicit side prefixes (query qemb vs corpus embedding) — the
+# same flat left-associative 64-term sums as _COS_SQL/_NORM2_SPARK, codegen'd
+_HN_DOT_SPARK = " + ".join(
+    f"cast(qemb[{d}] as double) * cast(embedding[{d}] as double)"
+    for d in range(64)
+)
+_HN_QN_SPARK = " + ".join(
+    f"cast(qemb[{d}] as double) * cast(qemb[{d}] as double)" for d in range(64)
+)
+_HN_CN_SPARK = " + ".join(
+    f"cast(embedding[{d}] as double) * cast(embedding[{d}] as double)"
+    for d in range(64)
+)
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+    SELECT query_id, neighbor_id, rnk, cos FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_COS_SQL}, 4) AS cos,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({_COS_SQL}, 4) DESC, b.vec_id)
+               AS rnk
+      FROM embeddings a JOIN embeddings b
+        ON b.vec_id != a.vec_id AND b.label != a.label
+      WHERE a.vec_id % {QUERY_STRIDE} = 0
+    ) WHERE rnk <= {_HARDNEG_K}
+    """,
+)
+def sim_hard_negatives(
+    spark: SparkSession, sf_dir: str, query_batch=None
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-{_HARDNEG_K} most-similar vectors with a DIFFERENT
+    label — the near-miss examples a contrastive or reranker objective
+    learns most from (the standard in-batch-negatives upgrade). Ranking is
+    on the 4-dp-ROUNDED cosine with neighbor-id tie-breaks — strictly
+    engine-stable, unlike raw-double ordering.
+
+    Scale shape: the bounded query batch (``query_admission`` — same
+    contract as the whole ANN family) broadcasts against the corpus scan;
+    the label inequality is a map-side filter ON the broadcast join (the
+    pruning a metric index can't do — labels aren't geometry), and only
+    narrow (query_id, neighbor_id, cos) rows reach the per-query top-k
+    Exchange. The BroadcastNestedLoopJoin is the intended bounded-Q ×
+    corpus scoring plan, as in ``sim_sq_topk``."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    q = query_admission(emb, query_batch).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.expr(_HN_DOT_SPARK)
+                / F.sqrt(F.expr(_HN_QN_SPARK) * F.expr(_HN_CN_SPARK)),
+                4,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HARDNEG_K)
+        .select("query_id", "neighbor_id", "rnk", "cos")
+    )
+
+
 _IVF_NPROBE = 2
 
 

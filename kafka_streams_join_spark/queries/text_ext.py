@@ -251,3 +251,171 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= _PMI_TOPN
     )
+
+
+# --------------------------------------------------------------------------
+# text_oov_rate — vocabulary coverage / out-of-vocabulary rate per source
+# --------------------------------------------------------------------------
+
+_OOV_VOCAB_SIZE = 1000
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, lower(unnest({_TOKS_SQL})) AS token FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token FROM freq
+      ORDER BY c DESC, token LIMIT {_OOV_VOCAB_SIZE}
+    )
+    SELECT tok.source,
+           count(*) AS n_tokens,
+           count(*) FILTER (WHERE v.token IS NULL) AS n_oov,
+           CAST(count(*) FILTER (WHERE v.token IS NULL) * 1000000
+                // count(*) AS BIGINT) AS oov_ppm
+    FROM tok LEFT JOIN vocab v USING (token)
+    GROUP BY tok.source
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit: the out-of-vocabulary token rate per
+    source against the corpus's own top-{_OOV_VOCAB_SIZE} vocabulary — the
+    number a tokenizer/embedding-table owner checks before fixing a vocab
+    (a source with a high OOV rate will fragment into subwords or <unk>).
+    Vocabulary membership ties break lexicographically at the frequency
+    cutoff (ORDER BY c DESC, token — deterministic in both engines).
+
+    Scale shape: one token scan feeds (a) the Zipf-bounded frequency
+    aggregate, whose top-V is a TakeOrdered (per-partition heaps, no
+    global sort), and (b) the per-source coverage aggregate, probing the
+    broadcast V-row vocabulary — integer-ppm output, no float drift."""
+    tok = _staged(
+        load_table(spark, sf_dir, "documents").select(
+            "source",
+            F.explode(F.expr(f"transform({_TOKS}, t -> lower(t))")).alias("token"),
+        )
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("token"))
+        .limit(_OOV_VOCAB_SIZE)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000000 div n_tokens").alias("oov_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# text_readability — syllable-heuristic Flesch reading ease per source
+# --------------------------------------------------------------------------
+
+# syllables(word) ≈ vowel RUNS: collapse [aeiouy]+ to a marker, strip the
+# rest, count markers. Nested regexp_replace + length exists identically in
+# both engines (DuckDB needs the 'g' flag; Spark replaces all by default).
+_SYL_SPARK = (
+    "length(regexp_replace(regexp_replace(lower(token), '[aeiouy]+', 'V'),"
+    " '[^V]', ''))"
+)
+_SYL_SQL = (
+    "length(regexp_replace(regexp_replace(lower(token), '[aeiouy]+', 'V', 'g'),"
+    " '[^V]', '', 'g'))"
+)
+
+
+@register(
+    "text_readability",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_TOKS_SQL}) AS token FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             count(*) AS n_words,
+             sum({_SYL_SQL}) AS n_syll
+      FROM tok GROUP BY doc_id, source
+    ),
+    sents AS (
+      SELECT doc_id,
+             greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g')))
+               AS n_sents
+      FROM documents
+    )
+    SELECT p.source,
+           count(*) AS n_docs,
+           CAST(sum(p.n_words) AS BIGINT) AS sum_words,
+           CAST(sum(s.n_sents) AS BIGINT) AS sum_sents,
+           CAST(sum(p.n_syll) AS BIGINT) AS sum_syll,
+           round(sum(p.n_words) * 1.0 / sum(s.n_sents), 4) AS words_per_sent,
+           round(sum(p.n_syll) * 1.0 / sum(p.n_words), 4) AS syll_per_word,
+           round(206.835 - 1.015 * (sum(p.n_words) * 1.0 / sum(s.n_sents))
+                 - 84.6 * (sum(p.n_syll) * 1.0 / sum(p.n_words)), 2)
+             AS flesch
+    FROM per_doc p JOIN sents s USING (doc_id)
+    GROUP BY p.source
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source, with a vowel-run syllable heuristic
+    (the standard no-dictionary approximation): flesch = 206.835 −
+    1.015·(words/sentence) − 84.6·(syllables/word). Readability is a core
+    curation feature — the classifier-free proxy for "textbook-like" vs
+    scraped-noise registers (e.g. phi-style data selection).
+
+    Scale shape: everything row-local until two integer aggregates — the
+    token explode feeds one (doc, source) rollup (syllable counting is a
+    codegen'd regexp chain, no UDF), sentence counts are a projection on
+    the documents scan, and the per-source rollup is group-key-bounded.
+    All sums are exact integers; the three ratios are derived from those
+    integers identically in both engines, rounded at emission."""
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select(
+        "doc_id", "source", F.explode(F.expr(_TOKS)).alias("token")
+    )
+    per_doc = tok.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.expr(_SYL_SPARK)).alias("n_syll"),
+    )
+    sents = doc.select(
+        "doc_id",
+        F.greatest(
+            F.lit(1), F.length(F.regexp_replace("text", "[^.!?]", ""))
+        ).alias("n_sents"),
+    )
+    return (
+        per_doc.join(sents, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("sum_words"),
+            F.sum("n_sents").alias("sum_sents"),
+            F.sum("n_syll").cast("long").alias("sum_syll"),
+            F.round(
+                F.sum("n_words") * 1.0 / F.sum("n_sents"), 4
+            ).alias("words_per_sent"),
+            F.round(
+                F.sum("n_syll") * 1.0 / F.sum("n_words"), 4
+            ).alias("syll_per_word"),
+            F.round(
+                206.835
+                - 1.015 * (F.sum("n_words") * 1.0 / F.sum("n_sents"))
+                - 84.6 * (F.sum("n_syll") * 1.0 / F.sum("n_words")),
+                2,
+            ).alias("flesch"),
+        )
+    )

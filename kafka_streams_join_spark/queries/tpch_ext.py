@@ -609,3 +609,85 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(profit4) / 10000.0, 2).alias("profit"))
     )
+
+
+# --------------------------------------------------------------------------
+# orders_copurchase_lift — market-basket association over order baskets
+# --------------------------------------------------------------------------
+
+_LIFT_TOPN = 50
+
+
+@register(
+    "orders_copurchase_lift",
+    oracle=f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.pkey AS part_a, b.pkey AS part_b, count(*) AS co
+      FROM basket a JOIN basket b
+        ON a.okey = b.okey AND a.pkey < b.pkey
+      GROUP BY 1, 2
+    ),
+    freq AS (SELECT pkey, count(*) AS c FROM basket GROUP BY pkey),
+    tot AS (SELECT count(DISTINCT okey) AS n_orders FROM basket)
+    SELECT p.part_a, p.part_b, p.co,
+           CAST(p.co * tot.n_orders * 1000000 // (fa.c * fb.c) AS BIGINT)
+             AS lift_ppm
+    FROM pairs p
+    JOIN freq fa ON fa.pkey = p.part_a
+    JOIN freq fb ON fb.pkey = p.part_b
+    CROSS JOIN tot
+    ORDER BY p.co DESC, p.part_a, p.part_b
+    LIMIT {_LIFT_TOPN}
+    """,
+)
+def orders_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: the top-{_LIFT_TOPN} co-purchased
+    part pairs by co-occurrence count, with exact-ppm lift
+    (co·N / (c_a·c_b) — >1e6 ppm means the pair co-occurs more than
+    independence predicts). The recommender/affinity primitive, as plain
+    relational algebra.
+
+    Scale shape: the pair stage is a self-join ON THE ORDER KEY, so the
+    pair space is Σ(basket size choose 2) — bounded by the max basket
+    (TPC-H: ≤7 lineitems/order), NEVER corpus-quadratic (the same
+    blocking argument as SemDeDup's cells: quadratic only within a
+    provably small group). Part frequencies join back on the part key —
+    narrow key-bounded shuffles, no broadcast of the part-cardinality
+    frame — the 1-row order total broadcasts, and the top-N is a
+    TakeOrdered with full (co, part_a, part_b) tie-breaks."""
+    basket = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey"))
+        .distinct()
+    )
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.pkey") < F.col("b.pkey")),
+        )
+        .groupBy(
+            F.col("a.pkey").alias("part_a"), F.col("b.pkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    freq = basket.groupBy("pkey").agg(F.count(F.lit(1)).alias("c"))
+    tot = basket.agg(F.countDistinct("okey").alias("n_orders"))
+    return (
+        pairs.join(freq.select(F.col("pkey").alias("part_a"), F.col("c").alias("ca")), "part_a")
+        .join(freq.select(F.col("pkey").alias("part_b"), F.col("c").alias("cb")), "part_b")
+        .join(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "co",
+            F.expr("co * n_orders * 1000000 div (ca * cb)").alias("lift_ppm"),
+        )
+        .orderBy(F.col("co").desc(), "part_a", "part_b")
+        .limit(_LIFT_TOPN)
+    )

@@ -568,3 +568,87 @@ def test_hybrid_rrf_legs_are_take_ordered(spark):
     df = QUERIES["retrieval_hybrid_rrf"](spark, SF_SMOKE)
     plan = explain_str(df, "simple")
     assert plan.count("TakeOrderedAndProject") >= 2, plan[:2000]
+
+
+def test_hard_negatives_narrow_rows_and_pruned_scan(spark):
+    """Hard-negative mining: the corpus scan reads only (vec_id, embedding,
+    label); the BroadcastNestedLoopJoin is the intended bounded-Q plan (as
+    in sim_sq_topk) but a CartesianProduct of data relations is forbidden,
+    and the top-k window input must be narrow (no embedding column in any
+    Exchange)."""
+    df = QUERIES["sim_hard_negatives"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert_read_schema_pruned(df, max_columns=3)
+    assert_no_wide_shuffle(df, "embedding", max_exchanges=0)
+
+
+def test_oov_vocab_is_take_ordered_and_broadcast(spark):
+    """OOV rate: the top-V vocabulary must plan TakeOrderedAndProject (not
+    a global sort) and probe back as a broadcast join."""
+    df = QUERIES["text_oov_rate"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_readability_single_scan_chain_no_cartesian(spark):
+    """Readability: syllable counting is a codegen'd regexp chain (no
+    Python evaluators in the plan) and the doc-level join is an equi-join."""
+    df = QUERIES["text_readability"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan[:1500]
+
+
+def test_length_histogram_reads_two_columns(spark):
+    """Length histogram: only (source, n_chars) may reach the scan; the
+    totals join back as broadcast."""
+    df = QUERIES["corpus_length_histogram"](spark, SF_SMOKE)
+    assert_read_schema_pruned(df, max_columns=2)
+    assert_broadcast_join(df, expect=True)
+
+
+def test_anomaly_zscore_reads_two_columns_broadcast_stats(spark):
+    """Anomaly z-score: (event_type, ts) scan, bounded daily aggregate,
+    per-type stats broadcast back."""
+    df = QUERIES["events_anomaly_zscore"](spark, SF_SMOKE)
+    assert_read_schema_pruned(df, max_columns=2)
+    assert_broadcast_join(df, expect=True)
+
+
+def test_path_trigrams_one_window_then_take_ordered(spark):
+    """Path trigrams: both leads share ONE window (single Window node),
+    the top-N is TakeOrdered, props/value pruned at the scan."""
+    df = QUERIES["events_path_trigrams"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("Window") == 1, plan[:1500]
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert_read_schema_pruned(df, max_columns=4)
+
+
+def test_label_outliers_corpus_never_shuffles_vectors(spark):
+    """Intra-class outliers: centroids and stats broadcast back; the wide
+    embedding column never crosses an Exchange."""
+    df = QUERIES["emb_label_outliers"](spark, SF_SMOKE)
+    assert_no_wide_shuffle(df, "embedding", max_exchanges=0)
+    assert "CartesianProduct" not in explain_str(df)
+
+
+def test_copurchase_pair_stage_is_order_key_equi_join(spark):
+    """Market-basket pairs join ON the order key (bounded baskets), never
+    cartesian; the final top-N is TakeOrdered."""
+    df = QUERIES["orders_copurchase_lift"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in explain_str(df, "simple")
+
+
+def test_curriculum_order_no_single_partition_rank(spark):
+    """Curriculum ordering shares the two-phase rank operator: the
+    per-doc frame must never cross an Exchange SinglePartition (only the
+    bounded difficulty-level frame may)."""
+    df = QUERIES["pipeline_curriculum_order"](spark, SF_SMOKE)
+    assert_no_single_partition_window_over(df, "doc_id")
+    assert "hashpartitioning(difficulty" in explain_str(df)

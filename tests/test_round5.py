@@ -119,3 +119,124 @@ def test_vocab_growth_prefix_sums_are_monotone_and_total(spark):
     total_vocab = tok.select(F.lower("t").alias("t")).distinct().count()
     assert toks[-1] == total_toks
     assert vocab[-1] == total_vocab
+
+
+# ---------------------------------------------------------------------------
+# round-5 widening batch: semantic properties at smoke scale
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_cross_label_only(spark):
+    """Every mined negative must carry a label different from its query's,
+    and ranks run 1..K per query with cosine in [-1, 1]."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "label")
+    out = QUERIES["sim_hard_negatives"](spark, SF_SMOKE)
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql"))
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl"))
+    joined = out.join(q, "query_id").join(n, "neighbor_id").collect()
+    assert joined, "hard negatives must produce rows"
+    for r in joined:
+        assert r.ql != r.nl
+        assert 1 <= r.rnk <= 3
+        assert -1.0001 <= r.cos <= 1.0001
+
+
+def test_oov_rate_arithmetic_and_bounds(spark):
+    rows = QUERIES["text_oov_rate"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert r.oov_ppm == r.n_oov * 1_000_000 // r.n_tokens
+
+
+def test_readability_recomputes_from_integer_sums(spark):
+    rows = QUERIES["text_readability"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.sum_words > 0 and r.sum_sents > 0 and r.sum_syll > 0
+        expect = round(
+            206.835
+            - 1.015 * (r.sum_words / r.sum_sents)
+            - 84.6 * (r.sum_syll / r.sum_words),
+            2,
+        )
+        assert abs(r.flesch - expect) < 1e-9
+
+
+def test_length_histogram_shares_sum_per_source(spark):
+    rows = QUERIES["corpus_length_histogram"](spark, SF_SMOKE).collect()
+    from collections import defaultdict
+
+    per_src = defaultdict(lambda: [0, 0])
+    for r in rows:
+        per_src[r.source][0] += r.n
+        per_src[r.source][1] += r.share_ppm
+    docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(v[0] for v in per_src.values()) == docs
+    for src, (_, ppm) in per_src.items():
+        # floor-division shares undershoot by < n_buckets ppm
+        assert 1_000_000 - len(rows) <= ppm <= 1_000_000, (src, ppm)
+
+
+def test_anomaly_flag_consistent_with_zscore(spark):
+    rows = QUERIES["events_anomaly_zscore"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r.is_anomaly:
+            assert abs(r.zscore) >= 1.9995  # flag uses the unrounded z
+        else:
+            assert abs(r.zscore) <= 2.0005
+
+
+def test_path_trigrams_shape(spark):
+    rows = QUERIES["events_path_trigrams"](spark, SF_SMOKE).collect()
+    assert rows
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        assert r.path.count(">") == 2
+        assert r.n >= 1
+
+
+def test_label_outliers_are_tail_events(spark):
+    out = QUERIES["emb_label_outliers"](spark, SF_SMOKE)
+    total = load_table(spark, SF_SMOKE, "embeddings").count()
+    rows = out.collect()
+    # a z>=2 one-sided tail is a small minority by Chebyshev (<= 25%)
+    assert 0 < len(rows) <= total // 4
+    for r in rows:
+        assert r.zscore >= 1.9995
+
+
+def test_copurchase_pairs_ordered_and_lift_positive(spark):
+    rows = QUERIES["orders_copurchase_lift"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.co >= 1
+        assert r.lift_ppm > 0
+
+
+def test_curriculum_rank_is_permutation_and_monotone(spark):
+    rows = sorted(
+        QUERIES["pipeline_curriculum_order"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.curriculum_rank,
+    )
+    assert [r.curriculum_rank for r in rows] == list(range(1, len(rows) + 1))
+    diffs = [r.difficulty for r in rows]
+    assert diffs == sorted(diffs)
+    assert all(0 <= r.decile <= 9 for r in rows)
+    # decile is exact integer arithmetic on the rank
+    n = len(rows)
+    for r in rows:
+        assert r.decile == (r.curriculum_rank - 1) * 10 // n
+
+
+def test_band_recall_audit_set_algebra(spark):
+    row = QUERIES["dedup_band_recall_audit"](spark, SF_SMOKE).collect()[0]
+    assert row.n_hit <= min(row.n_true, row.n_lsh)
+    # both legs verify at the same Jaccard threshold over the same shingle
+    # contract, so every LSH-verified pair IS a true pair (precision 1.0)
+    assert row.n_hit == row.n_lsh
+    if row.n_lsh:
+        assert row.precision_ppm == 1_000_000
