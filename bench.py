@@ -210,6 +210,11 @@ COVERAGE = [
     "emb_label_outliers",
     "orders_copurchase_lift",
     "pipeline_curriculum_order",
+    "sim_knn_label_accuracy",
+    "text_zipf_slope",
+    "events_rfm_segments",
+    "events_power_user_share",
+    "pipeline_mixture_temperature",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

@@ -423,3 +423,159 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("path"))
         .limit(_PATH_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# events_rfm_segments — recency/frequency/monetary quintile segmentation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(date_diff('day', CAST(date_trunc('day', max(ts)) AS DATE),
+                  (SELECT CAST(date_trunc('day', max(ts)) AS DATE) FROM events))
+               AS BIGINT) AS recency_days,
+             count(*) AS frequency,
+             round(sum(value), 2) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    fences AS (
+      SELECT round(quantile_cont(recency_days, 0.5), 4) AS r_med,
+             round(quantile_cont(frequency, 0.5), 4) AS f_med,
+             round(quantile_cont(monetary, 0.5), 4) AS m_med
+      FROM u
+    )
+    SELECT u.user_id, u.recency_days, u.frequency, u.monetary,
+           CASE WHEN u.recency_days <= fences.r_med THEN 1 ELSE 0 END AS r_hot,
+           CASE WHEN u.frequency > fences.f_med THEN 1 ELSE 0 END AS f_hot,
+           CASE WHEN u.monetary > fences.m_med THEN 1 ELSE 0 END AS m_hot,
+           CASE WHEN u.recency_days <= fences.r_med THEN 'R' ELSE '-' END ||
+           CASE WHEN u.frequency > fences.f_med THEN 'F' ELSE '-' END ||
+           CASE WHEN u.monetary > fences.m_med THEN 'M' ELSE '-' END AS segment
+    FROM u CROSS JOIN fences
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each user's Recency (days since last event,
+    against the corpus's last day), Frequency (event count) and Monetary
+    (2-dp value sum), split hot/cold at the exact median of each metric —
+    the 8-segment RFM cube every lifecycle-marketing and churn model
+    starts from. Medians are exact interpolated percentiles rounded to
+    4 dp before comparison; monetary sums round to 2 dp first, so the
+    boundary tests are engine-stable.
+
+    Scale: one (user) aggregate over a 3-column scan, a 1-row exact-median
+    fence frame broadcast back (the BM25 stats pattern), and a row-local
+    segment projection. No corpus-sized join anywhere."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    anchor = ev.agg(
+        F.date_trunc("day", F.max("ts")).cast("date").alias("last_day")
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("day", F.max("ts")).cast("date").alias("u_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .join(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.col("last_day"), F.col("u_last"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    fences = u.agg(
+        F.round(F.expr("percentile(recency_days, 0.5)"), 4).alias("r_med"),
+        F.round(F.expr("percentile(frequency, 0.5)"), 4).alias("f_med"),
+        F.round(F.expr("percentile(monetary, 0.5)"), 4).alias("m_med"),
+    )
+    r_hot = F.when(F.col("recency_days") <= F.col("r_med"), 1).otherwise(0)
+    f_hot = F.when(F.col("frequency") > F.col("f_med"), 1).otherwise(0)
+    m_hot = F.when(F.col("monetary") > F.col("m_med"), 1).otherwise(0)
+    return u.join(F.broadcast(fences)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_hot.alias("r_hot"),
+        f_hot.alias("f_hot"),
+        m_hot.alias("m_hot"),
+        F.concat(
+            F.when(r_hot == 1, F.lit("R")).otherwise(F.lit("-")),
+            F.when(f_hot == 1, F.lit("F")).otherwise(F.lit("-")),
+            F.when(m_hot == 1, F.lit("M")).otherwise(F.lit("-")),
+        ).alias("segment"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_power_user_share — Pareto concentration of activity
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_power_user_share",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, user_id) AS rnk,
+             (SELECT count(*) FROM u) AS n_users,
+             (SELECT CAST(sum(n) AS BIGINT) FROM u) AS total_events
+      FROM u
+    )
+    SELECT max(n_users) AS n_users,
+           max(total_events) AS total_events,
+           CAST(sum(n) FILTER (WHERE rnk * 10 <= n_users) AS BIGINT)
+             AS top_decile_events,
+           CAST(sum(n) FILTER (WHERE rnk * 10 <= n_users) * 1000000
+                // max(total_events) AS BIGINT) AS top_decile_share_ppm
+    FROM r
+    """,
+)
+def events_power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: what share of all events do the top-decile
+    most-active users produce (exact ppm)? The whale-dependence number
+    behind load planning (hot keys!) and abuse review — an 80/20-shaped
+    answer also predicts which user_ids will skew every groupBy in this
+    corpus. Users are ranked by the round-5 two-phase rank over the
+    bounded event-count levels — the per-user frame never crosses an
+    Exchange SinglePartition.
+
+    Scale: one user aggregate, the distributed rank, and a 1-row rollup."""
+    from ..operators.ranking import two_phase_rank
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").cast("long").alias("total_events"),
+    )
+    ranked = two_phase_rank(
+        u, level_col="n", id_col="user_id", rank_col="rnk", ascending=False
+    ).join(F.broadcast(stats))
+    return ranked.agg(
+        F.max("n_users").alias("n_users"),
+        F.max("total_events").alias("total_events"),
+        F.sum(F.when(F.col("rnk") * 10 <= F.col("n_users"), F.col("n")))
+        .cast("long")
+        .alias("top_decile_events"),
+    ).select(
+        "n_users",
+        "total_events",
+        "top_decile_events",
+        F.expr(
+            "cast(top_decile_events * 1000000 div total_events as bigint)"
+        ).alias("top_decile_share_ppm"),
+    )

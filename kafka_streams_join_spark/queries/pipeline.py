@@ -647,3 +647,86 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# pipeline_mixture_temperature — temperature-scaled source sampling weights
+# --------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.7  # the multilingual-sampling standard (mBERT/XLM-R lineage)
+
+
+@register(
+    "pipeline_mixture_temperature",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    p AS (
+      SELECT source, n_docs, n_chars,
+             CAST(round(pow(n_chars, {_TEMP_ALPHA}) * 1000000) AS BIGINT)
+               AS p6
+      FROM s
+    ),
+    t AS (SELECT CAST(sum(p6) AS BIGINT) AS tp,
+                 CAST(sum(n_chars) AS BIGINT) AS tc FROM p)
+    SELECT p.source, p.n_docs, p.n_chars,
+           CAST(p.p6 * 1000000 // t.tp AS BIGINT) AS sample_ppm,
+           CAST(p.n_chars * 1000000 // t.tc AS BIGINT) AS natural_ppm,
+           CAST(CASE WHEN p.n_chars * 1000000 // t.tc = 0 THEN 0
+                     ELSE (p.p6 * 1000000 // t.tp) * 1000000
+                          // (p.n_chars * 1000000 // t.tc) END AS BIGINT)
+             AS boost_ppm
+    FROM p CROSS JOIN t
+    """,
+)
+def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights: per-source sampling probability
+    ∝ size^α with α={_TEMP_ALPHA} — the standard multilingual/multi-domain
+    rebalancing (XLM-R's exponential smoothing) that up-samples small
+    sources without letting the head dominate. Emits the temperature
+    share, the natural (proportional) share, and the boost ratio each
+    source gets — all exact integer ppm: size^α is quantized to integer
+    micro-units BEFORE the normalizing sums (the zipf-fit contract), so
+    both engines divide identical integers.
+
+    Scale: one (source) rollup — map-side combined, source-vocabulary
+    sized — and a 1-row total broadcast. Pure planning math; the
+    downstream sampler is ``pipeline_domain_mix``'s ppm keep rule."""
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "p6",
+            F.expr(
+                f"cast(round(pow(n_chars, {_TEMP_ALPHA}) * 1000000) as bigint)"
+            ),
+        )
+    )
+    t = s.agg(
+        F.sum("p6").cast("long").alias("tp"),
+        F.sum("n_chars").cast("long").alias("tc"),
+    )
+    return (
+        s.join(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.expr("cast(p6 * 1000000 div tp as bigint)").alias("sample_ppm"),
+            F.expr("cast(n_chars * 1000000 div tc as bigint)").alias("natural_ppm"),
+        )
+        .withColumn(
+            "boost_ppm",
+            F.expr(
+                "cast(CASE WHEN natural_ppm = 0 THEN 0"
+                " ELSE sample_ppm * 1000000 div natural_ppm END as bigint)"
+            ),
+        )
+    )

@@ -632,3 +632,79 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_hit * 1000000 div n_bf").alias("recall_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sim_knn_label_accuracy — embedding quality as 1-NN label agreement
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sim_knn_label_accuracy",
+    oracle=f"""
+    WITH nn AS (
+      SELECT query_id, q_label, n_label FROM (
+        SELECT a.vec_id AS query_id, a.label AS q_label, b.label AS n_label,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY round({_COS_SQL}, 4) DESC, b.vec_id)
+                 AS rnk
+        FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        WHERE a.vec_id % {QUERY_STRIDE} = 0
+      ) WHERE rnk = 1
+    )
+    SELECT q_label AS label,
+           count(*) AS n_queries,
+           count(*) FILTER (WHERE n_label = q_label) AS n_agree,
+           CAST(count(*) FILTER (WHERE n_label = q_label) * 1000000
+                // count(*) AS BIGINT) AS acc_ppm
+    FROM nn GROUP BY q_label
+    """,
+)
+def sim_knn_label_accuracy(
+    spark: SparkSession, sf_dir: str, query_batch=None
+) -> DataFrame:
+    """Embedding-quality evaluation as leave-one-out 1-NN label agreement:
+    for each query vector, does its nearest neighbor (cosine, self
+    excluded) carry the same label? Reported per label in exact ppm — the
+    classifier-free probe for "do these embeddings separate the classes",
+    run before trusting them for SemDeDup cells or ANN retrieval. Ranking
+    is on the 4-dp-rounded cosine with id tie-breaks (engine-stable).
+
+    Scale: the query batch is bounded (``query_admission``); scoring is
+    the same broadcast-Q × corpus scan as ``sim_hard_negatives``; only
+    narrow (query, label, label) rows reach the per-query argmax, and the
+    final rollup is label-vocabulary-sized."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    q = query_admission(emb, query_batch).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            F.col("label").alias("n_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.expr(_HN_DOT_SPARK)
+                / F.sqrt(F.expr(_HN_QN_SPARK) * F.expr(_HN_CN_SPARK)),
+                4,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    nn = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    return nn.groupBy(F.col("q_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.count(F.when(F.col("n_label") == F.col("q_label"), 1)).alias("n_agree"),
+    ).select(
+        "label",
+        "n_queries",
+        "n_agree",
+        F.expr("cast(n_agree * 1000000 div n_queries as bigint)").alias("acc_ppm"),
+    )

@@ -419,3 +419,93 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flesch"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text_zipf_slope — rank-frequency power-law fit over the top vocabulary
+# --------------------------------------------------------------------------
+
+_ZIPF_TOPN = 500
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lower(unnest({_TOKS_SQL})) AS token FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    top AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rnk
+      FROM freq ORDER BY c DESC, token LIMIT {_ZIPF_TOPN}
+    ),
+    pts AS (
+      SELECT CAST(round(ln(rnk) * 1000000) AS BIGINT) AS x6,
+             CAST(round(ln(c) * 1000000) AS BIGINT) AS y6
+      FROM top
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+             CAST(sum(x6 * y6) AS HUGEINT) AS sxy,
+             CAST(sum(x6 * x6) AS HUGEINT) AS sxx
+      FROM pts
+    )
+    SELECT n,
+           round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 4)
+             AS zipf_slope,
+           round((sy * 1.0 / n
+                  - (CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                    * (sx * 1.0 / n)) / 1000000, 4) AS intercept_ln
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit: OLS slope of ln(frequency) vs ln(rank) over the
+    top-{_ZIPF_TOPN} vocabulary — the companion diagnostic to Heaps-law
+    ``text_vocab_growth`` (natural corpora fit slope ≈ −1; a corpus of
+    templated/generated text flattens or cliffs, which is exactly what a
+    contamination/synthetic-data review looks for). The (ln rank, ln freq)
+    points are quantized to integer micro-units BEFORE the regression
+    sums, so Σx, Σy, Σxy, Σx² are exact integers in both engines and the
+    slope/intercept divisions see bit-identical operands (the PQ integer
+    ADC argument applied to least squares).
+
+    Scale: one token aggregate (Zipf-bounded), a TakeOrdered top-N, and a
+    {_ZIPF_TOPN}-row regression — everything after the scan is
+    vocabulary-sized. The rank window runs over the already-LIMITed frame."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.expr(f"transform({_TOKS}, t -> lower(t))")).alias("token")
+    )
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("token"))
+        .limit(_ZIPF_TOPN)
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("token"))
+    pts = top.withColumn("rnk", F.row_number().over(w)).select(
+        F.expr("cast(round(ln(rnk) * 1000000) as bigint)").alias("x6"),
+        F.expr("cast(round(ln(c) * 1000000) as bigint)").alias("y6"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x6").alias("sx"),
+        F.sum("y6").alias("sy"),
+        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "n",
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") * 1.0 / F.col("n") - slope * (F.col("sx") * 1.0 / F.col("n")))
+            / 1_000_000,
+            4,
+        ).alias("intercept_ln"),
+    )

@@ -652,3 +652,44 @@ def test_curriculum_order_no_single_partition_rank(spark):
     df = QUERIES["pipeline_curriculum_order"](spark, SF_SMOKE)
     assert_no_single_partition_window_over(df, "doc_id")
     assert "hashpartitioning(difficulty" in explain_str(df)
+
+
+def test_knn_label_accuracy_narrow_and_bounded(spark):
+    """1-NN label eval: bounded-Q broadcast scoring (no CartesianProduct,
+    embedding never in an Exchange), label-sized output rollup."""
+    df = QUERIES["sim_knn_label_accuracy"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert_no_wide_shuffle(df, "embedding", max_exchanges=0)
+
+
+def test_zipf_slope_vocab_sized_tail(spark):
+    """Zipf fit: the top-N vocabulary must plan TakeOrderedAndProject; the
+    regression runs over the LIMITed frame only."""
+    plan = explain_str(QUERIES["text_zipf_slope"](spark, SF_SMOKE), "simple")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_rfm_single_user_rollup_broadcast_fences(spark):
+    """RFM: one user aggregate, exact-median fences broadcast back (BNLJ of
+    the 1-row frame allowed, CartesianProduct not), 3-column scan."""
+    df = QUERIES["events_rfm_segments"](spark, SF_SMOKE)
+    assert "CartesianProduct" not in explain_str(df)
+    assert_read_schema_pruned(df, max_columns=3)
+
+
+def test_power_user_share_no_single_partition_rank(spark):
+    """Pareto share ranks users through the two-phase rank: the per-user
+    frame never crosses an Exchange SinglePartition."""
+    df = QUERIES["events_power_user_share"](spark, SF_SMOKE)
+    assert_no_single_partition_window_over(df, "user_id")
+    assert_read_schema_pruned(df, max_columns=1)
+
+
+def test_mixture_temperature_is_rollup_and_broadcast(spark):
+    """Temperature mixture: one (source) rollup + 1-row broadcast total; no
+    rangepartitioning, 2-column scan."""
+    df = QUERIES["pipeline_mixture_temperature"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "rangepartitioning" not in plan.lower(), plan[:1500]
+    assert_read_schema_pruned(df, max_columns=2)

@@ -240,3 +240,56 @@ def test_band_recall_audit_set_algebra(spark):
     assert row.n_hit == row.n_lsh
     if row.n_lsh:
         assert row.precision_ppm == 1_000_000
+
+
+def test_knn_label_accuracy_bounds(spark):
+    rows = QUERIES["sim_knn_label_accuracy"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_agree <= r.n_queries
+        assert r.acc_ppm == r.n_agree * 1_000_000 // r.n_queries
+
+
+def test_zipf_slope_is_negative_power_law(spark):
+    row = QUERIES["text_zipf_slope"](spark, SF_SMOKE).collect()[0]
+    # rank-frequency over any natural-ish corpus slopes downward
+    assert row.zipf_slope < 0
+    assert row.n > 10
+
+
+def test_rfm_segment_string_matches_flags(spark):
+    rows = QUERIES["events_rfm_segments"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        expect = (
+            ("R" if r.r_hot else "-")
+            + ("F" if r.f_hot else "-")
+            + ("M" if r.m_hot else "-")
+        )
+        assert r.segment == expect
+        assert r.recency_days >= 0 and r.frequency >= 1
+
+
+def test_power_user_share_bounds(spark):
+    row = QUERIES["events_power_user_share"](spark, SF_SMOKE).collect()[0]
+    assert row.top_decile_events <= row.total_events
+    # the selected users are the MOST active, so their event share is at
+    # least their user-count share (average argument); the selection is
+    # rank*10 <= n_users, i.e. floor(n_users/10) users
+    selected = row.n_users // 10
+    assert selected >= 1
+    assert row.top_decile_events * row.n_users >= selected * row.total_events
+    assert row.top_decile_share_ppm <= 1_000_000
+
+
+def test_mixture_temperature_flattens_the_head(spark):
+    rows = QUERIES["pipeline_mixture_temperature"](spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r.sample_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= total <= 1_000_000
+    # temperature < 1 up-weights small sources, down-weights large ones
+    big = max(rows, key=lambda r: r.n_chars)
+    small = min(rows, key=lambda r: r.n_chars)
+    if big.n_chars > small.n_chars:
+        assert big.sample_ppm <= big.natural_ppm
+        assert small.sample_ppm >= small.natural_ppm
