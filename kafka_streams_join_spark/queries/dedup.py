@@ -881,3 +881,77 @@ def dedup_band_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_ppm"),
         )
     )
+
+
+@register(
+    "dedup_keep_longest",
+    # same recursive-component front end as dedup_cluster_canonical; the
+    # keep rule changes from min-id to argmax(n_chars, tie min doc_id)
+    oracle=_SHINGLES_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ","
+    + _CC_PAIRS_SQL
+    + """,
+    allrows AS (
+      SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    keep AS (
+      SELECT cluster_id, doc_id AS keeper_id FROM (
+        SELECT cluster_id, doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS r
+        FROM allrows) WHERE r = 1
+    )
+    SELECT f.doc_id, f.cluster_id, k.keeper_id,
+           CAST(f.doc_id = k.keeper_id AS INTEGER) AS kept
+    FROM allrows f JOIN keep k USING (cluster_id)
+    """,
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup removal with a KEEP-BEST rule: within each transitive
+    near-dup cluster, keep the LONGEST document (ties → lowest doc_id)
+    instead of the lowest-id one — the rule real curation uses, because
+    the longest variant of a scraped page is usually the least truncated
+    (``dedup_cluster_canonical`` is the id-deterministic twin; this is
+    the quality-aware one). Every document is emitted with its cluster,
+    its cluster's keeper, and its own kept flag, so the downstream filter
+    is a row-local ``kept = 1``.
+
+    Scale: the cluster labels come from the same min-label-propagation
+    components; the keeper per cluster is a map-side-combining
+    ``min(struct(-n_chars, doc_id))`` aggregate (the argmin-as-aggregate
+    trick from ``assign_to_codebook`` — no rank window over the corpus),
+    joined back on the cluster key."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).toDF("doc_id", "cluster_id")
+    full = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    keep = (
+        full.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("neg_len"),
+                    F.col("doc_id").alias("d"),
+                )
+            ).alias("mn")
+        )
+        .select("cluster_id", F.col("mn.d").alias("keeper_id"))
+    )
+    return full.join(keep, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).cast("int").alias("kept"),
+    )

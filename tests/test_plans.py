@@ -693,3 +693,12 @@ def test_mixture_temperature_is_rollup_and_broadcast(spark):
     plan = explain_str(df, "simple")
     assert "rangepartitioning" not in plan.lower(), plan[:1500]
     assert_read_schema_pruned(df, max_columns=2)
+
+
+def test_keep_longest_argmax_is_aggregate_not_window(spark):
+    """Keep-best dedup: the per-cluster keeper must be the
+    min(struct(-n_chars, doc_id)) AGGREGATE (map-side combining), never a
+    rank window over the docs frame; no single-partition funnel."""
+    df = QUERIES["dedup_keep_longest"](spark, SF_SMOKE)
+    assert_no_single_partition_window_over(df, "doc_id")
+    assert "CartesianProduct" not in explain_str(df)

@@ -293,3 +293,39 @@ def test_mixture_temperature_flattens_the_head(spark):
     if big.n_chars > small.n_chars:
         assert big.sample_ppm <= big.natural_ppm
         assert small.sample_ppm >= small.natural_ppm
+
+
+def test_keep_longest_agrees_with_canonical_clusters(spark):
+    """Keep-best and canonical share the same transitive clusters — only
+    the keep rule differs: keeper has the max length in its cluster (tie
+    min id), exactly one keeper per cluster, and singletons keep."""
+    best = {
+        r.doc_id: r
+        for r in QUERIES["dedup_keep_longest"](spark, SF_SMOKE).collect()
+    }
+    canon = {
+        r.doc_id: r.canonical_id
+        for r in QUERIES["dedup_cluster_canonical"](spark, SF_SMOKE).collect()
+    }
+    assert set(best) == set(canon)
+    # identical cluster partitions (cluster_id == canonical min-id label)
+    for d, r in best.items():
+        assert r.cluster_id == canon[d]
+    from collections import defaultdict
+
+    lens = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    clusters = defaultdict(list)
+    for d, r in best.items():
+        clusters[r.cluster_id].append(d)
+    for cid, members in clusters.items():
+        keepers = {best[d].keeper_id for d in members}
+        assert len(keepers) == 1
+        keeper = keepers.pop()
+        expect = min(members, key=lambda d: (-lens[d], d))
+        assert keeper == expect
+        assert sum(best[d].kept for d in members) == 1
