@@ -702,3 +702,39 @@ def test_keep_longest_argmax_is_aggregate_not_window(spark):
     df = QUERIES["dedup_keep_longest"](spark, SF_SMOKE)
     assert_no_single_partition_window_over(df, "doc_id")
     assert "CartesianProduct" not in explain_str(df)
+
+
+def test_registry_wide_no_data_sized_global_funnel(spark):
+    """Registry-wide meta-gate (round 5): NO registered query may move a
+    data-sized frame through a single-partition or range exchange. "Data-
+    sized" is detected by the per-row id columns of the corpus tables
+    (doc_id / vec_id / user_id / event_id / lineitem keys) appearing in the
+    Exchange input — bounded side frames (level counts, shard totals, group
+    rollups) never carry them. This is the generalization of the per-query
+    single-partition gates: a future registration cannot reintroduce the
+    round-4 weak shape without failing here.
+
+    Global ORDER BY of a GROUP-sized result (e.g. TPC-H Q1's sort on its
+    4-row output) is allowed — those frames carry group keys, not row ids.
+    TakeOrderedAndProject never plans an Exchange, so top-k queries pass by
+    construction."""
+    import re
+
+    ids = ("doc_id", "vec_id", "user_id", "event_id", "l_orderkey", "l_partkey")
+    offenders = []
+    for name, fn in QUERIES.items():
+        try:
+            plan = explain_str(fn(spark, SF_SMOKE))
+        except Exception as e:  # noqa: BLE001 — a broken query fails parity, not this gate
+            offenders.append((name, f"explain failed: {e}"))
+            continue
+        for m in re.finditer(
+            r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\n"
+            r"Arguments: (SinglePartition|rangepartitioning)",
+            plan,
+        ):
+            cols, kind = m.group(1), m.group(2)
+            hit = [i for i in ids if re.search(rf"\b{i}#", cols)]
+            if hit:
+                offenders.append((name, f"{kind} carries {hit}"))
+    assert not offenders, offenders
