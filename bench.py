@@ -215,6 +215,9 @@ COVERAGE = [
     "events_rfm_segments",
     "events_power_user_share",
     "pipeline_mixture_temperature",
+    "dedup_keep_longest",
+    "text_lang_confusion",
+    "pipeline_dataset_card",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

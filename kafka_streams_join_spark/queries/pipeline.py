@@ -730,3 +730,79 @@ def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# pipeline_dataset_card — the one-row dataset summary
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+    WITH base AS (
+      SELECT count(*) AS n_docs,
+             count(DISTINCT source) AS n_sources,
+             count(DISTINCT lang) AS n_langs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(len({_DOC_TOKS_SQL})) AS BIGINT) AS total_tokens,
+             count(DISTINCT md5(text)) AS n_unique_texts
+      FROM documents
+    ),
+    top_src AS (
+      SELECT max(c) AS top_n FROM (
+        SELECT count(*) AS c FROM documents GROUP BY source)
+    )
+    SELECT base.n_docs, base.n_sources, base.n_langs,
+           base.total_chars, base.total_tokens,
+           CAST(base.total_chars // base.n_docs AS BIGINT) AS mean_chars,
+           CAST((base.n_docs - base.n_unique_texts) * 1000000 // base.n_docs
+                AS BIGINT) AS exact_dup_ppm,
+           CAST(top_src.top_n * 1000000 // base.n_docs AS BIGINT)
+             AS top_source_ppm
+    FROM base CROSS JOIN top_src
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card: corpus size (docs/chars/tokens),
+    source/language diversity, the exact-duplicate rate, and head-source
+    concentration — the numbers a dataset README leads with and a
+    curation review asks for first. Every ratio is exact integer ppm or
+    floor division; the duplicate rate reuses the md5-text identity
+    ``dedup_exact`` certifies.
+
+    Scale: one documents scan feeds a single multi-distinct aggregate
+    (Spark plans the three DISTINCTs via one Expand — the
+    ``dq_table_profile`` shape, not N union'd scans) plus a
+    source-vocabulary rollup for the head share; both 1-row frames
+    broadcast into the final projection."""
+    from .text import _TOKS
+
+    doc = load_table(spark, sf_dir, "documents")
+    base = doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.expr(f"size({_TOKS})")).cast("long").alias("total_tokens"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+    )
+    top_src = (
+        doc.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("top_n"))
+    )
+    return base.join(F.broadcast(top_src)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_chars",
+        "total_tokens",
+        F.expr("cast(total_chars div n_docs as bigint)").alias("mean_chars"),
+        F.expr(
+            "cast((n_docs - n_unique_texts) * 1000000 div n_docs as bigint)"
+        ).alias("exact_dup_ppm"),
+        F.expr("cast(top_n * 1000000 div n_docs as bigint)").alias(
+            "top_source_ppm"
+        ),
+    )

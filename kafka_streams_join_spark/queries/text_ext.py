@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..sources.parquet import load_table
 from ..operators.staging import staged as _staged
 from .registry import register
-from .text import _TOKS, _TOKS_SQL
+from .text import _TOKS, _TOKS_SQL, text_lang_id
 
 
 @register(
@@ -508,4 +508,58 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000,
             4,
         ).alias("intercept_ln"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_lang_confusion — language-ID evaluation against the labeled column
+# --------------------------------------------------------------------------
+
+from .registry import ORACLES as _TEXT_ORACLES  # noqa: E402  (lang_id above)
+
+
+@register(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH pred AS ({_TEXT_ORACLES["text_lang_id"]}),
+         tot AS (SELECT count(*) AS n_docs FROM pred)
+    SELECT pred.lang AS true_lang, pred.pred_lang, count(*) AS n,
+           CAST(count(*) FILTER (WHERE pred.lang = pred.pred_lang) * 1000000
+                // count(*) AS BIGINT) AS diag_ppm,
+           CAST(count(*) * 1000000 // tot.n_docs AS BIGINT) AS cell_ppm
+    FROM pred CROSS JOIN tot
+    GROUP BY pred.lang, pred.pred_lang, tot.n_docs
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: (true lang, predicted lang) cell
+    counts evaluated against the corpus's labeled ``lang`` column — the
+    quality report for ``text_lang_id`` before its predictions gate any
+    filtering (a lang-id that mislabels 20% of 'de' as 'en' silently
+    drops a language from the training mix). ``diag_ppm`` is 1e6 on
+    diagonal cells and 0 off-diagonal (an exact indicator, not a rate);
+    ``cell_ppm`` is the cell's share of the corpus. Composes the
+    REGISTERED lang-id oracle verbatim — the ``sim_recall_report``
+    pattern, so the evaluation can never drift from the operator it
+    evaluates.
+
+    Scale: the lang-id projection is row-local in the scan; the matrix is
+    one map-side-combined aggregate over a langs²-bounded key space, plus
+    the 1-row corpus total broadcast."""
+    pred = text_lang_id(spark, sf_dir)
+    tot = pred.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        pred.join(F.broadcast(tot))
+        .groupBy(F.col("lang").alias("true_lang"), "pred_lang", "n_docs")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("lang") == F.col("pred_lang"), 1)).alias("n_diag"),
+        )
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            F.expr("cast(n_diag * 1000000 div n as bigint)").alias("diag_ppm"),
+            F.expr("cast(n * 1000000 div n_docs as bigint)").alias("cell_ppm"),
+        )
     )

@@ -738,3 +738,25 @@ def test_registry_wide_no_data_sized_global_funnel(spark):
             if hit:
                 offenders.append((name, f"{kind} carries {hit}"))
     assert not offenders, offenders
+
+
+def test_lang_confusion_is_rollup_on_rowlocal_pred(spark):
+    """Lang confusion: the prediction is a row-local projection in the
+    scan; the matrix is one langs²-bounded aggregate — no join of
+    data-sized relations, no Python evaluators."""
+    df = QUERIES["text_lang_confusion"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan[:1500]
+
+
+def test_dataset_card_single_expand_scan(spark):
+    """Dataset card: the multi-distinct aggregate runs as ONE Expand-based
+    scan (the dq_table_profile shape), plus the source rollup — at most
+    two FileScans, no rangepartitioning."""
+    df = QUERIES["pipeline_dataset_card"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "Expand" in plan, plan[:1500]
+    assert plan.count("FileScan parquet") <= 2, plan[:1500]
+    assert "rangepartitioning" not in plan.lower(), plan[:1500]

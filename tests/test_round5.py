@@ -329,3 +329,23 @@ def test_keep_longest_agrees_with_canonical_clusters(spark):
         expect = min(members, key=lambda d: (-lens[d], d))
         assert keeper == expect
         assert sum(best[d].kept for d in members) == 1
+
+
+def test_lang_confusion_mass_and_diag(spark):
+    rows = QUERIES["text_lang_confusion"](spark, SF_SMOKE).collect()
+    assert rows
+    docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n for r in rows) == docs
+    for r in rows:
+        assert r.diag_ppm == (1_000_000 if r.true_lang == r.pred_lang else 0)
+
+
+def test_dataset_card_recomputes(spark):
+    row = QUERIES["pipeline_dataset_card"](spark, SF_SMOKE).collect()[0]
+    doc = load_table(spark, SF_SMOKE, "documents")
+    assert row.n_docs == doc.count()
+    assert row.n_sources == doc.select("source").distinct().count()
+    assert row.mean_chars == row.total_chars // row.n_docs
+    assert 0 <= row.exact_dup_ppm < 1_000_000
+    # the head source holds at least its proportional share
+    assert row.top_source_ppm * row.n_sources >= 1_000_000 - row.n_sources
