@@ -218,6 +218,7 @@ COVERAGE = [
     "dedup_keep_longest",
     "text_lang_confusion",
     "pipeline_dataset_card",
+    "graph_pagerank_parts",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

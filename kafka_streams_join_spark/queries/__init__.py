@@ -54,6 +54,8 @@ from . import curation_funnel  # noqa: E402,F401
 from . import corpus_stats  # noqa: E402,F401
 from . import incremental  # noqa: E402,F401
 from . import fuzzy  # noqa: E402,F401
+# round-5 additions
+from . import graph  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1,0 +1,130 @@
+"""Graph analytics over the co-purchase graph: exact-integer PageRank.
+
+The graph: parts are nodes; an undirected edge links two parts that appear
+in the same order (the ``orders_copurchase_lift`` basket pairs, emitted in
+both directions). PageRank over it ranks parts by co-purchase centrality —
+the item-importance signal behind "customers also bought" surfaces, and
+the repo's demonstration that ITERATIVE graph algorithms fit the
+oracle-checked relational harness (``operators/components.py`` covers the
+other classic, connected components).
+
+Determinism contract — the k-means/PQ integer argument applied to an
+iterative fixpoint: ranks live in BIGINT nano-units, per-edge
+contributions are FLOOR divisions (rank div degree), and the damping
+update is integer arithmetic ((15·S div 100) + (85·contrib div 100), with
+S the uniform start mass). Every iteration is therefore bit-exact in both
+engines — float PageRank would compound summation-order drift across
+iterations, which no final rounding can undo. The oracle unrolls the same
+{PR_ITERS} iterations as chained CTEs.
+
+Scale shape: degrees are one edge aggregate; each iteration is one
+edges ⋈ ranks equi-join (narrow: node, rank, degree) plus a map-side-
+combined sum per destination — the textbook distributed PageRank step.
+Iterations are a FIXED unrolled count, so the plan is a bounded chain (no
+driver loop, no checkpoint needed at this depth); production runs with
+more rounds would checkpoint lineage like ``connected_components``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .registry import register
+
+PR_ITERS = 5
+PR_START = 1_000_000_000  # nano-units: uniform start mass per node
+# (1 - d) * S, precomputed so no engine multiplies two INT literals (Spark's
+# ANSI mode overflows 15 * 1e9 in 32-bit before any cast applies)
+PR_BASE = 15 * PR_START // 100
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edges as (src, dst), both directions,
+    deduped. Pair space is bounded by basket size (see
+    ``orders_copurchase_lift``)."""
+    basket = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey"))
+        .distinct()
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.pkey") < F.col("b.pkey")),
+        )
+        .select(F.col("a.pkey").alias("src"), F.col("b.pkey").alias("dst"))
+        .distinct()
+    )
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _pagerank_oracle() -> str:
+    itr = "\n".join(
+        f""",
+    r{i + 1} AS (
+      SELECT deg.node,
+             CAST({PR_BASE} + 85 * coalesce(c.contrib, 0) // 100
+                  AS BIGINT) AS rank
+      FROM deg LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(r{i}.rank // deg.degree) AS BIGINT)
+          AS contrib
+        FROM edges e
+        JOIN r{i} ON r{i}.node = e.src
+        JOIN deg ON deg.node = e.src
+        GROUP BY e.dst
+      ) c ON c.node = deg.node
+    )"""
+        for i in range(PR_ITERS)
+    )
+    return f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT DISTINCT a.pkey AS src, b.pkey AS dst
+      FROM basket a JOIN basket b ON a.okey = b.okey AND a.pkey < b.pkey
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST({PR_START} AS BIGINT) AS rank FROM deg){itr}
+    SELECT node AS part_id, rank AS rank_nano FROM r{PR_ITERS}
+    """
+
+
+@register("graph_pagerank_parts", oracle=_pagerank_oracle())
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {PR_ITERS} unrolled iterations) over the
+    undirected co-purchase part graph, in exact BIGINT nano-units — see
+    the module docstring for the integer-fixpoint determinism contract
+    and the per-iteration plan shape."""
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    ranks = deg.select("node", F.lit(PR_START).cast("long").alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg.withColumnRenamed("node", "dnode"), F.col("src") == F.col("dnode"))
+            .select("dst", F.expr("rank div degree").alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").cast("long").alias("contrib"))
+        )
+        ranks = deg.join(contrib, "node", "left").select(
+            "node",
+            F.expr(
+                f"cast({PR_BASE} + 85 * coalesce(contrib, 0) div 100"
+                " as bigint)"
+            ).alias("rank"),
+        )
+    return ranks.select(
+        F.col("node").alias("part_id"), F.col("rank").alias("rank_nano")
+    )

@@ -760,3 +760,11 @@ def test_dataset_card_single_expand_scan(spark):
     assert "Expand" in plan, plan[:1500]
     assert plan.count("FileScan parquet") <= 2, plan[:1500]
     assert "rangepartitioning" not in plan.lower(), plan[:1500]
+
+
+def test_pagerank_iterations_are_equi_joins(spark):
+    """PageRank: every iteration is an edges ⋈ ranks equi-join + one
+    map-side-combined sum — no cartesian, no data-sized global funnel."""
+    df = QUERIES["graph_pagerank_parts"](spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    assert_no_single_partition_window_over(df, "l_partkey")

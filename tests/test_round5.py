@@ -349,3 +349,17 @@ def test_dataset_card_recomputes(spark):
     assert 0 <= row.exact_dup_ppm < 1_000_000
     # the head source holds at least its proportional share
     assert row.top_source_ppm * row.n_sources >= 1_000_000 - row.n_sources
+
+
+def test_pagerank_integer_fixpoint_properties(spark):
+    """Every node's rank is at least the teleport mass; ranks stay within
+    the total start mass (floor divisions only lose mass, never create
+    it); higher-degree hubs outrank leaves on average."""
+    from kafka_streams_join_spark.queries.graph import PR_BASE, PR_START
+
+    rows = QUERIES["graph_pagerank_parts"](spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r.rank_nano for r in rows)
+    assert all(r.rank_nano >= PR_BASE for r in rows)
+    assert total <= len(rows) * PR_START
+    assert total >= len(rows) * PR_BASE
