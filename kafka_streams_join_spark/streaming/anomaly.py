@@ -16,6 +16,12 @@ State is three numbers per event type — O(#types), watermark-free, the
 smallest stateful footprint in the repo — so at production scale the only
 constraint is that finalized day counts arrive per type in day order
 (guaranteed by the upstream windowed count with watermark emission).
+
+Topology note: Spark rejects ``applyInPandasWithState`` DOWNSTREAM of a
+streaming aggregation inside one query (AnalysisException, by design), so
+the windowed-count stage and this scorer deploy as TWO chained queries
+through a replayable sink (files/Kafka) — the shape
+tests/test_streaming_anomaly.py certifies end-to-end.
 """
 
 from __future__ import annotations

@@ -111,3 +111,87 @@ def test_score_day_rule():
     assert score_day(3, 30.0, 300.0, 10) == (0.0, 0)  # constant 10s: sd = 0
     z, flag = score_day(2, 30.0, 500.0, 35)  # days 10, 20 → mu 15, sd 5
     assert z == 4.0 and flag == 1
+
+
+def test_full_chain_windowed_counts_into_anomaly(spark, tmpdir):
+    """The production topology end-to-end, as TWO chained streaming
+    queries: (1) raw events → watermarked 1-day tumbling counts, append
+    mode (a day emits only once the watermark closes it) → a durable JSON
+    feed; (2) the stateful prequential scorer reading that feed. Spark
+    rejects ``applyInPandasWithState`` downstream of a streaming
+    aggregation in one query (AnalysisException, by design) — the
+    supported and deployed shape IS the two-query chain through a
+    replayable sink, which this test certifies."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    # 4 calm days then a spike; a final far-future event advances the
+    # watermark so every interesting day closes
+    rows = []
+    for day, n in [(1, 10), (2, 12), (3, 8), (4, 10), (5, 300)]:
+        rows += [
+            {"key": "click", "value": f"e{day}_{i}", "ts": f"2024-01-0{day}T06:00:{i % 60:02d}"}
+            for i in range(n)
+        ]
+    flush = [{"key": "click", "value": "flush", "ts": "2024-02-01T00:00:00"}]
+
+    src = FileStream(spark, tmpdir, "events")
+    src.add_batch(rows)
+    src.add_batch(flush)
+
+    ev = src.df().select(
+        F.col("key").alias("event_type"), F.col("ts").cast("timestamp").alias("ts")
+    )
+    daily = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    feed = os.path.join(tmpdir, "daily_feed")
+    q1 = (
+        daily.writeStream.format("json")
+        .option("path", feed)
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_counts"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    counts_stream = (
+        spark.readStream.schema("event_type string, day string, n long")
+        .option("maxFilesPerTrigger", "1")
+        .json(feed)
+    )
+    scored = stream_anomaly_zscore(counts_stream)
+    q, sink = start_memory_sink(scored, checkpoint_root=tmpdir)
+    try:
+        q.processAllAvailable()
+        got = {
+            r.day: (r.n, r.zscore, r.is_anomaly)
+            for r in spark.table(sink).collect()
+        }
+    finally:
+        q.stop()
+
+    # the 5 real days all closed (the flush event advanced the watermark
+    # past them); the spike day flags against the 4 calm prior days
+    assert set(got) == {f"2024-01-0{d}" for d in range(1, 6)}
+    counts = {f"2024-01-0{d}": n for d, n in [(1, 10), (2, 12), (3, 8), (4, 10), (5, 300)]}
+    for day, (n, _, _) in got.items():
+        assert n == counts[day]
+    ref, _ = _reference(
+        [{"event_type": "click", "day": d, "n": n} for d, n in counts.items()]
+    )
+    for day, (n, z, flag) in got.items():
+        rz, rflag, _ = ref[("click", day)]
+        assert abs(z - rz) < 1e-9 and flag == rflag
+    assert got["2024-01-05"][2] == 1
