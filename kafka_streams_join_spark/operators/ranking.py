@@ -49,16 +49,24 @@ def two_phase_rank(
         df.groupBy(level_col)
         .agg(F.count(F.lit(1)).alias("__lvl_n"))
         .select(
-            level_col,
+            F.col(level_col).alias("__lvl_key"),
             F.coalesce(F.sum("__lvl_n").over(off_w), F.lit(0)).alias("__lvl_off"),
         )
     )
     in_lvl = Window.partitionBy(level_col).orderBy(F.col(id_col).asc())
+    # NULL-SAFE join back: groupBy keeps a NULL level group (counted in the
+    # offsets), so a plain equi-join would silently drop NULL-level rows
+    # while every later rank stayed shifted by their count (review finding,
+    # round 5). With <=> the NULL level ranks where the offsets window
+    # placed it (Spark null ordering: FIRST ascending, LAST descending).
     return (
-        df.join(F.broadcast(levels), level_col)
+        df.join(
+            F.broadcast(levels),
+            F.col(level_col).eqNullSafe(F.col("__lvl_key")),
+        )
         .withColumn(
             rank_col,
             (F.col("__lvl_off") + F.row_number().over(in_lvl)).cast("int"),
         )
-        .drop("__lvl_off")
+        .drop("__lvl_key", "__lvl_off")
     )

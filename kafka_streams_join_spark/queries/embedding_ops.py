@@ -284,7 +284,7 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT dist.vec_id, dist.label, dist.dist6,
            round((dist.dist6 - stats.mu) / stats.sd, 4) + 0.0 AS zscore
     FROM dist JOIN stats USING (label)
-    WHERE (dist.dist6 - stats.mu) / stats.sd >= 2
+    WHERE stats.sd > 0 AND (dist.dist6 - stats.mu) / stats.sd >= 2
     """,
 )
 def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,9 +333,13 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("dist6").alias("mu"), F.stddev_pop("dist6").alias("sd")
     )
     z = (F.col("dist6") - F.col("mu")) / F.col("sd")
+    # sd = 0 (singleton or all-equal label) must drop the label, not
+    # divide: Spark's 0/0 is NULL (filtered) but DuckDB's is NaN, which
+    # DuckDB orders ABOVE all numbers — the engines would diverge on any
+    # zero-variance label (review finding, round 5)
     return (
         dist.join(F.broadcast(stats), "label")
-        .filter(z >= 2)
+        .filter((F.col("sd") > 0) & (z >= 2))
         .select(
             "vec_id",
             "label",

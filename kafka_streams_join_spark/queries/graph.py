@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -105,9 +106,14 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     undirected co-purchase part graph, in exact BIGINT nano-units — see
     the module docstring for the integer-fixpoint determinism contract
     and the per-iteration plan shape."""
-    edges = _edges(spark, sf_dir)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
+    # staged: the 5 unrolled iterations reference edges ~6x and deg ~11x;
+    # unstaged, each reference re-ran the lineitem self-join / the degree
+    # aggregate from the scan (review finding, round 5)
+    edges = _staged(_edges(spark, sf_dir))
+    deg = _staged(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
     )
     ranks = deg.select("node", F.lit(PR_START).cast("long").alias("rank"))
     for _ in range(PR_ITERS):

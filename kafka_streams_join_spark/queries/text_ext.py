@@ -494,12 +494,19 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("x6").alias("sx"),
         F.sum("y6").alias("sy"),
-        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
-        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+        # per-term products fit a long (~4e13) but their SUMS and the
+        # n·Σxy − Σx·Σy cross terms cross 2^63 on real vocabularies —
+        # accumulate in decimal(38,0), the Spark twin of the oracle's
+        # HUGEINT casts (review finding, round 5)
+        F.sum(F.expr("cast(x6 as decimal(38, 0)) * y6")).alias("sxy"),
+        F.sum(F.expr("cast(x6 as decimal(38, 0)) * x6")).alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dec = "decimal(38, 0)"
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
+    ).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    ).cast("double")
     return s.select(
         "n",
         F.round(slope, 4).alias("zipf_slope"),

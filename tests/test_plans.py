@@ -720,7 +720,13 @@ def test_registry_wide_no_data_sized_global_funnel(spark):
     construction."""
     import re
 
-    ids = ("doc_id", "vec_id", "user_id", "event_id", "l_orderkey", "l_partkey")
+    # per-row ids INCLUDING the alias families queries rename them to —
+    # a renamed frame must not evade the gate (review finding, round 5)
+    ids = (
+        "doc_id", "vec_id", "user_id", "event_id", "l_orderkey", "l_partkey",
+        "doc_a", "doc_b", "query_id", "neighbor_id", "part_a", "part_b",
+        "okey", "pkey", "src", "dst",
+    )
     offenders = []
     for name, fn in QUERIES.items():
         try:
@@ -767,4 +773,6 @@ def test_pagerank_iterations_are_equi_joins(spark):
     map-side-combined sum — no cartesian, no data-sized global funnel."""
     df = QUERIES["graph_pagerank_parts"](spark, SF_SMOKE)
     assert_no_cartesian(df)
-    assert_no_single_partition_window_over(df, "l_partkey")
+    # the graph frames rename l_partkey at the scan — gate the alias chain
+    for col in ("node", "src", "dst", "pkey"):
+        assert_no_single_partition_window_over(df, col)
