@@ -219,6 +219,7 @@ COVERAGE = [
     "text_lang_confusion",
     "pipeline_dataset_card",
     "graph_pagerank_parts",
+    "events_daily_ewma",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

@@ -579,3 +579,88 @@ def events_power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(top_decile_events * 1000000 div total_events as bigint)"
         ).alias("top_decile_share_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_daily_ewma — integer-exact exponential smoothing of daily volumes
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_daily_ewma",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, d, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rnk
+      FROM daily
+    ),
+    ew AS (
+      SELECT event_type, d, n, rnk, CAST(n AS BIGINT) AS ewma
+      FROM ranked WHERE rnk = 1
+      UNION ALL
+      SELECT r.event_type, r.d, r.n, r.rnk,
+             CAST((r.n + 3 * ew.ewma) // 4 AS BIGINT)
+      FROM ranked r JOIN ew
+        ON r.event_type = ew.event_type AND r.rnk = ew.rnk + 1
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS day, n, ewma,
+           CAST(abs(n - ewma) * 1000000 // greatest(1, ewma) AS BIGINT)
+             AS dev_ppm
+    FROM ew
+    """,
+)
+def events_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily volumes per event
+    type, with α = 1/4 in EXACT integer arithmetic: ewma_i =
+    (n_i + 3·ewma_{i−1}) div 4, seeded with the first day — the trend
+    smoother behind volume dashboards and drift alerts (``dev_ppm`` is the
+    day's exact-ppm deviation from its own trend; the companion to
+    ``events_anomaly_zscore``'s distribution test). A power-of-two α makes
+    the recursion integer-exact, so both engines walk bit-identical
+    states — a float EWMA would compound drift just like float PageRank.
+
+    Scale shape: a recursion over an ordered sequence is inherently
+    sequential PER KEY, so it runs as a row-local higher-order fold over
+    each type's COLLECTED day array — bounded by the calendar window
+    (days/type, ~10²–10³ at any horizon), never by event volume; the
+    events-sized work is the one map-side-combined (type, day) aggregate
+    feeding it. The oracle is the same recursion as a recursive CTE."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    folded = daily.groupBy("event_type").agg(
+        F.expr(
+            """
+            aggregate(
+              array_sort(collect_list(struct(d, n))),
+              cast(array() as array<struct<d: date, n: bigint, ewma: bigint>>),
+              (acc, x) -> acc || array(named_struct(
+                'd', x.d, 'n', x.n,
+                'ewma', CASE WHEN size(acc) = 0 THEN x.n
+                             ELSE (x.n + 3 * element_at(acc, -1).ewma) div 4
+                        END))
+            )
+            """
+        ).alias("seq")
+    )
+    return folded.select(
+        "event_type", F.explode("seq").alias("s")
+    ).select(
+        "event_type",
+        F.date_format("s.d", "yyyy-MM-dd").alias("day"),
+        F.col("s.n").alias("n"),
+        F.col("s.ewma").alias("ewma"),
+        F.expr(
+            "cast(abs(s.n - s.ewma) * 1000000 div greatest(1, s.ewma) as bigint)"
+        ).alias("dev_ppm"),
+    )

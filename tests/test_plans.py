@@ -776,3 +776,14 @@ def test_pagerank_iterations_are_equi_joins(spark):
     # the graph frames rename l_partkey at the scan — gate the alias chain
     for col in ("node", "src", "dst", "pkey"):
         assert_no_single_partition_window_over(df, col)
+
+
+def test_ewma_fold_is_rowlocal_after_one_rollup(spark):
+    """EWMA: one (type, day) aggregate feeds a row-local fold — no joins,
+    no Python evaluators, no data-sized global funnel."""
+    df = QUERIES["events_daily_ewma"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    for bad in ("CartesianProduct", "SortMergeJoin", "ShuffledHashJoin",
+                "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, plan[:1500]
+    assert_read_schema_pruned(df, max_columns=2)

@@ -363,3 +363,23 @@ def test_pagerank_integer_fixpoint_properties(spark):
     assert all(r.rank_nano >= PR_BASE for r in rows)
     assert total <= len(rows) * PR_START
     assert total >= len(rows) * PR_BASE
+
+
+def test_ewma_recursion_exact(spark):
+    """Replay the published recursion per type: ewma_i =
+    (n_i + 3·ewma_{i−1}) div 4, seeded with day 1."""
+    from collections import defaultdict
+
+    rows = QUERIES["events_daily_ewma"](spark, SF_SMOKE).collect()
+    assert rows
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r.day)
+        e = rs[0].n
+        assert rs[0].ewma == e
+        for r in rs[1:]:
+            e = (r.n + 3 * e) // 4
+            assert r.ewma == e
+            assert r.dev_ppm == abs(r.n - r.ewma) * 1_000_000 // max(1, r.ewma)
