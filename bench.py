@@ -220,6 +220,7 @@ COVERAGE = [
     "pipeline_dataset_card",
     "graph_pagerank_parts",
     "events_daily_ewma",
+    "pipeline_repeat_epochs",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

@@ -806,3 +806,95 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_source_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# pipeline_repeat_epochs — per-source repeat factors under a token budget
+# --------------------------------------------------------------------------
+
+_EPOCH_BUDGET_X = 3  # total training tokens = 3x the corpus (the repeat regime)
+_EPOCH_CAP_MILLI = 8_000  # no source repeats more than 8 epochs
+
+
+@register(
+    "pipeline_repeat_epochs",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(sum(len({_DOC_TOKS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    p AS (
+      SELECT source, n_tokens,
+             CAST(round(pow(n_tokens, {_TEMP_ALPHA}) * 1000000) AS BIGINT)
+               AS p6
+      FROM s
+    ),
+    t AS (SELECT CAST(sum(p6) AS BIGINT) AS tp,
+                 CAST(sum(n_tokens) AS BIGINT) AS tc FROM p)
+    SELECT p.source, p.n_tokens,
+           CAST(p.p6 * 1000000 // t.tp AS BIGINT) AS share_ppm,
+           CAST(t.tc * {_EPOCH_BUDGET_X} * (p.p6 * 1000000 // t.tp)
+                // 1000000 AS BIGINT) AS target_tokens,
+           CAST(least(
+             t.tc * {_EPOCH_BUDGET_X} * (p.p6 * 1000000 // t.tp)
+               // 1000000 * 1000 // p.n_tokens,
+             {_EPOCH_CAP_MILLI}) AS BIGINT) AS epochs_milli,
+           CASE WHEN t.tc * {_EPOCH_BUDGET_X} * (p.p6 * 1000000 // t.tp)
+                     // 1000000 * 1000 // p.n_tokens > {_EPOCH_CAP_MILLI}
+                THEN 1 ELSE 0 END AS capped
+    FROM p CROSS JOIN t
+    """,
+)
+def pipeline_repeat_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repeat-factor plan a pretraining mixture actually trains from:
+    total budget = {_EPOCH_BUDGET_X}× the corpus's tokens, split across
+    sources by the temperature share (α={_TEMP_ALPHA}, the
+    ``pipeline_mixture_temperature`` rule applied to TOKEN counts), and
+    expressed per source as milli-epochs (target ÷ source size), capped at
+    {_EPOCH_CAP_MILLI} milli-epochs — the "how many times does each source
+    repeat" table, with a flag on sources the cap truncated (tiny sources
+    a temperature mixture would over-repeat past the data-reuse sweet
+    spot). Every step is exact integer arithmetic on quantized
+    temperature weights — two engines, one plan, no float drift.
+
+    Scale: one token-count rollup per source (map-side combined; the token
+    explode is the only corpus-sized work) and a 1-row broadcast total."""
+    from .text import _TOKS
+
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.expr(f"size({_TOKS})")).cast("long").alias("n_tokens"))
+        .withColumn(
+            "p6",
+            F.expr(
+                f"cast(round(pow(n_tokens, {_TEMP_ALPHA}) * 1000000) as bigint)"
+            ),
+        )
+    )
+    t = s.agg(
+        F.sum("p6").cast("long").alias("tp"),
+        F.sum("n_tokens").cast("long").alias("tc"),
+    )
+    joined = s.join(F.broadcast(t)).withColumn(
+        "share_ppm", F.expr("cast(p6 * 1000000 div tp as bigint)")
+    ).withColumn(
+        "target_tokens",
+        F.expr(
+            f"cast(tc * {_EPOCH_BUDGET_X} * share_ppm div 1000000 as bigint)"
+        ),
+    ).withColumn(
+        "raw_milli", F.expr("target_tokens * 1000 div n_tokens")
+    )
+    return joined.select(
+        "source",
+        "n_tokens",
+        "share_ppm",
+        "target_tokens",
+        F.expr(
+            f"cast(least(raw_milli, {_EPOCH_CAP_MILLI}) as bigint)"
+        ).alias("epochs_milli"),
+        F.when(F.col("raw_milli") > _EPOCH_CAP_MILLI, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("capped"),
+    )

@@ -787,3 +787,12 @@ def test_ewma_fold_is_rowlocal_after_one_rollup(spark):
                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan, plan[:1500]
     assert_read_schema_pruned(df, max_columns=2)
+
+
+def test_repeat_epochs_single_rollup(spark):
+    """Epoch planning: one (source) rollup + 1-row broadcast; no
+    rangepartitioning, 2-column scan."""
+    df = QUERIES["pipeline_repeat_epochs"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "rangepartitioning" not in plan.lower(), plan[:1500]
+    assert_read_schema_pruned(df, max_columns=2)

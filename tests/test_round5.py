@@ -383,3 +383,18 @@ def test_ewma_recursion_exact(spark):
             e = (r.n + 3 * e) // 4
             assert r.ewma == e
             assert r.dev_ppm == abs(r.n - r.ewma) * 1_000_000 // max(1, r.ewma)
+
+
+def test_repeat_epochs_arithmetic_and_cap(spark):
+    rows = QUERIES["pipeline_repeat_epochs"](spark, SF_SMOKE).collect()
+    assert rows
+    total_tokens = sum(r.n_tokens for r in rows)
+    for r in rows:
+        expect_target = total_tokens * 3 * r.share_ppm // 1_000_000
+        assert r.target_tokens == expect_target
+        raw = expect_target * 1000 // r.n_tokens
+        assert r.epochs_milli == min(raw, 8_000)
+        assert r.capped == (1 if raw > 8_000 else 0)
+    # a 3x budget with temperature flattening must push at least one small
+    # source above 3 epochs-equivalent (3000 milli)
+    assert any(r.epochs_milli > 3000 for r in rows)
