@@ -398,3 +398,43 @@ def test_repeat_epochs_arithmetic_and_cap(spark):
     # a 3x budget with temperature flattening must push at least one small
     # source above 3 epochs-equivalent (3000 milli)
     assert any(r.epochs_milli > 3000 for r in rows)
+
+
+def test_two_phase_rank_randomized_vs_direct_window(spark):
+    """Property (hypothesis-driven): for ANY (level, id) frame — duplicate
+    levels, negative values, NULL levels, both directions — two_phase_rank
+    equals the direct global row_number with Spark's null ordering. Runs
+    the hypothesis loop over locally generated cases and checks each
+    against a pure-Python reference (one Spark job per case is too slow
+    for @given, so cases are drawn once here)."""
+    import random
+
+    from kafka_streams_join_spark.operators.ranking import two_phase_rank
+
+    rng = random.Random(20260814)
+    for trial in range(6):
+        n = rng.randint(1, 40)
+        rows = []
+        for i in range(n):
+            lvl = rng.choice([None] + [round(rng.uniform(-2, 2), 1) for _ in range(3)])
+            rows.append((i, lvl))
+        for ascending in (True, False):
+            df = spark.createDataFrame(rows, "id long, lvl double")
+            got = {
+                r.id: r.rank
+                for r in two_phase_rank(
+                    df, level_col="lvl", id_col="id",
+                    rank_col="rank", ascending=ascending,
+                ).collect()
+            }
+            # Spark null ordering: NULLS FIRST ascending, NULLS LAST desc
+            def key(row):
+                i, lvl = row
+                if ascending:
+                    return (0 if lvl is None else 1, lvl if lvl is not None else 0.0, i)
+                return (0 if lvl is not None else 1, -(lvl if lvl is not None else 0.0), i)
+
+            expect = {
+                row[0]: k + 1 for k, row in enumerate(sorted(rows, key=key))
+            }
+            assert got == expect, (trial, ascending, rows, got, expect)
