@@ -221,6 +221,7 @@ COVERAGE = [
     "graph_pagerank_parts",
     "events_daily_ewma",
     "pipeline_repeat_epochs",
+    "dedup_tier_report",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

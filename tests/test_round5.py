@@ -438,3 +438,19 @@ def test_two_phase_rank_randomized_vs_direct_window(spark):
                 row[0]: k + 1 for k, row in enumerate(sorted(rows, key=key))
             }
             assert got == expect, (trial, ascending, rows, got, expect)
+
+
+def test_dedup_tier_report_orders_and_recomputes(spark):
+    """The two containment theorems hold and the ppm arithmetic is exact:
+    every byte-identical pair is (a) normalization-identical and (b)
+    shares all shingles, hence clusters — so exact removes ≤ either looser
+    tier. (normalized ≤ neardup is NOT asserted: the normalizer lowercases
+    but shingles are case-sensitive, so a case-only twin is a
+    normalization dup yet may share no shingle.)"""
+    rows = {r.tier: r for r in QUERIES["dedup_tier_report"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"exact", "normalized", "neardup_cluster"}
+    for r in rows.values():
+        assert r.survivors + r.removed == r.n_docs
+        assert r.removed_ppm == r.removed * 1_000_000 // r.n_docs
+    assert rows["exact"].removed <= rows["normalized"].removed
+    assert rows["exact"].removed <= rows["neardup_cluster"].removed
