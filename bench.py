@@ -222,6 +222,8 @@ COVERAGE = [
     "events_daily_ewma",
     "pipeline_repeat_epochs",
     "dedup_tier_report",
+    "events_interarrival_stats",
+    "emb_centroid_drift",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

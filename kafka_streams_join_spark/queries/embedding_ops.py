@@ -347,3 +347,67 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(z, 4) + F.lit(0.0)).alias("zscore"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# emb_centroid_drift — per-label centroid shift between corpus halves
+# --------------------------------------------------------------------------
+
+
+@register(
+    "emb_centroid_drift",
+    oracle="""
+    WITH half AS (
+      SELECT vec_id, label, embedding,
+             CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT snap, label, d, avg(CAST(embedding[d] AS DOUBLE)) AS c
+      FROM half, unnest(generate_series(1, 64)) AS t(d)
+      GROUP BY snap, label, d
+    ),
+    wide AS (
+      SELECT a.label, a.d, a.c AS ca, b.c AS cb
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.d = b.d AND a.snap = 'a' AND b.snap = 'b'
+    )
+    SELECT label,
+           round(sqrt(sum((ca - cb) * (ca - cb))), 6) AS shift_l2,
+           round(sqrt(sum(ca * ca)), 6) AS norm_a,
+           round(sqrt(sum(cb * cb)), 6) AS norm_b
+    FROM wide GROUP BY label
+    """,
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift between two corpus snapshots (here the deterministic
+    even/odd vec_id halves — the stand-in for yesterday's batch vs
+    today's): per label, the L2 shift between the halves' centroids, next
+    to each centroid's own norm for scale. The canary an embedding
+    pipeline watches across encoder redeployments or data-mix changes —
+    a label whose centroid moves a large fraction of its norm means
+    retrieval/dedup thresholds tuned on the old space no longer hold.
+
+    Scale: one (snap, label, dim) aggregate — map-side combined, bounded
+    by 2·labels·64 cells — then a cell-level self-join and a label-level
+    rollup, all on the bounded centroid frame; the corpus never joins
+    anything."""
+    half = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.when(F.col("vec_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("snap"),
+        F.posexplode("embedding").alias("d0", "x"),
+    ).select("snap", "label", (F.col("d0") + 1).alias("d"), F.col("x").cast("double").alias("x"))
+    cent = half.groupBy("snap", "label", "d").agg(F.avg("x").alias("c"))
+    a = cent.filter(F.col("snap") == "a").select("label", "d", F.col("c").alias("ca"))
+    b = cent.filter(F.col("snap") == "b").select("label", "d", F.col("c").alias("cb"))
+    return (
+        a.join(b, ["label", "d"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))), 6
+            ).alias("shift_l2"),
+            F.round(F.sqrt(F.sum(F.col("ca") * F.col("ca"))), 6).alias("norm_a"),
+            F.round(F.sqrt(F.sum(F.col("cb") * F.col("cb"))), 6).alias("norm_b"),
+        )
+    )

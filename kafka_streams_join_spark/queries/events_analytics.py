@@ -664,3 +664,61 @@ def events_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(abs(s.n - s.ewma) * 1000000 div greatest(1, s.ewma) as bigint)"
         ).alias("dev_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_interarrival_stats — per-type inter-event gap distribution
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(date_diff('second',
+                  lag(ts) OVER (PARTITION BY event_type, user_id ORDER BY ts, event_id),
+                  ts) AS BIGINT) AS gap_s
+      FROM events
+    ),
+    g AS (SELECT event_type, gap_s FROM seq WHERE gap_s IS NOT NULL)
+    SELECT event_type,
+           count(*) AS n_gaps,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           round(quantile_cont(gap_s, 0.5), 1) AS median_gap_s,
+           round(quantile_cont(gap_s, 0.95), 1) AS p95_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s
+    FROM g GROUP BY event_type
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type, within each user's
+    own event sequence (lag over (type, user) ordered by (ts, event_id) —
+    a total order, so the gaps are deterministic): min / exact median /
+    exact p95 / max in seconds. The cadence profile that sizes session
+    gaps, watermark delays, and timeout windows — this repo's own J3
+    timeout and ``sessionize_events`` gap constants are exactly what this
+    operator measures from data.
+
+    Scale: one window pass PARTITIONED by (type, user) — key-bounded, no
+    global sort — then a per-type exact-percentile aggregate over the
+    narrow gap column; the scan reads 4 columns."""
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    gaps = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id", "ts", "event_id")
+        .select(
+            "event_type",
+            (
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            ).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 1).alias("median_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.95)"), 1).alias("p95_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )

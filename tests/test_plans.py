@@ -796,3 +796,19 @@ def test_repeat_epochs_single_rollup(spark):
     plan = explain_str(df, "simple")
     assert "rangepartitioning" not in plan.lower(), plan[:1500]
     assert_read_schema_pruned(df, max_columns=2)
+
+
+def test_interarrival_partitioned_window_and_pruned_scan(spark):
+    """Inter-arrival gaps: the lag window partitions by (type, user) — no
+    data-sized global funnel — and the scan reads 4 columns."""
+    df = QUERIES["events_interarrival_stats"](spark, SF_SMOKE)
+    assert_no_single_partition_window_over(df, "event_id")
+    assert_read_schema_pruned(df, max_columns=4)
+
+
+def test_centroid_drift_corpus_never_joins(spark):
+    """Drift: all joins run on the bounded centroid cell frame; the wide
+    embedding column never crosses an Exchange."""
+    df = QUERIES["emb_centroid_drift"](spark, SF_SMOKE)
+    assert_no_wide_shuffle(df, "embedding", max_exchanges=0)
+    assert "CartesianProduct" not in explain_str(df)

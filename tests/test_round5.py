@@ -454,3 +454,21 @@ def test_dedup_tier_report_orders_and_recomputes(spark):
         assert r.removed_ppm == r.removed * 1_000_000 // r.n_docs
     assert rows["exact"].removed <= rows["normalized"].removed
     assert rows["exact"].removed <= rows["neardup_cluster"].removed
+
+
+def test_interarrival_stats_ordered(spark):
+    rows = QUERIES["events_interarrival_stats"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.min_gap_s <= r.median_gap_s <= r.p95_gap_s <= r.max_gap_s
+        assert r.min_gap_s >= 0 and r.n_gaps >= 1
+
+
+def test_centroid_drift_triangle_bound(spark):
+    """||ca − cb|| ≤ ||ca|| + ||cb|| (triangle inequality on the rounded
+    values, with rounding slack)."""
+    rows = QUERIES["emb_centroid_drift"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.shift_l2 <= r.norm_a + r.norm_b + 1e-5
+        assert r.shift_l2 >= 0
