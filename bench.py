@@ -224,6 +224,8 @@ COVERAGE = [
     "dedup_tier_report",
     "events_interarrival_stats",
     "emb_centroid_drift",
+    "pipeline_split_leakage_audit",
+    "text_keyword_in_context",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

@@ -898,3 +898,111 @@ def pipeline_repeat_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("capped"),
     )
+
+
+# --------------------------------------------------------------------------
+# pipeline_split_leakage_audit — near-dup contamination across the split
+# --------------------------------------------------------------------------
+
+# dedup registers before pipeline in queries/__init__ import order
+from .registry import ORACLES as _PIPE_ORACLES  # noqa: E402
+
+_SPLIT_RULE_SQL = "CASE WHEN (doc_id * 40503 + 17) % 1000 < 900 THEN 'train' ELSE 'test' END"
+
+
+@register(
+    "pipeline_split_leakage_audit",
+    oracle=f"""
+    WITH pairs AS ({_PIPE_ORACLES["dedup_ngram_jaccard"]}),
+    tagged AS (
+      SELECT p.doc_a, p.doc_b,
+             (SELECT {_SPLIT_RULE_SQL} FROM (SELECT p.doc_a AS doc_id)) AS sa,
+             (SELECT {_SPLIT_RULE_SQL} FROM (SELECT p.doc_b AS doc_id)) AS sb
+      FROM pairs p
+    ),
+    agg AS (
+      SELECT count(*) AS n_pairs,
+             count(*) FILTER (WHERE sa != sb) AS n_leaking
+      FROM tagged
+    ),
+    t AS (
+      SELECT count(*) FILTER (WHERE {_SPLIT_RULE_SQL} = 'test') AS n_test
+      FROM documents
+    ),
+    leaked_test AS (
+      SELECT count(DISTINCT d) AS n_test_docs_leaked FROM (
+        SELECT doc_a AS d FROM tagged WHERE sa = 'test' AND sb = 'train'
+        UNION
+        SELECT doc_b AS d FROM tagged WHERE sb = 'test' AND sa = 'train'
+      )
+    )
+    SELECT agg.n_pairs, agg.n_leaking, t.n_test,
+           leaked_test.n_test_docs_leaked,
+           CAST(leaked_test.n_test_docs_leaked * 1000000
+                // greatest(1, t.n_test) AS BIGINT) AS test_leak_ppm
+    FROM agg CROSS JOIN t CROSS JOIN leaked_test
+    """,
+)
+def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-duplicate pairs that STRADDLE the
+    train/test boundary — the contamination an id-hash split cannot see
+    (random/hashed splits put a page and its scraped near-copy on opposite
+    sides, and the test metric silently becomes a memorization probe).
+    Reports the straddling pair count and the fraction of TEST documents
+    with a train-side near-dup (exact ppm) — the number that decides
+    whether the split must be re-cut on dedup CLUSTERS (the
+    ``pipeline_group_holdout_split`` rule) instead of raw ids. Both legs
+    reuse registered contracts verbatim: the near-dup pair list
+    (``dedup_ngram_jaccard``) and the literal split hash
+    (``pipeline_train_test_split``).
+
+    Scale: the pair list is the already-gated bounded-candidate pipeline;
+    tagging is a row-local hash on the pair list; the rollups are 1-row."""
+    split_col = F.when(
+        (F.col("doc_id") * 40503 + 17) % 1000 < 900, F.lit("train")
+    ).otherwise(F.lit("test"))
+    from .dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        F.when(
+            (F.col("doc_a") * 40503 + 17) % 1000 < 900, F.lit("train")
+        ).otherwise(F.lit("test")).alias("sa"),
+        F.when(
+            (F.col("doc_b") * 40503 + 17) % 1000 < 900, F.lit("train")
+        ).otherwise(F.lit("test")).alias("sb"),
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.when(F.col("sa") != F.col("sb"), 1)).alias("n_leaking"),
+    )
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select(split_col.alias("split"))
+        .agg(F.count(F.when(F.col("split") == "test", 1)).alias("n_test"))
+    )
+    leaked = (
+        pairs.filter((F.col("sa") == "test") & (F.col("sb") == "train"))
+        .select(F.col("doc_a").alias("d"))
+        .unionByName(
+            pairs.filter((F.col("sb") == "test") & (F.col("sa") == "train"))
+            .select(F.col("doc_b").alias("d"))
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_test_docs_leaked"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(leaked))
+        .select(
+            "n_pairs",
+            "n_leaking",
+            "n_test",
+            "n_test_docs_leaked",
+            F.expr(
+                "cast(n_test_docs_leaked * 1000000 div greatest(1, n_test)"
+                " as bigint)"
+            ).alias("test_leak_ppm"),
+        )
+    )

@@ -570,3 +570,91 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(n * 1000000 div n_docs as bigint)").alias("cell_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text_keyword_in_context — KWIC concordance for the fixed query terms
+# --------------------------------------------------------------------------
+
+_KWIC_TERMS = ("data", "model", "training")
+_KWIC_WIN = 3  # context tokens each side
+_KWIC_PER_TERM = 10
+
+
+@register(
+    "text_keyword_in_context",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_transform({_TOKS_SQL}, t -> lower(t)) AS toks
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, i AS pos, toks[i] AS term,
+             coalesce(array_to_string(
+               toks[greatest(1, i - {_KWIC_WIN}):i - 1], ' '), '')
+               AS left_ctx,
+             coalesce(array_to_string(
+               toks[i + 1:least(len(toks), i + {_KWIC_WIN})], ' '), '')
+               AS right_ctx
+      FROM tok, unnest(generate_series(1, len(toks))) AS t(i)
+      WHERE toks[i] IN ('data', 'model', 'training')
+    )
+    SELECT term, doc_id, CAST(pos AS BIGINT) AS pos, left_ctx, right_ctx
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id, pos)
+               AS rnk
+      FROM hits
+    ) WHERE rnk <= {_KWIC_PER_TERM}
+    """,
+)
+def text_keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC concordance: the first {_KWIC_PER_TERM} occurrences of each
+    fixed query term with ±{_KWIC_WIN} tokens of context — the corpus
+    debugging primitive behind every "show me how this term is actually
+    used" review (tokenizer audits, decontamination spot checks, quality
+    rule tuning all start from a concordance). Occurrences order by
+    (doc_id, position) — fully deterministic.
+
+    Scale: the term filter runs in the scan pipeline on the exploded
+    positions (map-side — only matching rows survive), context slicing is
+    row-local array arithmetic, and the per-term window sees only the
+    filtered hits, capped per term. Terms are a fixed bounded set, so the
+    per-term rank state is bounded."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"transform({_TOKS}, t -> lower(t))").alias("toks")
+    )
+    hits = (
+        tok.select(
+            "doc_id",
+            "toks",
+            F.posexplode("toks").alias("i0", "term"),
+        )
+        .filter(F.col("term").isin(*_KWIC_TERMS))
+        .select(
+            "doc_id",
+            (F.col("i0") + 1).alias("pos"),
+            "term",
+            # Spark slice(start, length), 1-based like DuckDB's array slice
+            F.array_join(
+                F.expr(
+                    f"slice(toks, greatest(1, i0 + 1 - {_KWIC_WIN}),"
+                    f" i0 + 1 - greatest(1, i0 + 1 - {_KWIC_WIN}))"
+                ),
+                " ",
+            ).alias("left_ctx"),
+            F.array_join(
+                F.expr(
+                    f"slice(toks, i0 + 2,"
+                    f" least(size(toks), i0 + 1 + {_KWIC_WIN}) - (i0 + 1))"
+                ),
+                " ",
+            ).alias("right_ctx"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy("doc_id", "pos")
+    return (
+        hits.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KWIC_PER_TERM)
+        .select("term", "doc_id", F.col("pos").cast("long").alias("pos"),
+                "left_ctx", "right_ctx")
+    )

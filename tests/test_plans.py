@@ -812,3 +812,11 @@ def test_centroid_drift_corpus_never_joins(spark):
     df = QUERIES["emb_centroid_drift"](spark, SF_SMOKE)
     assert_no_wide_shuffle(df, "embedding", max_exchanges=0)
     assert "CartesianProduct" not in explain_str(df)
+
+
+def test_split_leakage_tagging_is_rowlocal(spark):
+    """Leakage audit: split tagging is a row-local hash on the (tiny) pair
+    list; the only corpus-sized work is the already-gated near-dup
+    pipeline — no cartesian of data relations."""
+    df = QUERIES["pipeline_split_leakage_audit"](spark, SF_SMOKE)
+    assert "CartesianProduct" not in explain_str(df)

@@ -472,3 +472,38 @@ def test_centroid_drift_triangle_bound(spark):
     for r in rows:
         assert r.shift_l2 <= r.norm_a + r.norm_b + 1e-5
         assert r.shift_l2 >= 0
+
+
+def test_split_leakage_audit_consistency(spark):
+    row = QUERIES["pipeline_split_leakage_audit"](spark, SF_SMOKE).collect()[0]
+    assert 0 <= row.n_leaking <= row.n_pairs
+    assert 0 <= row.n_test_docs_leaked <= row.n_test
+    # a leaked test doc requires at least one straddling pair
+    if row.n_test_docs_leaked:
+        assert row.n_leaking >= 1
+    assert row.test_leak_ppm == row.n_test_docs_leaked * 1_000_000 // max(
+        1, row.n_test
+    )
+
+
+def test_kwic_context_windows(spark):
+    """Every concordance row: the term matches, contexts are ≤3 tokens,
+    and re-slicing the document at pos reproduces them."""
+    rows = QUERIES["text_keyword_in_context"](spark, SF_SMOKE).collect()
+    assert rows
+    docs = {
+        r.doc_id: r.toks
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .selectExpr(
+            "doc_id",
+            "transform(split(regexp_replace(trim(text), '\\\\s+', ' '), ' '),"
+            " t -> lower(t)) as toks",
+        )
+        .collect()
+    }
+    for r in rows:
+        toks = docs[r.doc_id]
+        i = r.pos - 1
+        assert toks[i] == r.term
+        assert r.left_ctx == " ".join(toks[max(0, i - 3):i])
+        assert r.right_ctx == " ".join(toks[i + 1:min(len(toks), i + 4)])
