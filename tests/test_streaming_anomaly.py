@@ -166,11 +166,16 @@ def test_full_chain_windowed_counts_into_anomaly(spark, tmpdir):
     finally:
         q1.stop()
 
-    counts_stream = (
-        spark.readStream.schema("event_type string, day string, n long")
-        .option("maxFilesPerTrigger", "1")
-        .json(feed)
-    )
+    # No maxFilesPerTrigger throttle here: the sink wrote one part file per
+    # shuffle partition with near-identical mtimes, so one-file-per-trigger
+    # replays them in ARBITRARY order and violates the scorer's in-day-order
+    # contract (observed: day 4 folding before day 2 shifts every
+    # prequential z). Reading all available files per trigger lets the
+    # scorer's within-batch day sort establish the order; cross-batch state
+    # is certified by test_stream_anomaly_matches_reference_across_batches.
+    counts_stream = spark.readStream.schema(
+        "event_type string, day string, n long"
+    ).json(feed)
     scored = stream_anomaly_zscore(counts_stream)
     q, sink = start_memory_sink(scored, checkpoint_root=tmpdir)
     try:
