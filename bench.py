@@ -226,6 +226,9 @@ COVERAGE = [
     "emb_centroid_drift",
     "pipeline_split_leakage_audit",
     "text_keyword_in_context",
+    "window_dist_functions",
+    "agg_mode_per_key",
+    "events_audience_overlap",
 ]
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest

@@ -722,3 +722,77 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_s, 0.95)"), 1).alias("p95_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_audience_overlap — Jaccard overlap of event-type audiences
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_audience_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, count(*) AS n FROM a GROUP BY event_type),
+    inter AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+             count(*) AS n_both
+      FROM a x JOIN a y
+        ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_both,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(i.n_both * 1000000 // (sa.n + sb.n - i.n_both) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: exact-ppm Jaccard of the user
+    sets of every type pair — the cross-feature co-usage matrix behind
+    "users who search also purchase" product questions, and the same
+    set-similarity contract the dedup family uses, applied to behavioral
+    sets. The pair stage self-joins the distinct (type, user) frame ON
+    user_id, so the pair space is Σ(types-per-user choose 2) — bounded by
+    the type vocabulary per user, never users².
+
+    Scale: one distinct pass, a user-keyed self-join with per-user bounded
+    fan-out, a types²-bounded aggregate, and broadcast size lookups."""
+    a = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sizes = a.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    x, y = a.alias("x"), a.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr(
+                "cast(n_both * 1000000 div (n_a + n_b - n_both) as bigint)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -1212,3 +1212,86 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("merge_consistent"),
     )
+
+
+@register(
+    "window_dist_functions",
+    oracle="""
+    SELECT event_id, event_type,
+           round(value, 2) AS value2,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY round(value, 2), event_id)
+    """,
+)
+def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-window trio — percent_rank, cume_dist, ntile —
+    per event type over the value column, completing the window-function
+    surface next to rank/lag/running sums. The ordering key is (2-dp
+    value, event_id): totally ordered, so all three functions are
+    deterministic and engine-identical (percent_rank and cume_dist are
+    exact rational arithmetic on positions; the doubles round at 6 dp).
+
+    Scale: one hash Exchange on event_type, per-partition sort — the same
+    shape as every partitioned window here; ntile's quartile boundaries
+    are position arithmetic, no extra pass."""
+    w = Window.partitionBy("event_type").orderBy(
+        F.round("value", 2), F.col("event_id")
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value2"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "agg_mode_per_key",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS modal_type, n AS modal_n FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) AS r
+      FROM c
+    ) WHERE r = 1
+    """,
+)
+def agg_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key mode — each user's most frequent event type — WITHOUT the
+    engines' built-in ``mode()`` (whose tie rules differ and are
+    unspecified): the tie-break is explicit, (count desc, type asc), and
+    the argmax is a map-side-combining ``min(struct(-n, type))`` aggregate
+    (the ``assign_to_codebook`` trick), never a rank window over the
+    per-user frame. The oracle states the same contract as a window so the
+    aggregate's equivalence is hash-certified.
+
+    Scale: two map-side-combined aggregates — (user, type) then user —
+    both key-bounded; nothing else moves."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("neg_n"), F.col("event_type").alias("t")
+                )
+            ).alias("mn")
+        )
+        .select(
+            "user_id",
+            F.col("mn.t").alias("modal_type"),
+            (-F.col("mn.neg_n")).cast("long").alias("modal_n"),
+        )
+    )

@@ -820,3 +820,19 @@ def test_split_leakage_tagging_is_rowlocal(spark):
     pipeline — no cartesian of data relations."""
     df = QUERIES["pipeline_split_leakage_audit"](spark, SF_SMOKE)
     assert "CartesianProduct" not in explain_str(df)
+
+
+def test_mode_per_key_is_aggregate_only(spark):
+    """Per-key mode: two map-side-combined aggregates, no window, no join."""
+    plan = explain_str(QUERIES["agg_mode_per_key"](spark, SF_SMOKE), "simple")
+    assert "Window" not in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+    assert plan.count("FileScan parquet") == 1, plan[:1500]
+
+
+def test_audience_overlap_pair_join_on_user(spark):
+    """Audience overlap: the pair stage is a user-keyed equi-join — never
+    cartesian; size lookups broadcast."""
+    df = QUERIES["events_audience_overlap"](spark, SF_SMOKE)
+    assert "CartesianProduct" not in explain_str(df)
+    assert_broadcast_join(df, expect=True)

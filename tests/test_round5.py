@@ -507,3 +507,49 @@ def test_kwic_context_windows(spark):
         assert toks[i] == r.term
         assert r.left_ctx == " ".join(toks[max(0, i - 3):i])
         assert r.right_ctx == " ".join(toks[i + 1:min(len(toks), i + 4)])
+
+
+def test_window_dist_functions_bounds(spark):
+    rows = QUERIES["window_dist_functions"](spark, SF_SMOKE).collect()
+    assert rows
+    from collections import defaultdict
+
+    per_type = defaultdict(list)
+    for r in rows:
+        assert 0.0 <= r.pct_rank <= 1.0
+        assert 0.0 < r.cume <= 1.0
+        assert 1 <= r.quartile <= 4
+        per_type[r.event_type].append(r)
+    for rs in per_type.values():
+        # quartiles split near-evenly: sizes differ by at most 1
+        sizes = [sum(1 for r in rs if r.quartile == q) for q in (1, 2, 3, 4)]
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_mode_per_key_is_true_argmax(spark):
+    from collections import Counter, defaultdict
+
+    got = {
+        r.user_id: (r.modal_type, r.modal_n)
+        for r in QUERIES["agg_mode_per_key"](spark, SF_SMOKE).collect()
+    }
+    counts = defaultdict(Counter)
+    for r in (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .collect()
+    ):
+        counts[r.user_id][r.event_type] += 1
+    assert set(got) == set(counts)
+    for u, (t, n) in got.items():
+        best = min(counts[u].items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (t, n) == (best[0], best[1])
+
+
+def test_audience_overlap_set_algebra(spark):
+    rows = QUERIES["events_audience_overlap"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert r.n_both <= min(r.n_a, r.n_b)
+        assert r.jaccard_ppm == r.n_both * 1_000_000 // (r.n_a + r.n_b - r.n_both)
