@@ -958,20 +958,20 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the pair list is the already-gated bounded-candidate pipeline;
     tagging is a row-local hash on the pair list; the rollups are 1-row."""
-    split_col = F.when(
-        (F.col("doc_id") * 40503 + 17) % 1000 < 900, F.lit("train")
-    ).otherwise(F.lit("test"))
     from .dedup import dedup_ngram_jaccard
 
+    def split_of(id_col: str) -> F.Column:
+        # the literal pipeline_train_test_split rule, via the shared LCG
+        return F.when(_bucket(id_col, 1000) < 900, F.lit("train")).otherwise(
+            F.lit("test")
+        )
+
+    split_col = split_of("doc_id")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select(
         "doc_a",
         "doc_b",
-        F.when(
-            (F.col("doc_a") * 40503 + 17) % 1000 < 900, F.lit("train")
-        ).otherwise(F.lit("test")).alias("sa"),
-        F.when(
-            (F.col("doc_b") * 40503 + 17) % 1000 < 900, F.lit("train")
-        ).otherwise(F.lit("test")).alias("sb"),
+        split_of("doc_a").alias("sa"),
+        split_of("doc_b").alias("sb"),
     )
     agg = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),

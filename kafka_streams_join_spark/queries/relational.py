@@ -1229,24 +1229,69 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distribution-window trio — percent_rank, cume_dist, ntile —
     per event type over the value column, completing the window-function
-    surface next to rank/lag/running sums. The ordering key is (2-dp
-    value, event_id): totally ordered, so all three functions are
-    deterministic and engine-identical (percent_rank and cume_dist are
-    exact rational arithmetic on positions; the doubles round at 6 dp).
+    surface next to rank/lag/running sums. The oracle states them as the
+    standard window functions over the (2-dp value, event_id) total
+    order; the Spark plan computes the SAME numbers as a TWO-PHASE
+    decomposition (the ``operators/ranking.py`` idea, per partition key):
+    a window partitioned only by event_type would sort each type's whole
+    share of the table in one task — parallelism capped at the type
+    count, the shape the single-partition gates exist to kill.
 
-    Scale: one hash Exchange on event_type, per-partition sort — the same
-    shape as every partitioned window here; ntile's quartile boundaries
-    are position arithmetic, no extra pass."""
-    w = Window.partitionBy("event_type").orderBy(
-        F.round("value", 2), F.col("event_id")
+    Decomposition: (1) per-(type, 2-dp-value) LEVEL counts — bounded by
+    types × distinct rounded values, not rows; (2) exclusive cumulative
+    offsets + per-type totals as windows over that bounded level frame;
+    (3) the per-row rank = level offset + row_number within the FINE
+    (type, value) partition. Then all three functions are position
+    arithmetic: percent_rank = (rank−1)/(n−1), cume_dist =
+    (offset + level size)/n, and ntile(4) by the standard
+    first-(n mod 4)-tiles-are-bigger rule — exact rationals in both
+    engines, doubles rounded at 6 dp."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 2).alias("value2")
     )
-    return load_table(spark, sf_dir, "events").select(
+    lvl_w = Window.partitionBy("event_type").orderBy("value2").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    type_w = Window.partitionBy("event_type")
+    levels = (
+        ev.groupBy("event_type", "value2")
+        .agg(F.count(F.lit(1)).alias("lvl_n"))
+        .select(
+            "event_type",
+            "value2",
+            "lvl_n",
+            F.coalesce(F.sum("lvl_n").over(lvl_w), F.lit(0)).alias("off"),
+            F.sum("lvl_n").over(type_w).alias("n"),
+        )
+    )
+    in_lvl = Window.partitionBy("event_type", "value2").orderBy("event_id")
+    ranked = (
+        ev.join(levels, ["event_type", "value2"])
+        .withColumn("rnk", F.col("off") + F.row_number().over(in_lvl))
+    )
+    # ntile(4), standard rule: the first (n mod 4) tiles hold ceil(n/4)
+    ntile4 = F.expr(
+        """
+        CASE WHEN rnk <= (n % 4) * (n div 4 + 1)
+             THEN cast((rnk - 1) div (n div 4 + 1) + 1 as int)
+             ELSE cast((n % 4)
+                  + (rnk - 1 - (n % 4) * (n div 4 + 1)) div (n div 4)
+                  + 1 as int)
+        END
+        """
+    )
+    return ranked.select(
         "event_id",
         "event_type",
-        F.round("value", 2).alias("value2"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.ntile(4).over(w).alias("quartile"),
+        "value2",
+        F.round(
+            F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+                (F.col("rnk") - 1) / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("pct_rank"),
+        F.round(F.col("rnk") / F.col("n"), 6).alias("cume"),
+        ntile4.alias("quartile"),
     )
 
 

@@ -577,6 +577,7 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _KWIC_TERMS = ("data", "model", "training")
+_KWIC_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _KWIC_TERMS) + ")"
 _KWIC_WIN = 3  # context tokens each side
 _KWIC_PER_TERM = 10
 
@@ -597,7 +598,7 @@ _KWIC_PER_TERM = 10
                toks[i + 1:least(len(toks), i + {_KWIC_WIN})], ' '), '')
                AS right_ctx
       FROM tok, unnest(generate_series(1, len(toks))) AS t(i)
-      WHERE toks[i] IN ('data', 'model', 'training')
+      WHERE toks[i] IN {_KWIC_TERMS_SQL}
     )
     SELECT term, doc_id, CAST(pos AS BIGINT) AS pos, left_ctx, right_ctx
     FROM (

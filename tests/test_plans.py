@@ -836,3 +836,23 @@ def test_audience_overlap_pair_join_on_user(spark):
     df = QUERIES["events_audience_overlap"](spark, SF_SMOKE)
     assert "CartesianProduct" not in explain_str(df)
     assert_broadcast_join(df, expect=True)
+
+
+def test_dist_functions_two_phase_no_type_funnel(spark):
+    """The distribution trio must NOT sort each type's whole share in one
+    window task: the only per-row window partitions by the FINE
+    (type, value) key, the coarse windows run over the bounded level
+    frame, and no data-sized column crosses a SinglePartition exchange."""
+    df = QUERIES["window_dist_functions"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert_no_single_partition_window_over(df, "event_id")
+    # the per-row rank window partitions on BOTH keys
+    assert "hashpartitioning(event_type" in plan and "value2" in plan, plan[:2000]
+
+
+def test_kwic_per_term_rank_is_group_limited(spark):
+    """KWIC's first-k per term must plan Partial+Final WindowGroupLimit —
+    each input partition forwards at most k rows per term into the 3-key
+    shuffle, never a term's full hit list."""
+    plan = explain_str(QUERIES["text_keyword_in_context"](spark, SF_SMOKE), "simple")
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
