@@ -97,139 +97,15 @@ EXTRA = [
     "layout_compaction_plan",
 ]
 
-# Coverage tier (round 5): every remaining registered query, so BENCH_r{N}
-# rows exist for the whole registry. Measured with one warm-up + one timed
-# run (RUNS_COVERAGE) to bound total bench wall-clock; the heavy hitters
+# Coverage tier: every registered query not already in HEADLINE/EXTRA, so
+# BENCH_r{N} rows exist for the whole registry. DERIVED from the registry at
+# runtime (round 6) — a hand-maintained list silently drops future
+# registrations, the same curated-list drift that caused the round-4
+# explain-audit coverage gap. Measured with one warm-up + one timed run
+# (RUNS_COVERAGE) to bound total bench wall-clock; the heavy hitters
 # already live in EXTRA with full best-of-3 spreads.
-COVERAGE = [
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "agg_cube",
-    "agg_distinct_group",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_sketch_rollup",
-    "asof_latest_view",
-    "asof_latest_view_tolerance",
-    "asof_next_purchase",
-    "dedup_cluster_canonical",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_ngram_containment",
-    "emb_covariance",
-    "emb_l2_normalize",
-    "emb_pca_project",
-    "emb_quantize_int8",
-    "events_daily_gapfill",
-    "events_dau_wau_stickiness",
-    "events_hourly_seasonality",
-    "events_value_outliers",
-    "golden_scenarios",
-    "j3_missed_outer_null",
-    "j4_clicked_semi",
-    "join_cross",
-    "join_full_outer",
-    "join_right_outer",
-    "join_star_revenue",
-    "latest_state_per_user",
-    "mm_binary_meta",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "mm_modality_route",
-    "p1_filter",
-    "p2_mapvalues",
-    "p3_value_construction",
-    "pipeline_chunk_documents",
-    "pipeline_corpus_curation",
-    "pipeline_decontaminate",
-    "pipeline_domain_mix",
-    "pipeline_pack_sequences",
-    "pipeline_stratified_sample",
-    "pipeline_train_test_split",
-    "pivot_status_revenue",
-    "range_join_error_window",
-    "range_join_quiet_purchases",
-    "scalar_array_funcs",
-    "scalar_case_when",
-    "scalar_date_funcs",
-    "scalar_json_funcs",
-    "scalar_map_funcs",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sim_ivf_topk",
-    "sim_label_centroid_dist",
-    "sim_lsh_bucket_histogram",
-    "t1_shift_event_time",
-    "text_bigram_top",
-    "text_fingerprint",
-    "text_tfidf_topterms",
-    "text_token_count",
-    "text_token_count_bpe",
-    "text_unigram_surprisal",
-    "text_vocab_growth",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_count",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive",
-    "tpch_q20_excess_share_suppliers",
-    "tpch_q21_suppliers_kept_waiting",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_priority_returns",
-    "tpch_q5_local_supplier",
-    "tpch_q6_revenue_forecast",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "udaf_geomean_price",
-    "udtf_sentence_split",
-    "window_rank_lag",
-    "window_running_sum",
-    "window_sliding_agg",
-    "window_trailing_1h",
-    "window_tumbling_agg",
-    # round-5 widening batch
-    "sim_hard_negatives",
-    "dedup_band_recall_audit",
-    "text_oov_rate",
-    "text_readability",
-    "corpus_length_histogram",
-    "events_anomaly_zscore",
-    "events_path_trigrams",
-    "emb_label_outliers",
-    "orders_copurchase_lift",
-    "pipeline_curriculum_order",
-    "sim_knn_label_accuracy",
-    "text_zipf_slope",
-    "events_rfm_segments",
-    "events_power_user_share",
-    "pipeline_mixture_temperature",
-    "dedup_keep_longest",
-    "text_lang_confusion",
-    "pipeline_dataset_card",
-    "graph_pagerank_parts",
-    "events_daily_ewma",
-    "pipeline_repeat_epochs",
-    "dedup_tier_report",
-    "events_interarrival_stats",
-    "emb_centroid_drift",
-    "pipeline_split_leakage_audit",
-    "text_keyword_in_context",
-    "window_dist_functions",
-    "agg_mode_per_key",
-    "events_audience_overlap",
-]
+COVERAGE = sorted(set(QUERIES) - set(HEADLINE) - set(EXTRA))
+
 
 RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest
 # rides out transient co-tenant noise (observed >30% machine-level swings
@@ -334,6 +210,28 @@ def main() -> int:
         "n_queries": len(timings),
     }
     print(json.dumps(compact))
+    # Append to the checked-in history (round 6): round-over-round
+    # comparison becomes a file diff instead of a judge re-run. The round
+    # tag is inferred from the newest checked-in CORRECTNESS_r{N}.json
+    # (written at the END of round N, so a bench during round N+1 sees N).
+    # Multiple runs per round simply append; readers take the last line
+    # per (round, sf).
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    history = dict(compact, round=(max(rounds) + 1 if rounds else 1),
+                   queries=timings, spread=spread)
+    try:
+        with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
+            f.write(json.dumps(history) + "\n")
+    except OSError:
+        pass  # read-only checkout: the printed lines remain the contract
     print(
         json.dumps(
             {

@@ -42,7 +42,19 @@ def two_phase_rank(
     ``level_col`` must be bounded-cardinality (rounded score / bucket) —
     that bound, not the row count, sizes the one unpartitioned window.
     Ties within a level break ascending on ``id_col`` (the repo's
-    engine-stable ordering contract)."""
+    engine-stable ordering contract).
+
+    The rank is BIGINT: ``__lvl_off`` is a long sum, so an int cast would
+    overflow (ANSI: throw) past 2^31-1 rows — exactly the scale this
+    operator exists for. Integer canonicalization in the oracle compare is
+    width-insensitive (``str(v)``), so oracles may keep ``row_number()``'s
+    native type.
+
+    NULL levels: Spark orders NULL FIRST ascending / LAST descending, but
+    DuckDB defaults to NULLS LAST for BOTH directions — a caller with a
+    DuckDB oracle and nullable ``level_col`` would silently diverge on the
+    NULL-level rows. Oracle-paired callers must guarantee non-null levels
+    (every current caller ranks on a count or a coalesced rounded score)."""
     lvl_order: Column = F.col(level_col).asc() if ascending else F.col(level_col).desc()
     off_w = Window.orderBy(lvl_order).rowsBetween(Window.unboundedPreceding, -1)
     levels = (
@@ -66,7 +78,7 @@ def two_phase_rank(
         )
         .withColumn(
             rank_col,
-            (F.col("__lvl_off") + F.row_number().over(in_lvl)).cast("int"),
+            (F.col("__lvl_off") + F.row_number().over(in_lvl)).cast("bigint"),
         )
         .drop("__lvl_key", "__lvl_off")
     )

@@ -113,6 +113,12 @@ _RECERTIFY_FROM_ROUND = {
     "sim_ivfpq_topk": 5,
     "sim_ivfpq_residual_topk": 5,
     "sim_sq_topk": 5,
+    # round-6 reworks
+    "pipeline_split_leakage_audit": 6,  # staged() the 3-consumer pair frame
+    "dedup_band_recall_audit": 6,  # staged() both twice-consumed legs
+    "pipeline_importance_resample": 6,  # two_phase_rank int -> bigint
+    "pipeline_curriculum_order": 6,  # two_phase_rank int -> bigint
+    "events_power_user_share": 6,  # two_phase_rank int -> bigint (internal)
 }
 
 

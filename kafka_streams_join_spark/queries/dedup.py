@@ -859,8 +859,10 @@ def dedup_band_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both legs are the already-gated bounded-candidate pipelines;
     the audit adds only pair-list-sized joins and 1-row aggregates."""
-    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # staged: each leg is consumed twice (hit join + its own count) — the
+    # bounded-candidate pipelines above would otherwise recompute per use.
+    truth = _staged(dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"))
+    lsh = _staged(dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"))
     hit = lsh.join(truth, ["doc_a", "doc_b"]).agg(
         F.count(F.lit(1)).alias("n_hit")
     )

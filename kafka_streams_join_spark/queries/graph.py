@@ -134,3 +134,11 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("part_id"), F.col("rank").alias("rank_nano")
     )
+
+
+# A plain docstring can't interpolate (f-strings aren't docstrings), and the
+# explain audit copies docstring headlines verbatim — substitute the
+# iteration count so '{PR_ITERS}' never leaks into EXPLAINS.md.
+graph_pagerank_parts.__doc__ = graph_pagerank_parts.__doc__.replace(
+    "{PR_ITERS}", str(PR_ITERS)
+)

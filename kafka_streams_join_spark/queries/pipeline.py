@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -967,11 +968,15 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     split_col = split_of("doc_id")
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
-        "doc_a",
-        "doc_b",
-        split_of("doc_a").alias("sa"),
-        split_of("doc_b").alias("sb"),
+    # staged: three consumers below (agg + two filtered legs of leaked) —
+    # without it the bounded-candidate join upstream recomputes up to 3×.
+    pairs = _staged(
+        dedup_ngram_jaccard(spark, sf_dir).select(
+            "doc_a",
+            "doc_b",
+            split_of("doc_a").alias("sa"),
+            split_of("doc_b").alias("sb"),
+        )
     )
     agg = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
