@@ -56,6 +56,10 @@ from . import incremental  # noqa: E402,F401
 from . import fuzzy  # noqa: E402,F401
 # round-5 additions
 from . import graph  # noqa: E402,F401
+# round-6 additions
+from . import tokenizer  # noqa: E402,F401
+from . import cdc  # noqa: E402,F401
+from . import sketches  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

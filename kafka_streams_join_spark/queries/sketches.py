@@ -1,0 +1,450 @@
+"""Mergeable summary sketches (round 6): quantile histogram rollup,
+count-min frequency sketch, Bloom membership filter.
+
+``agg_sketch_rollup`` (relational.py) establishes the repo's sketch
+contract with Spark's built-in HLL: per-group sketches UNION into
+super-group sketches instead of rescanning raw rows. This module adds the
+other three sketch families a 100 TB pipeline keeps next to HLL — each
+built from scratch as deterministic DataFrame arithmetic so the DuckDB
+oracle can replay it bit-for-bit (no approximate-library black boxes; the
+md5-hex→BIGINT hash is the repo's 60-bit ``text_fingerprint`` contract):
+
+- QUANTILE: a fixed-width histogram — the simplest mergeable quantile
+  sketch (bins sum across groups exactly like t-digest centroids merge);
+  per-type sketches roll up to the global sketch by SUMMING BINS, and the
+  oracle certifies both the estimates and their distance from the exact
+  interpolated percentiles.
+- FREQUENCY: count-min (Cormode & Muthukrishnan '05), a depth×width
+  counter grid; per-partition grids merge by cell-wise addition (here:
+  one aggregate with map-side combine IS that merge).
+- MEMBERSHIP: a Bloom filter as a distinct-bit-position set; the union of
+  per-partition bit sets is the merge. The probe side proves the classic
+  contract on real data: zero false negatives, measured false-positive
+  rate in exact ppm.
+
+Scale design: every sketch is O(sketch-size) state (128 bins / 256 cells
+/ 4096 bits) aggregated with map-side combine — the corpus contributes
+one scan each, nothing corpus-sized ever shuffles, and rollups touch only
+sketch-sized frames (broadcast everywhere they join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.staging import staged as _staged
+from ..sources.parquet import load_table
+from .registry import register
+
+# --------------------------------------------------------------------------
+# agg_quantile_sketch_rollup — mergeable fixed-bin quantile histogram
+# --------------------------------------------------------------------------
+
+_QH_BINS = 128
+_QH_QS = (500_000, 900_000, 990_000)  # quantiles in ppm: p50, p90, p99
+
+# deterministic bin id: IEEE double arithmetic written identically in both
+# engines (min/max are exact order-insensitive aggregates, so the inputs
+# match bit-for-bit and the same expression tree yields the same bin)
+_QH_BIN = (
+    f"least({_QH_BINS - 1}, CAST(floor((value - vmin) / (vmax - vmin)"
+    f" * {_QH_BINS}) AS INTEGER))"
+)
+
+
+def _qh_oracle() -> str:
+    qlist = ", ".join(str(q) for q in _QH_QS)
+    exacts = []
+    for scope_sel, grp in (("event_type", "GROUP BY 1"), ("'ALL'", "")):
+        for q in _QH_QS:
+            exacts.append(
+                f"SELECT {scope_sel} AS scope, {q} AS q_ppm,"
+                f" round(quantile_cont(value, {q / 1_000_000!r}), 6) AS exact"
+                f" FROM events {grp}"
+            )
+    exact_sql = " UNION ALL ".join(exacts)
+    return f"""
+    WITH rng AS (
+      SELECT min(value) AS vmin, max(value) AS vmax,
+             (max(value) - min(value)) / {_QH_BINS} AS width
+      FROM events
+    ),
+    binned AS (
+      SELECT event_type, {_QH_BIN} AS bin FROM events, rng
+    ),
+    per_type AS (
+      SELECT event_type AS scope, bin, count(*) AS cnt
+      FROM binned GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT 'ALL' AS scope, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM per_type GROUP BY bin
+    ),
+    sk AS (SELECT * FROM per_type UNION ALL SELECT * FROM merged),
+    cum AS (
+      SELECT scope, bin, cnt,
+             sum(cnt) OVER (PARTITION BY scope ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY scope) AS n,
+             coalesce(sum(cnt) OVER (PARTITION BY scope ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev_cum
+      FROM sk
+    ),
+    targets AS (SELECT unnest([{qlist}]) AS q_ppm),
+    cov AS (
+      SELECT c.scope, t.q_ppm, min(c.bin) AS bin
+      FROM cum c CROSS JOIN targets t
+      WHERE c.cum >= t.q_ppm / 1000000.0 * c.n
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT v.scope, v.q_ppm,
+             round(r.vmin + c.bin * r.width
+                   + (v.q_ppm / 1000000.0 * c.n - c.prev_cum)
+                     / c.cnt * r.width, 6) AS est
+      FROM cov v
+      JOIN cum c ON c.scope = v.scope AND c.bin = v.bin
+      CROSS JOIN rng r
+    ),
+    exact AS ({exact_sql})
+    SELECT e.scope, e.q_ppm, e.est, x.exact,
+           CAST(round(abs(e.est - x.exact), 6)
+                  <= round((SELECT width FROM rng), 6) AS INTEGER)
+             AS within_one_bin
+    FROM est e JOIN exact x ON x.scope = e.scope AND x.q_ppm = e.q_ppm
+    """
+
+
+@register("agg_quantile_sketch_rollup", oracle=_qh_oracle())
+def agg_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: build one {_QH_BINS}-bin fixed-width
+    histogram per event_type (the sketch table a deployment materializes),
+    roll up to the global sketch by SUMMING BINS — never rescanning raw
+    rows — and read p50/p90/p99 off each sketch by interpolating inside
+    the covering bin. The oracle certifies every estimate AND that each
+    lands within one bin width of the exact interpolated percentile (the
+    sketch's error bound as a regression canary; the estimates themselves
+    are hash-exact, unlike a data-adaptive t-digest whose layout no other
+    engine can replay).
+
+    Scale: bins are O({_QH_BINS}·types) state with map-side combine; the
+    rollup and every quantile read touch only sketch-sized frames. The two
+    corpus scans (range + binning) are the fixed-range histogram's classic
+    cost."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    rng = _staged(
+        ev.agg(
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            ((F.max("value") - F.min("value")) / _QH_BINS).alias("width"),
+        )
+    )
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type", F.expr(_QH_BIN).alias("bin")
+    )
+    per_type = _staged(
+        binned.groupBy(F.col("event_type").alias("scope"), "bin").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    )
+    merged = (
+        per_type.groupBy("bin")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .select(F.lit("ALL").alias("scope"), "bin", "cnt")
+    )
+    sk = per_type.unionByName(merged)
+    wc = Window.partitionBy("scope").orderBy("bin")
+    wp = wc.rowsBetween(Window.unboundedPreceding, -1)
+    wn = Window.partitionBy("scope")
+    cum = _staged(
+        sk.select(
+            "scope",
+            "bin",
+            "cnt",
+            F.sum("cnt").over(wc).alias("cum"),
+            F.sum("cnt").over(wn).alias("n"),
+            F.coalesce(F.sum("cnt").over(wp), F.lit(0)).alias("prev_cum"),
+        )
+    )
+    targets = spark.createDataFrame([(q,) for q in _QH_QS], "q_ppm bigint")
+    cov = (
+        cum.crossJoin(F.broadcast(targets))
+        .filter(F.col("cum") >= F.col("q_ppm") / 1e6 * F.col("n"))
+        .groupBy("scope", "q_ppm")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = (
+        cov.join(cum, ["scope", "bin"])
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "scope",
+            "q_ppm",
+            F.round(
+                F.col("vmin")
+                + F.col("bin") * F.col("width")
+                + (F.col("q_ppm") / 1e6 * F.col("n") - F.col("prev_cum"))
+                / F.col("cnt")
+                * F.col("width"),
+                6,
+            ).alias("est"),
+        )
+    )
+    exact_parts = []
+    for q in _QH_QS:
+        pct = F.expr(f"percentile(value, {q / 1_000_000!r})")
+        exact_parts.append(
+            ev.groupBy(F.col("event_type").alias("scope")).agg(
+                F.round(pct, 6).alias("exact")
+            ).select("scope", F.lit(q).alias("q_ppm"), "exact")
+        )
+        exact_parts.append(
+            ev.agg(F.round(pct, 6).alias("exact")).select(
+                F.lit("ALL").alias("scope"), F.lit(q).alias("q_ppm"), "exact"
+            )
+        )
+    exact = exact_parts[0]
+    for p in exact_parts[1:]:
+        exact = exact.unionByName(p)
+    return (
+        est.join(exact, ["scope", "q_ppm"])
+        .crossJoin(F.broadcast(rng.select(F.round("width", 6).alias("w6"))))
+        .select(
+            "scope",
+            "q_ppm",
+            "est",
+            "exact",
+            (F.round(F.abs(F.col("est") - F.col("exact")), 6) <= F.col("w6"))
+            .cast("int")
+            .alias("within_one_bin"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_count_min_sketch — mergeable frequency sketch with probe audit
+# --------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+_CMS_PROBE_MOD = 7  # probe users: user_id % 7 == 0 (deterministic subset)
+
+
+def _cms_h_spark(i: str, key: str) -> str:
+    """Row ``i``'s bucket for ``key`` — the 60-bit md5 contract, salted
+    by the row index."""
+    return (
+        f"cast(conv(substring(md5(concat(cast({i} as string), ':',"
+        f" cast({key} as string))), 1, 15), 16, 10) as bigint)"
+        f" % {_CMS_WIDTH}"
+    )
+
+
+def _cms_h_sql(i: str, key: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' ||"
+        f" CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT) % {_CMS_WIDTH}"
+    )
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH hrows AS (SELECT unnest(generate_series(1, {_CMS_DEPTH})) AS i),
+    cells AS (
+      SELECT i, {_cms_h_sql("i", "user_id")} AS bucket, count(*) AS cnt
+      FROM events CROSS JOIN hrows
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT user_id, count(*) AS exact_n FROM events
+      WHERE user_id % {_CMS_PROBE_MOD} = 0 GROUP BY user_id
+    ),
+    est AS (
+      SELECT p.user_id, p.exact_n, CAST(min(c.cnt) AS BIGINT) AS est_n
+      FROM probes p CROSS JOIN hrows h
+      JOIN cells c
+        ON c.i = h.i AND c.bucket = {_cms_h_sql("h.i", "p.user_id")}
+      GROUP BY p.user_id, p.exact_n
+    )
+    SELECT user_id, exact_n, est_n,
+           CAST(est_n - exact_n AS BIGINT) AS overcount,
+           CAST(est_n >= exact_n AS INTEGER) AS never_undercounts
+    FROM est
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of per-user event frequencies: a {_CMS_DEPTH}×
+    {_CMS_WIDTH} counter grid (each event increments one counter per hash
+    row), probed for a deterministic user subset. est = min over rows of
+    the addressed counters; the oracle certifies the exact estimates plus
+    CMS's one-sided guarantee (never undercounts) on every probe.
+
+    Scale: the grid is 256 cells aggregated with map-side combine —
+    per-partition grids cell-wise-add into the global grid, which IS the
+    sketch's mergeability (per-day grids roll up the same way). Probes
+    join the broadcast grid; the corpus never reshuffles."""
+    hrows = spark.range(1, _CMS_DEPTH + 1).select(F.col("id").alias("i"))
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cells = (
+        ev.crossJoin(F.broadcast(hrows))
+        .groupBy("i", F.expr(_cms_h_spark("i", "user_id")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        ev.filter(F.col("user_id") % _CMS_PROBE_MOD == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return (
+        probes.crossJoin(F.broadcast(hrows))
+        .withColumn("bucket", F.expr(_cms_h_spark("i", "user_id")))
+        .join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").cast("bigint").alias("est_n"))
+        .select(
+            "user_id",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n"))
+            .cast("bigint")
+            .alias("overcount"),
+            (F.col("est_n") >= F.col("exact_n"))
+            .cast("int")
+            .alias("never_undercounts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_bloom_membership — Bloom filter build + probe with measured FPR
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_h_spark(j: str, key: str) -> str:
+    return (
+        f"cast(conv(substring(md5(concat(cast({j} as string), '#',"
+        f" cast({key} as string))), 1, 15), 16, 10) as bigint)"
+        f" % {_BLOOM_M}"
+    )
+
+
+def _bloom_h_sql(j: str, key: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || '#' ||"
+        f" CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+@register(
+    "agg_bloom_membership",
+    oracle=f"""
+    WITH hs AS (SELECT unnest(generate_series(1, {_BLOOM_K})) AS j),
+    members AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    bits AS (
+      SELECT DISTINCT {_bloom_h_sql("j", "k")} AS pos
+      FROM members CROSS JOIN hs
+    ),
+    probe AS (
+      SELECT c.c_custkey AS k, m.k IS NOT NULL AS is_member
+      FROM customer c LEFT JOIN members m ON m.k = c.c_custkey
+    ),
+    hits AS (
+      SELECT p.k, p.is_member, count(b.pos) = {_BLOOM_K} AS bloom_hit
+      FROM probe p CROSS JOIN hs h
+      LEFT JOIN bits b ON b.pos = {_bloom_h_sql("h.j", "p.k")}
+      GROUP BY p.k, p.is_member
+    )
+    SELECT count(*) AS n_probed,
+           CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST(sum(CASE WHEN is_member AND NOT bloom_hit THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_neg,
+           CAST(sum(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+                  * 1000000
+                // greatest(1, sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END))
+                AS BIGINT) AS fpr_ppm
+    FROM hits
+    """,
+)
+def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership filter: hash the distinct customers-with-orders
+    into a {_BLOOM_M}-bit / {_BLOOM_K}-hash filter (materialized as the
+    distinct set of SET bit positions — the union across partitions IS the
+    Bloom merge), then probe EVERY customer and report the classic
+    contract measured on real data: zero false negatives (certified
+    exactly) and the false-positive rate in exact ppm. The data twin of
+    the runtime bloom-filter join pruning Spark injects itself
+    (tests/test_runtime_filters.py) — built as rows so the oracle can
+    replay it.
+
+    Scale: the bit set is ≤{_BLOOM_M} rows and broadcasts; build and probe
+    are each one scan of their side with map-side distinct; the rollup is
+    one row."""
+    hs = spark.range(1, _BLOOM_K + 1).select(F.col("id").alias("j"))
+    members = _staged(
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bits = (
+        members.crossJoin(F.broadcast(hs))
+        .select(F.expr(_bloom_h_spark("j", "k")).alias("pos"))
+        .distinct()
+    )
+    probe = _staged(
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"))
+        .join(members.withColumn("m", F.lit(1)), "k", "left")
+        .select("k", F.col("m").isNotNull().alias("is_member"))
+    )
+    hits = (
+        probe.crossJoin(F.broadcast(hs))
+        .withColumn("pos", F.expr(_bloom_h_spark("j", "k")))
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("k", "is_member")
+        .agg((F.count("hit") == _BLOOM_K).alias("bloom_hit"))
+    )
+    return (
+        hits.agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_members"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.sum(
+                F.when(F.col("is_member") & ~F.col("bloom_hit"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_false_neg"),
+            F.sum(
+                F.when(F.col("bloom_hit") & ~F.col("is_member"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+            F.sum(F.when(~F.col("is_member"), 1).otherwise(0)).alias("n_non"),
+        )
+        .select(
+            "n_probed",
+            "n_members",
+            "n_hits",
+            "n_false_neg",
+            "n_false_pos",
+            F.expr(
+                "cast(n_false_pos * 1000000 div greatest(1, n_non) as bigint)"
+            ).alias("fpr_ppm"),
+        )
+    )
