@@ -60,6 +60,7 @@ from . import graph  # noqa: E402,F401
 from . import tokenizer  # noqa: E402,F401
 from . import cdc  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
+from . import evaluation  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

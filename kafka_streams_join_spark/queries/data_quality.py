@@ -219,3 +219,128 @@ def dq_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (column_name, n_nonnull, n_distinct)"
         ),
     ).select("column_name", "n_rows", "n_nonnull", "n_distinct")
+
+
+# --------------------------------------------------------------------------
+# dq_psi_drift — population-stability-index drift monitor (round 6)
+# --------------------------------------------------------------------------
+
+_PSI_CUTOFF = "2024-01-16 00:00:00"  # early = first half of Jan, late = rest
+_PSI_ALERT = 0.1  # the industry PSI alert line (0.1 watch / 0.25 act)
+
+# (feature name, bucket expression, bucket-space size for +1 smoothing);
+# the value buckets use the quantile-sketch IEEE binning contract against
+# GLOBAL min/max so both periods share one bucket layout
+_PSI_FEATURES = (
+    ("event_type", "event_type", 5),
+    ("hour_of_day", "CAST(hour(ts) AS VARCHAR)", 24),
+    (
+        "value_decile",
+        "CAST(least(9, CAST(floor((value - vmin) / (vmax - vmin) * 10)"
+        " AS INTEGER)) AS VARCHAR)",
+        10,
+    ),
+)
+
+
+def _psi_oracle() -> str:
+    parts = []
+    for name, expr, b in _PSI_FEATURES:
+        parts.append(f"""
+    SELECT '{name}' AS feature, ne.n AS n_early, nl.n AS n_late,
+           round(sum(
+             ((coalesce(l.cnt, 0) + 1.0) / (nl.n + {b})
+              - (coalesce(e.cnt, 0) + 1.0) / (ne.n + {b}))
+             * ln(((coalesce(l.cnt, 0) + 1.0) / (nl.n + {b}))
+                  / ((coalesce(e.cnt, 0) + 1.0) / (ne.n + {b})))
+           ), 6) AS psi,
+           CAST(round(sum(
+             ((coalesce(l.cnt, 0) + 1.0) / (nl.n + {b})
+              - (coalesce(e.cnt, 0) + 1.0) / (ne.n + {b}))
+             * ln(((coalesce(l.cnt, 0) + 1.0) / (nl.n + {b}))
+                  / ((coalesce(e.cnt, 0) + 1.0) / (ne.n + {b})))
+           ), 6) >= {_PSI_ALERT} AS INTEGER) AS drifted
+    FROM (
+      SELECT bucket, cnt FROM (
+        SELECT {expr} AS bucket, count(*) AS cnt
+        FROM events, rng WHERE ts < TIMESTAMP '{_PSI_CUTOFF}' GROUP BY 1)
+    ) e
+    FULL OUTER JOIN (
+      SELECT bucket, cnt FROM (
+        SELECT {expr} AS bucket, count(*) AS cnt
+        FROM events, rng WHERE ts >= TIMESTAMP '{_PSI_CUTOFF}' GROUP BY 1)
+    ) l USING (bucket)
+    CROSS JOIN (SELECT count(*) AS n FROM events
+                WHERE ts < TIMESTAMP '{_PSI_CUTOFF}') ne
+    CROSS JOIN (SELECT count(*) AS n FROM events
+                WHERE ts >= TIMESTAMP '{_PSI_CUTOFF}') nl
+    GROUP BY ne.n, nl.n""")
+    return (
+        "WITH rng AS (SELECT min(value) AS vmin, max(value) AS vmax"
+        " FROM events) " + " UNION ALL ".join(parts)
+    )
+
+
+@register("dq_psi_drift", oracle=_psi_oracle())
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of the
+    event stream, per monitored feature (event-type mix, hour-of-day
+    seasonality, value deciles): PSI = Σ_b (p_late − p_early)·ln(p_late /
+    p_early) with +1 count smoothing over each feature's full bucket
+    space, plus the standard ≥0.1 alert flag — the drift monitor every
+    deployed pipeline/classifier runs between training-time and serving-
+    time distributions. The flag compares the 6-dp-ROUNDED PSI so both
+    engines decide the boundary identically.
+
+    Scale: per feature, two bucket-cardinality histograms (map-side
+    combined over one events scan each) full-outer-joined on the bucket
+    key — everything after the scans is bucket-sized; the global value
+    range broadcasts (the quantile-sketch binning contract)."""
+    from ..operators.staging import staged as _staged
+
+    ev = _staged(
+        load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    )
+    rng = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    cut = F.lit(_PSI_CUTOFF).cast("timestamp")
+    outs = []
+    for name, expr, b in _PSI_FEATURES:
+        base = ev.crossJoin(F.broadcast(rng)).select(
+            F.expr(expr.replace(" AS VARCHAR", " AS STRING")).alias("bucket"),
+            (F.col("ts") < cut).alias("early"),
+        )
+        base = _staged(base)
+        e = base.filter("early").groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("ecnt")
+        )
+        l = base.filter(~F.col("early")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("lcnt")
+        )
+        ns = base.agg(
+            F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("n_early"),
+            F.sum(F.when(~F.col("early"), 1).otherwise(0)).alias("n_late"),
+        )
+        pe = (F.coalesce(F.col("ecnt"), F.lit(0)) + 1.0) / (
+            F.col("n_early") + F.lit(b)
+        )
+        pl = (F.coalesce(F.col("lcnt"), F.lit(0)) + 1.0) / (
+            F.col("n_late") + F.lit(b)
+        )
+        psi = F.round(F.sum((pl - pe) * F.log(pl / pe)), 6)
+        outs.append(
+            e.join(l, "bucket", "full")
+            .crossJoin(F.broadcast(ns))
+            .groupBy("n_early", "n_late")
+            .agg(psi.alias("psi"))
+            .select(
+                F.lit(name).alias("feature"),
+                "n_early",
+                "n_late",
+                "psi",
+                (F.col("psi") >= _PSI_ALERT).cast("int").alias("drifted"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

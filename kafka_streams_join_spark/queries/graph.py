@@ -142,3 +142,191 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_pagerank_parts.__doc__ = graph_pagerank_parts.__doc__.replace(
     "{PR_ITERS}", str(PR_ITERS)
 )
+
+
+# --------------------------------------------------------------------------
+# graph_degree_distribution — co-purchase degree histogram
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT DISTINCT a.pkey AS src, b.pkey AS dst
+      FROM basket a JOIN basket b ON a.okey = b.okey AND a.pkey < b.pkey
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY src),
+    n AS (SELECT count(*) AS n_nodes FROM deg)
+    SELECT deg.degree, count(*) AS n_parts,
+           CAST(count(*) * 1000000 // n.n_nodes AS BIGINT) AS share_ppm
+    FROM deg CROSS JOIN n
+    GROUP BY deg.degree, n.n_nodes
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase part graph: how many parts have
+    each co-purchase degree, with the exact-ppm share of all parts. The
+    first chart of any graph workload — it decides whether PageRank /
+    components need skew handling (a heavy-tail hub would dominate every
+    per-node join) and calibrates the basket-bounded pair-space argument
+    the whole graph family rests on.
+
+    Scale: one basket self-join (the gated bounded-candidate stage shared
+    with PageRank), one degree aggregate, one histogram aggregate over the
+    degree-cardinality frame; the node count broadcasts."""
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    deg = _staged(deg)
+    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .join(F.broadcast(n))
+        .select(
+            "degree",
+            "n_parts",
+            F.expr("cast(n_parts * 1000000 div n_nodes as bigint)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_triangle_count — degree-oriented exact triangle counting
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    und AS (
+      SELECT DISTINCT a.pkey AS u, b.pkey AS v
+      FROM basket a JOIN basket b ON a.okey = b.okey AND a.pkey < b.pkey
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS u,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS v,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.u < e.v)
+                  THEN db.d ELSE da.d END AS dv
+      FROM und e
+      JOIN deg da ON da.node = e.u
+      JOIN deg db ON db.node = e.v
+    ),
+    wedges AS (
+      SELECT e1.v AS a, e2.v AS b
+      FROM o e1 JOIN o e2
+        ON e1.u = e2.u
+       AND ((e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v))
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM wedges w JOIN o e3 ON e3.u = w.a AND e3.v = w.b
+    ),
+    tots AS (
+      SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             (SELECT count(*) FROM und) AS n_edges,
+             (SELECT count(*) FROM wedges) AS n_closed_wedge_checks,
+             (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+               AS n_wedges_undirected
+    )
+    SELECT t.n_nodes, t.n_edges, tri.n_triangles,
+           t.n_wedges_undirected,
+           CAST(3 * tri.n_triangles * 1000000
+                // greatest(1, t.n_wedges_undirected) AS BIGINT)
+             AS transitivity_ppm
+    FROM tots t CROSS JOIN tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global transitivity of the co-purchase
+    graph, via DEGREE-ORIENTED wedge checking (the node-iterator++ /
+    compact-forward algorithm): orient each undirected edge from its
+    lower-(degree, id) endpoint, enumerate wedges only at each node's
+    out-edges ordered by the same total order, and close a wedge iff its
+    third edge exists in the oriented set. Every triangle is counted
+    EXACTLY once (it has exactly one all-out node in the total order).
+
+    Scale: this orientation is the standard trick that bounds the wedge
+    space by sum(outdeg²) with outdeg ≤ O(√m) — a hub of degree 10⁶
+    produces ~zero wedges at itself because nearly all its edges point
+    IN; a plain u-centric wedge join would square the hub instead. All
+    joins are equi-joins on node keys over narrow integer rows; the
+    closing check is a semi-join-shaped equi-join against the oriented
+    edge list."""
+    edges = _edges(spark, sf_dir)
+    und = _staged(edges.filter(F.col("src") < F.col("dst")))
+    deg = _staged(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+    )
+    e = (
+        und.join(deg.withColumnRenamed("node", "src").withColumnRenamed("d", "da"), "src")
+        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("d", "db"), "dst")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("src") < F.col("dst"))
+    )
+    o = _staged(
+        e.select(
+            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+            F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    )
+    e1 = o.select(
+        F.col("u").alias("w_u"), F.col("v").alias("a"), F.col("dv").alias("da_")
+    )
+    e2 = o.select(
+        F.col("u").alias("w_u"), F.col("v").alias("b"), F.col("dv").alias("db_")
+    )
+    wedges = _staged(
+        e1.join(e2, "w_u")
+        .filter(
+            (F.col("da_") < F.col("db_"))
+            | ((F.col("da_") == F.col("db_")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+    )
+    tri = wedges.join(
+        o.select(F.col("u").alias("a"), F.col("v").alias("b")), ["a", "b"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    tots = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.expr("d * (d - 1) div 2"))
+            .cast("bigint")
+            .alias("n_wedges_undirected"),
+        )
+        .crossJoin(F.broadcast(und.agg(F.count(F.lit(1)).alias("n_edges"))))
+    )
+    return tots.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges_undirected",
+        F.expr(
+            "cast(3 * n_triangles * 1000000"
+            " div greatest(1, n_wedges_undirected) as bigint)"
+        ).alias("transitivity_ppm"),
+    )
