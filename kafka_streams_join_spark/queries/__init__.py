@@ -61,6 +61,8 @@ from . import tokenizer  # noqa: E402,F401
 from . import cdc  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
 from . import evaluation  # noqa: E402,F401
+from . import emb_ext  # noqa: E402,F401
+from . import tier_report  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -124,6 +126,7 @@ _RECERTIFY_FROM_ROUND = {
     "pipeline_importance_resample": 6,  # two_phase_rank int -> bigint
     "pipeline_curriculum_order": 6,  # two_phase_rank int -> bigint
     "events_power_user_share": 6,  # two_phase_rank int -> bigint (internal)
+    "dedup_tier_report": 6,  # + semantic tier; n_docs = per-tier population
 }
 
 

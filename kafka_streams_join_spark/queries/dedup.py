@@ -959,75 +959,7 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_tier_report",
-    oracle=f"""
-    WITH n AS (SELECT count(*) AS n_docs FROM documents),
-    exact AS (
-      SELECT 'exact' AS tier, count(DISTINCT md5(text)) AS survivors
-      FROM documents
-    ),
-    normalized AS (
-      SELECT 'normalized' AS tier,
-             count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
-               AS survivors
-      FROM documents
-    ),
-    neardup AS (
-      SELECT 'neardup_cluster' AS tier,
-             count(DISTINCT canonical_id) AS survivors
-      FROM ({_DEDUP_ORACLES["dedup_cluster_canonical"]})
-    ),
-    tiers AS (
-      SELECT * FROM exact UNION ALL
-      SELECT * FROM normalized UNION ALL
-      SELECT * FROM neardup
-    )
-    SELECT tiers.tier, n.n_docs,
-           CAST(tiers.survivors AS BIGINT) AS survivors,
-           CAST(n.n_docs - tiers.survivors AS BIGINT) AS removed,
-           CAST((n.n_docs - tiers.survivors) * 1000000 // n.n_docs AS BIGINT)
-             AS removed_ppm
-    FROM tiers CROSS JOIN n
-    """,
-)
-def dedup_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup impact report: how many documents EACH tier would remove,
-    measured independently against the raw corpus — exact (byte-identical
-    text), normalization-exact (whitespace/case-collapsed), and
-    transitive near-dup clusters (one survivor per cluster). The
-    before-you-delete summary a pipeline owner reads to pick tiers and
-    order (each number is a standalone removal rate, NOT a sequential
-    funnel — ``pipeline_curation_funnel`` is the sequential composition).
-    Survivor identities reuse the exact contracts the tier queries
-    certify: md5(text), the normalized md5 chain, and
-    ``dedup_cluster_canonical``'s min-label components.
-
-    Scale: two hash-distinct aggregates over one documents scan plus the
-    already-gated components pipeline; the report rows are 3 × 1-row
-    aggregates cross-joined with the corpus count (all broadcast)."""
-    doc = load_table(spark, sf_dir, "documents")
-    n = doc.agg(F.count(F.lit(1)).alias("n_docs"))
-    exact = doc.agg(
-        F.count_distinct(F.md5("text")).alias("survivors")
-    ).select(F.lit("exact").alias("tier"), "survivors")
-    normalized = doc.agg(
-        F.count_distinct(
-            F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
-        ).alias("survivors")
-    ).select(F.lit("normalized").alias("tier"), "survivors")
-    neardup = (
-        dedup_cluster_canonical(spark, sf_dir)
-        .agg(F.count_distinct("canonical_id").alias("survivors"))
-        .select(F.lit("neardup_cluster").alias("tier"), "survivors")
-    )
-    tiers = exact.unionByName(normalized).unionByName(neardup)
-    return tiers.join(F.broadcast(n)).select(
-        "tier",
-        "n_docs",
-        F.col("survivors").cast("long").alias("survivors"),
-        (F.col("n_docs") - F.col("survivors")).cast("long").alias("removed"),
-        F.expr(
-            "cast((n_docs - survivors) * 1000000 div n_docs as bigint)"
-        ).alias("removed_ppm"),
-    )
+# dedup_tier_report moved to queries/tier_report.py (round 6): its oracle
+# now composes the dedup_semantic contract, which registers after this
+# module (semdedup.py imports from dedup.py, so the composition must live
+# in a later-imported module).

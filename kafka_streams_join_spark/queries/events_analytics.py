@@ -796,3 +796,230 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_attribution_last_touch — conversion attribution (round 6)
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback, microseconds
+
+# the sortable touch encoding: zero-padded epoch-micros | event_id | type —
+# lexicographic max on the string IS (ts, event_id) max, and the winning
+# type rides along (struct-max is not portable to a DuckDB window, strings
+# are). Fixed widths make parsing a substr, not a regex.
+_TOUCH_ENC_SPARK = (
+    "concat(lpad(cast(unix_micros(ts) as string), 19, '0'), '|',"
+    " lpad(cast(event_id as string), 10, '0'), '|', event_type)"
+)
+_TOUCH_ENC_SQL = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 19, '0') || '|' ||"
+    " lpad(CAST(event_id AS VARCHAR), 10, '0') || '|' || event_type"
+)
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH cand AS (
+      SELECT event_type, ts, event_id,
+             max(CASE WHEN event_type IN ('view', 'click')
+                      THEN {_TOUCH_ENC_SQL} END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS touch
+      FROM events
+    ),
+    conv AS (
+      SELECT CASE
+               WHEN touch IS NULL THEN 'direct'
+               WHEN epoch_us(ts) - CAST(substr(touch, 1, 19) AS BIGINT)
+                    > {_ATTR_WINDOW_US} THEN 'direct'
+               ELSE substr(touch, 32)
+             END AS attributed_type
+      FROM cand WHERE event_type = 'purchase'
+    ),
+    n AS (SELECT count(*) AS n_conv FROM conv)
+    SELECT attributed_type, count(*) AS n_conversions,
+           CAST(count(*) * 1000000 // n.n_conv AS BIGINT) AS share_ppm
+    FROM conv CROSS JOIN n
+    GROUP BY attributed_type, n.n_conv
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase is credited to
+    the most recent preceding view/click by the same user within a 7-day
+    lookback ('direct' if none) — the marketing-analytics join every
+    event warehouse runs nightly, here as ONE pass: a per-user running
+    max over a sortable string encoding of (ts, event_id, type) carries
+    the winning touch to each purchase row, so no purchases×touches
+    self-join ever forms.
+
+    Scale: one user_id shuffle feeds the running-max window over narrow
+    encoded rows; the lookback check is row-local integer arithmetic on
+    the decoded epoch; the rollup is touch-type-cardinality sized."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cand = ev.select(
+        "event_type",
+        "ts",
+        F.max(
+            F.when(
+                F.col("event_type").isin("view", "click"),
+                F.expr(_TOUCH_ENC_SPARK),
+            )
+        )
+        .over(w)
+        .alias("touch"),
+    )
+    conv = cand.filter(F.col("event_type") == "purchase").select(
+        F.when(F.col("touch").isNull(), F.lit("direct"))
+        .when(
+            F.expr("unix_micros(ts)")
+            - F.expr("cast(substr(touch, 1, 19) as bigint)")
+            > _ATTR_WINDOW_US,
+            F.lit("direct"),
+        )
+        .otherwise(F.expr("substr(touch, 32)"))
+        .alias("attributed_type")
+    )
+    n = conv.agg(F.count(F.lit(1)).alias("n_conv"))
+    return (
+        conv.groupBy("attributed_type")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+        .join(F.broadcast(n))
+        .select(
+            "attributed_type",
+            "n_conversions",
+            F.expr("cast(n_conversions * 1000000 div n_conv as bigint)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events_active_streaks — gaps-and-islands longest-streak distribution
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_active_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY d) AS INTEGER) AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, count(*) AS len
+      FROM islands GROUP BY user_id, island
+    ),
+    best AS (
+      SELECT user_id, max(len) AS best_streak FROM streaks GROUP BY user_id
+    )
+    SELECT best_streak, count(*) AS n_users
+    FROM best GROUP BY best_streak
+    """,
+)
+def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user, reported as a
+    distribution (streak length → user count) — the gaps-and-islands
+    pattern (island key = day − row_number, constant exactly while days
+    are consecutive), the engagement metric behind every retention
+    dashboard's "streak" feature and the canonical interview-grade SQL
+    idiom this engine should own.
+
+    Scale: one distinct over (user, day) — narrow rows, map-side
+    combined — one user-partitioned rank window on the per-day frame
+    (≤ days-per-user rows per user, not events), two bounded aggregates."""
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+        )
+        .distinct()
+    )
+    islands = days.select(
+        "user_id",
+        F.expr("date_sub(d, cast(row_number() over"
+               " (partition by user_id order by d) as int))").alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(F.max("len").alias("best_streak"))
+    return best.groupBy("best_streak").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# orders_reorder_intervals — customer repeat-purchase latency
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_reorder_intervals",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+               lag(o_orderdate) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap_days
+      FROM orders
+    ),
+    g AS (SELECT o_custkey, gap_days FROM gaps WHERE gap_days IS NOT NULL)
+    SELECT count(DISTINCT o_custkey) AS n_repeat_customers,
+           count(*) AS n_gaps,
+           CAST(min(gap_days) AS BIGINT) AS min_days,
+           round(quantile_cont(gap_days, 0.25), 4) AS p25_days,
+           round(quantile_cont(gap_days, 0.50), 4) AS p50_days,
+           round(quantile_cont(gap_days, 0.75), 4) AS p75_days,
+           CAST(max(gap_days) AS BIGINT) AS max_days
+    FROM g
+    """,
+)
+def orders_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase latency: per customer, the day gaps between
+    consecutive orders (lag over (o_orderdate, o_orderkey) — the unique
+    tie-break contract), rolled up to the corpus-level gap distribution
+    (min/quartiles/max). The inter-ORDER twin of
+    ``events_interarrival_stats``: replenishment cadence for demand
+    forecasting and the churn-definition input ("inactive = no order for
+    > p75 days").
+
+    Scale: one o_custkey shuffle for the lag window over narrow (custkey,
+    date, orderkey) rows; the rollup is one exact-percentile aggregate
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, both exact
+    interpolated)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return gaps.agg(
+        F.count_distinct("o_custkey").alias("n_repeat_customers"),
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_days").cast("bigint").alias("min_days"),
+        F.round(F.expr("percentile(gap_days, 0.25)"), 4).alias("p25_days"),
+        F.round(F.expr("percentile(gap_days, 0.50)"), 4).alias("p50_days"),
+        F.round(F.expr("percentile(gap_days, 0.75)"), 4).alias("p75_days"),
+        F.max("gap_days").cast("bigint").alias("max_days"),
+    )

@@ -270,6 +270,7 @@ def decontam_gram_rows(df):
     )
 
 from .text import _TOKS_SQL as _DOC_TOKS_SQL  # noqa: E402  (shared tokenizer)
+from .text import _TOKS as _TOKS_PIPE  # noqa: E402
 
 
 @register(
@@ -1010,4 +1011,88 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " as bigint)"
             ).alias("test_leak_ppm"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# pipeline_length_bucket_batching — padding-waste planner (round 6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_length_bucket_batching",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len({_DOC_TOKS_SQL}) AS n_tokens FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             length(bin(greatest(1, n_tokens))) AS bucket
+      FROM d
+    ),
+    per_bucket AS (
+      SELECT bucket, count(*) AS n_docs,
+             CAST(max(n_tokens) AS BIGINT) AS max_len,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM b GROUP BY bucket
+    ),
+    global_row AS (
+      SELECT -1 AS bucket, count(*) AS n_docs,
+             CAST(max(n_tokens) AS BIGINT) AS max_len,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM b
+    ),
+    rows_ AS (SELECT * FROM per_bucket UNION ALL SELECT * FROM global_row)
+    SELECT bucket, n_docs, max_len, total_tokens,
+           CAST(n_docs * max_len AS BIGINT) AS padded_tokens,
+           CAST((n_docs * max_len - total_tokens) * 1000000
+                // greatest(1, n_docs * max_len) AS BIGINT) AS waste_ppm
+    FROM rows_
+    """,
+)
+def pipeline_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste planner for length-bucketed batching: assign every
+    document to a power-of-two length bucket (bucket = bit-length of its
+    token count — pure integer/string arithmetic, no float log2 whose
+    exact-power values could round differently across engines), pad each
+    bucket to its own longest member, and report the padded-token waste
+    per bucket in exact ppm — next to the bucket = −1 row, which is the
+    pad-everything-to-global-max baseline a naive batcher pays. The
+    difference between that row's waste and the buckets' is the token
+    bill length-bucketing saves at training time.
+
+    Scale: one row-local projection (token count + bit-length bucket),
+    one ~log(max_len)-group aggregate, map-side combined. Nothing else
+    moves."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"size({_TOKS_PIPE})").alias("n_tokens")
+    )
+    b = d.select(
+        "doc_id",
+        "n_tokens",
+        F.length(F.expr("bin(greatest(1, n_tokens))")).alias("bucket"),
+    )
+    per_bucket = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").cast("bigint").alias("max_len"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    global_row = b.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").cast("bigint").alias("max_len"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    ).select(F.lit(-1).alias("bucket"), "n_docs", "max_len", "total_tokens")
+    rows_ = per_bucket.unionByName(global_row)
+    return rows_.select(
+        "bucket",
+        "n_docs",
+        "max_len",
+        "total_tokens",
+        (F.col("n_docs") * F.col("max_len")).cast("bigint").alias(
+            "padded_tokens"
+        ),
+        F.expr(
+            "cast((n_docs * max_len - total_tokens) * 1000000"
+            " div greatest(1, n_docs * max_len) as bigint)"
+        ).alias("waste_ppm"),
     )

@@ -659,3 +659,143 @@ def text_keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "doc_id", F.col("pos").cast("long").alias("pos"),
                 "left_ctx", "right_ctx")
     )
+
+
+# --------------------------------------------------------------------------
+# text_hapax_ratio — vocabulary-richness profile per language (round 6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_hapax_ratio",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, lower(unnest({_TOKS_SQL})) AS token FROM documents
+    ),
+    freq AS (
+      SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token
+    )
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS vocab_size,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS hapax_vocab_ppm
+    FROM freq GROUP BY lang
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena profile per language: vocabulary size, the count of
+    words that occur exactly once, and the hapax share of the vocabulary
+    (exact ppm). Hapax rate is the classic vocabulary-richness /
+    OCR-noise signal — a corpus slice whose hapax share spikes is full of
+    typos, boilerplate IDs, or mis-identified language, and it calibrates
+    the Zipf-slope and vocab-growth numbers this repo already certifies
+    (``text_zipf_slope``, ``text_vocab_growth``).
+
+    Scale: one token shuffle into the (lang, token) frequency aggregate
+    (map-side combined, Zipf-bounded result), then a lang-cardinality
+    rollup — document text never enters an Exchange."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(F.expr(f"transform({_TOKS}, t -> lower(t))")).alias("token"),
+    )
+    freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    return freq.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+    ).select(
+        "lang",
+        "n_tokens",
+        "vocab_size",
+        "n_hapax",
+        F.expr("cast(n_hapax * 1000000 div vocab_size as bigint)").alias(
+            "hapax_vocab_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_boilerplate_spans — most-repeated verbatim spans report (round 6)
+# --------------------------------------------------------------------------
+
+_BP_W = 10  # the dedup_duplicate_passages window-width contract
+_BP_TOPN = 10
+
+
+@register(
+    "text_boilerplate_spans",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_transform({_TOKS_SQL}, t -> lower(t)) AS toks
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, array_to_string(toks[i:i + {_BP_W - 1}], ' ') AS gram
+      FROM tok,
+           unnest(generate_series(1, greatest(len(toks) - {_BP_W} + 1, 0)))
+             AS t(i)
+    ),
+    dup AS (
+      SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+      FROM win GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    top AS (
+      SELECT * FROM dup ORDER BY n_docs DESC, n_occ DESC, gram
+      LIMIT {_BP_TOPN}
+    )
+    SELECT row_number() OVER (ORDER BY n_docs DESC, n_occ DESC, gram) AS rnk,
+           n_docs, n_occ, gram
+    FROM top
+    """,
+)
+def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate REPORT: the top-{_BP_TOPN} verbatim {_BP_W}-token
+    spans that recur across the most distinct documents, with doc and
+    occurrence counts — license headers, cookie banners, templated
+    intros, surfaced as readable text for a curation owner to review.
+    Complements ``dedup_duplicate_passages`` (which finds and MERGES
+    duplicated spans per document for removal, hashes only): this ranks
+    the offending content corpus-wide. Overlapping windows of one long
+    passage each count — span merging is the passages operator's job.
+
+    Scale: one narrow (doc_id, gram) explode into a map-side-combined
+    aggregate; only grams in >= 2 documents survive; the top-N is an
+    ORDER BY + LIMIT (TakeOrderedAndProject — per-partition heaps, no
+    single-partition sort of the duplicate list), ranked row-locally
+    afterwards. At web scale the gram string would be xxhash64'd with a
+    verbatim-text join-back for the final {_BP_TOPN} rows only."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"transform({_TOKS}, t -> lower(t))").alias("toks")
+    )
+    win = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) < {_BP_W} THEN array()"
+                f" ELSE transform(sequence(1, size(toks) - {_BP_W} + 1),"
+                f"   i -> array_join(slice(toks, i, {_BP_W}), ' ')) END"
+            )
+        ).alias("gram"),
+    )
+    dup = (
+        win.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    top = dup.orderBy(
+        F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("gram")
+    ).limit(_BP_TOPN)
+    w = Window.orderBy(
+        F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("gram")
+    )
+    return top.select(
+        F.row_number().over(w).alias("rnk"), "n_docs", "n_occ", "gram"
+    )
