@@ -14,6 +14,21 @@ node id, so AQE coalesces/splits them independently of component shape; the
 known refinement for high-diameter graphs is large-star/small-star
 (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14),
 which this API could switch to without changing its contract.
+
+Round-6 decision on large-star/small-star: NOT implemented, documented
+instead. Min-label propagation needs O(diameter) rounds — exactly linear,
+proven by the path-graph property test (tests/test_round6.py: a 12-node
+path converges under the default cap but a 5-round cap raises) — while
+Kiveris alternation needs O(log² n) regardless of shape. The cross-over
+is therefore graph-shaped, not size-shaped: every caller in this repo
+feeds NEAR-DUP pair graphs, whose components are dense near-cliques
+(mutual-similarity edges): measured on the sf0.01 corpus pair graph, the
+loop converges in TWO rounds (one propagation + the fixpoint-detect
+round). For such graphs the per-round cost dominates and two-phase
+star alternation would roughly double the shuffles per round for no
+round savings. A high-diameter workload (road networks, mesh graphs)
+should switch; the convergence RuntimeError below is the guard that
+makes that need visible instead of silent.
 """
 
 from __future__ import annotations

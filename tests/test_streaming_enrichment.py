@@ -1,0 +1,113 @@
+"""Stream-static dimension enrichment, end-to-end (VERDICT r5 task #7).
+
+``streaming/topology.py::stream_table_join`` implements the
+KStream-KTable-style lookup join; these tests certify the two halves of
+its contract on a live query:
+
+- enrichment itself: stream rows pick up dimension attributes, inner
+  drops unmatched keys, left_outer preserves them with NULLs;
+- PER-MICRO-BATCH RE-RESOLUTION of the static side: the dimension is
+  re-read every micro-batch (no state store, no snapshot pinning), so an
+  in-place dimension update between batches is visible to the next batch
+  — the lookup-join semantics the reference explicitly lacks
+  (SURVEY §2.3 taxonomy).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pandas as pd
+
+from kafka_streams_join_spark.streaming.harness import (
+    FileStream,
+    read_until,
+    start_memory_sink,
+)
+from kafka_streams_join_spark.streaming.topology import stream_table_join
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(delta_s: float = 0.0) -> str:
+    return (T0 + dt.timedelta(seconds=delta_s)).strftime("%Y-%m-%dT%H:%M:%S.%f")
+
+
+def _write_dim(path: str, rows: list[dict]) -> None:
+    """(Over)write the SAME single parquet file in place — the listing the
+    static side resolved keeps pointing here; contents are re-read per
+    micro-batch."""
+    pd.DataFrame(rows).to_parquet(os.path.join(path, "dim.parquet"))
+
+
+def test_enrichment_inner_and_left_outer(spark, tmp_path):
+    d = str(tmp_path)
+    dim_dir = os.path.join(d, "dim")
+    os.makedirs(dim_dir)
+    _write_dim(dim_dir, [{"key": "k1", "segment": "premium"}])
+    dim = spark.read.parquet(dim_dir)
+
+    src = FileStream(spark, d, "events_in")
+    src.add_batch(
+        [
+            {"key": "k1", "value": "a", "ts": _ts(0)},
+            {"key": "k2", "value": "b", "ts": _ts(1)},
+        ]
+    )
+
+    inner = stream_table_join(src.df(), dim, on="key", how="inner")
+    q, sink = start_memory_sink(inner, checkpoint_root=os.path.join(d, "c1"))
+    try:
+        q.processAllAvailable()
+        rows = read_until(spark, sink, expect=1, wait_s=3.0)
+    finally:
+        q.stop()
+    assert [(r["key"], r["value"], r["t_segment"]) for r in rows] == [
+        ("k1", "a", "premium")
+    ]
+
+    left = stream_table_join(src.df(), dim, on="key", how="left_outer")
+    q2, sink2 = start_memory_sink(left, checkpoint_root=os.path.join(d, "c2"))
+    try:
+        q2.processAllAvailable()
+        rows2 = read_until(spark, sink2, expect=2, wait_s=3.0)
+    finally:
+        q2.stop()
+    assert sorted((r["key"], r["t_segment"]) for r in rows2) == [
+        ("k1", "premium"),
+        ("k2", None),
+    ]
+
+
+def test_enrichment_re_resolves_dim_per_microbatch(spark, tmp_path):
+    """An in-place dimension update between micro-batches is visible to
+    the NEXT batch: batch 1 enriches k1 with v1, the dim file is
+    overwritten, batch 2 enriches the same key with v2 — proof the
+    static side is planned per micro-batch, not snapshotted at query
+    start."""
+    d = str(tmp_path)
+    dim_dir = os.path.join(d, "dim")
+    os.makedirs(dim_dir)
+    _write_dim(dim_dir, [{"key": "k1", "segment": "v1"}])
+    dim = spark.read.parquet(dim_dir)
+
+    src = FileStream(spark, d, "events_in")
+    src.add_batch([{"key": "k1", "value": "a", "ts": _ts(0)}])
+
+    enriched = stream_table_join(src.df(), dim, on="key", how="inner")
+    q, sink = start_memory_sink(enriched, checkpoint_root=os.path.join(d, "c"))
+    try:
+        q.processAllAvailable()
+        first = read_until(spark, sink, expect=1, wait_s=3.0)
+        assert [(r["key"], r["t_segment"]) for r in first] == [("k1", "v1")]
+
+        # in-place dim update + a second stream batch for the same key
+        _write_dim(dim_dir, [{"key": "k1", "segment": "v2"}])
+        src.add_batch([{"key": "k1", "value": "b", "ts": _ts(1)}])
+        q.processAllAvailable()
+        rows = read_until(spark, sink, expect=2, wait_s=3.0)
+    finally:
+        q.stop()
+    by_value = {r["value"]: r["t_segment"] for r in rows}
+    assert by_value == {"a": "v1", "b": "v2"}
