@@ -213,7 +213,11 @@ def _pca_model(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
         v = vecs[:, k]
         if v[int(np.argmax(np.abs(v)))] < 0:
             v = -v
-        comps.append([float(x) for x in v])
+        # 6-dp like every other model statistic (round 6): the eigenbasis
+        # IS the deployable artifact (pca_frozen.py freezes exactly these
+        # values), so the fitted projection and the frozen-literal
+        # projection are bit-equal on the training corpus
+        comps.append([round(float(x), 6) for x in v])
     return means, comps
 
 

@@ -889,18 +889,22 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.expr("substr(touch, 32)"))
         .alias("attributed_type")
     )
-    n = conv.agg(F.count(F.lit(1)).alias("n_conv"))
-    return (
-        conv.groupBy("attributed_type")
-        .agg(F.count(F.lit(1)).alias("n_conversions"))
-        .join(F.broadcast(n))
-        .select(
-            "attributed_type",
-            "n_conversions",
-            F.expr("cast(n_conversions * 1000000 div n_conv as bigint)").alias(
-                "share_ppm"
-            ),
+    # the total derives from the 3-row grouped frame (staged), so events
+    # is scanned once, not twice
+    from ..operators.staging import staged as _staged
+
+    grouped = _staged(
+        conv.groupBy("attributed_type").agg(
+            F.count(F.lit(1)).alias("n_conversions")
         )
+    )
+    n = grouped.agg(F.sum("n_conversions").alias("n_conv"))
+    return grouped.join(F.broadcast(n)).select(
+        "attributed_type",
+        "n_conversions",
+        F.expr("cast(n_conversions * 1000000 div n_conv as bigint)").alias(
+            "share_ppm"
+        ),
     )
 
 

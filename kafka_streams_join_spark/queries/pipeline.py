@@ -1037,10 +1037,12 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b GROUP BY bucket
     ),
     global_row AS (
-      SELECT -1 AS bucket, count(*) AS n_docs,
-             CAST(max(n_tokens) AS BIGINT) AS max_len,
-             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-      FROM b
+      -- derived from the bucket aggregates (sums/max distribute), so the
+      -- corpus is scanned once, not twice
+      SELECT -1 AS bucket, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(max(max_len) AS BIGINT) AS max_len,
+             CAST(sum(total_tokens) AS BIGINT) AS total_tokens
+      FROM per_bucket
     ),
     rows_ AS (SELECT * FROM per_bucket UNION ALL SELECT * FROM global_row)
     SELECT bucket, n_docs, max_len, total_tokens,
@@ -1072,15 +1074,19 @@ def pipeline_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFra
         "n_tokens",
         F.length(F.expr("bin(greatest(1, n_tokens))")).alias("bucket"),
     )
-    per_bucket = b.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.max("n_tokens").cast("bigint").alias("max_len"),
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    per_bucket = _staged(
+        b.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").cast("bigint").alias("max_len"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
     )
-    global_row = b.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.max("n_tokens").cast("bigint").alias("max_len"),
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    # the global row re-aggregates the BUCKET frame (sums/max distribute),
+    # so the corpus is scanned once, not twice
+    global_row = per_bucket.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.max("max_len").cast("bigint").alias("max_len"),
+        F.sum("total_tokens").cast("bigint").alias("total_tokens"),
     ).select(F.lit(-1).alias("bucket"), "n_docs", "max_len", "total_tokens")
     rows_ = per_bucket.unionByName(global_row)
     return rows_.select(

@@ -131,7 +131,14 @@ def agg_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: bins are O({_QH_BINS}·types) state with map-side combine; the
     rollup and every quantile read touch only sketch-sized frames. The two
     corpus scans (range + binning) are the fixed-range histogram's classic
-    cost."""
+    cost.
+
+    The one-bin error bound assumes the covering bin's neighborhood is
+    populated; a SPARSE tail (p99 of a small group, empty bins between
+    order stats) can exceed it — that is precisely what the flag reports
+    (a 0 on a big dense corpus means the binning drifted; a 0 on a tiny
+    group's p99 means "this group needs the exact path"). The flag value
+    itself is deterministic and hash-certified either way."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     rng = _staged(
         ev.agg(

@@ -856,3 +856,165 @@ def test_kwic_per_term_rank_is_group_limited(spark):
     shuffle, never a term's full hit list."""
     plan = explain_str(QUERIES["text_keyword_in_context"](spark, SF_SMOKE), "simple")
     assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+
+
+# --------------------------------------------------------------------------
+# round-6 gates
+# --------------------------------------------------------------------------
+
+
+def test_bpe_encode_runs_on_vocab_not_corpus(spark):
+    """Tokenizer apply: the 12-merge replace chain must hang off the
+    DISTINCT-word aggregate (vocab-sized), never the exploded corpus; no
+    Python evaluators; the scan reads only (doc_id, text)."""
+    df = QUERIES["text_bpe_encode_apply"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan[:1500]
+    assert_read_schema_pruned(df, max_columns=2)
+    # the merge chain sits above HashAggregate(keys=[word...]) — i.e. the
+    # replace() calls appear AFTER the distinct, not in the explode stage
+    assert "replace" in plan
+
+
+def test_scd2_merge_windows_stay_user_partitioned(spark):
+    """CDC merge: every lag/lead window is user-partitioned; no
+    single-partition funnel over the event ids, no cartesian."""
+    df = QUERIES["events_scd2_merge_apply"](spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    for col in ("user_id", "event_id"):
+        assert_no_single_partition_window_over(df, col)
+
+
+def test_quantile_sketch_rollup_is_sketch_sized(spark):
+    """Quantile sketch: after the binning scans, everything is bin-sized —
+    no rangepartitioning, no cartesian (the 1-row range frame broadcasts
+    as BroadcastNestedLoopJoin, the documented 1-row-stats allowance)."""
+    df = QUERIES["agg_quantile_sketch_rollup"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_cms_and_bloom_broadcast_their_sketches(spark):
+    """CMS probe and Bloom probe both join the BROADCAST sketch — the
+    corpus side never reshuffles for the lookup."""
+    for name in ("agg_count_min_sketch", "agg_bloom_membership"):
+        df = QUERIES[name](spark, SF_SMOKE)
+        plan = explain_str(df)
+        assert "BroadcastHashJoin" in plan, (name, plan[:1500])
+        assert "CartesianProduct" not in plan, (name, plan[:1500])
+
+
+def test_prf_expansion_terms_broadcast(spark):
+    """PRF: both BM25 rounds probe with BROADCAST term tables (the
+    feedback-doc and expansion-term frames are top-k/term-set bounded);
+    no cartesian anywhere in the two-round plan."""
+    df = QUERIES["retrieval_prf_expansion"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_all_equi_joins(spark):
+    """Degree-oriented triangle counting: wedge build and wedge close are
+    equi-joins on node keys; the only nested-loop joins are the 1-row
+    stats rollups at the very top (the documented broadcast-stats
+    allowance) — no CartesianProduct anywhere."""
+    df = QUERIES["graph_triangle_count"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # the data-path joins (edge x deg, wedge build, wedge close) are hash
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 4
+
+
+def test_pca_fixed_is_exchange_free(spark):
+    """The frozen-basis projection is ONE scan + a codegen'd projection:
+    literally no Exchange in the plan (the strongest shuffle gate in the
+    repo), and no Python."""
+    df = QUERIES["emb_pca_project_fixed"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "Exchange" not in plan, plan[:1500]
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
+    assert_wholestage_codegen(df)
+
+
+def test_silhouette_centroids_broadcast(spark):
+    """Centroid silhouette: the K=10 centroid table broadcasts into the
+    scoring pass (assign_to_codebook shape); corpus vectors are never the
+    build side."""
+    df = QUERIES["emb_silhouette_by_label"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dim_profile_single_pruned_scan(spark):
+    """Dimension profile: one scan reading ONLY the embedding column into
+    a partial+final 64-group aggregate."""
+    df = QUERIES["emb_dim_profile"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan[:1500]
+    assert_read_schema_pruned(df, max_columns=1)
+
+
+def test_attribution_is_one_user_window_pass(spark):
+    """Last-touch attribution: the running max is a user-partitioned
+    window — no purchases×touches self-join (exactly one scan of events),
+    no single-partition funnel."""
+    df = QUERIES["events_attribution_last_touch"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # both consumers (per-type counts + the total) read the one STAGED
+    # grouped frame; the events scan lives inside that single cached plan
+    # (it prints once per InMemoryRelation occurrence, but runs once)
+    assert plan.count("InMemoryTableScan") >= 2, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    for col in ("user_id", "event_id"):
+        assert_no_single_partition_window_over(df, col)
+
+
+def test_active_streaks_user_partitioned(spark):
+    """Gaps-and-islands: the rank window is user-partitioned over the
+    per-DAY frame; no single-partition funnel over user ids."""
+    df = QUERIES["events_active_streaks"](spark, SF_SMOKE)
+    assert_no_single_partition_window_over(df, "user_id")
+    assert_read_schema_pruned(df, max_columns=2)
+
+
+def test_shard_manifest_bytes_never_shuffle(spark):
+    """Shard manifest: octet_length is computed IN the scan; only narrow
+    (shard, n_bytes) rows reach the aggregate exchange — the text/binary
+    column itself never crosses an Exchange."""
+    df = QUERIES["mm_shard_manifest"](spark, SF_SMOKE)
+    assert_no_wide_shuffle(df, col="text")
+
+
+def test_length_buckets_single_scan(spark):
+    """Padding planner: one corpus scan; the global row re-aggregates the
+    staged BUCKET frame instead of rescanning the corpus."""
+    df = QUERIES["pipeline_length_bucket_batching"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # both union branches read the one STAGED bucket aggregate (the
+    # corpus scan lives inside the single InMemoryRelation)
+    assert plan.count("InMemoryTableScan") >= 2, plan[:1500]
+
+
+def test_psi_histograms_are_bucket_sized(spark):
+    """PSI: after the staged scan, the per-period histograms and their
+    full-outer merge are bucket-cardinality frames — no rangepartitioning,
+    no cartesian beyond the broadcast 1-row count frames."""
+    df = QUERIES["dq_psi_drift"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_boilerplate_topn_is_take_ordered(spark):
+    """Boilerplate report: the corpus-wide top-N must plan
+    TakeOrderedAndProject (per-partition heaps); the rank window runs on
+    the 10-row result only."""
+    df = QUERIES["text_boilerplate_spans"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
