@@ -344,3 +344,89 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+# --------------------------------------------------------------------------
+# dq_schema_profile — one-pass per-column table profile (round 6 wave 3)
+# --------------------------------------------------------------------------
+
+# (column, deterministic min/max rendering). DOUBLE renders as exact
+# integer cents and TIMESTAMP as a fixed format — a raw engine-native
+# cast-to-string of either type diverges between engines ('1.0E7',
+# fractional-second tails), so every rendering is pinned here.
+_SCHEMA_PROFILE_COLS = (
+    ("o_orderkey", "cast({c} as string)", "CAST({c} AS VARCHAR)"),
+    ("o_custkey", "cast({c} as string)", "CAST({c} AS VARCHAR)"),
+    ("o_orderstatus", "{c}", "{c}"),
+    (
+        "o_totalprice",
+        "cast(cast(round({c} * 100, 0) as bigint) as string)",
+        "CAST(CAST(round({c} * 100, 0) AS BIGINT) AS VARCHAR)",
+    ),
+    (
+        "o_orderdate",
+        "date_format({c}, 'yyyy-MM-dd HH:mm:ss')",
+        "strftime({c}, '%Y-%m-%d %H:%M:%S')",
+    ),
+    ("o_orderpriority", "{c}", "{c}"),
+)
+
+
+def _profile_oracle() -> str:
+    aggs = ["count(*) AS n_rows"]
+    rows = []
+    for c, _, rend in _SCHEMA_PROFILE_COLS:
+        aggs.append(f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_{c}")
+        aggs.append(f"count(DISTINCT {c}) AS nd_{c}")
+        aggs.append(f"min({rend.format(c=c)}) AS min_{c}")
+        aggs.append(f"max({rend.format(c=c)}) AS max_{c}")
+        rows.append(
+            f"SELECT '{c}' AS col_name, n_rows,"
+            f" CAST(null_{c} AS BIGINT) AS n_null,"
+            f" CAST(nd_{c} AS BIGINT) AS n_distinct,"
+            f" min_{c} AS min_repr, max_{c} AS max_repr FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(aggs) + " FROM orders) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+@register("dq_schema_profile", oracle=_profile_oracle())
+def dq_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile — row count, null count, exact distinct
+    count, and min/max in pinned renderings — one row per column of
+    ``orders``: the Deequ/Glue-crawler profiling pass that feeds schema
+    drift alerts and join-key sanity checks (a PK column profiles as
+    n_distinct = n_rows, n_null = 0; this is ``dq_constraint_checks``'s
+    uniqueness check generalized to every column at once, and
+    ``dq_table_profile``'s null/distinct pass extended with the min/max
+    renderings that make range drift visible).
+
+    Scale: ONE scan — all 6 columns' stats aggregate in a single pass
+    (Spark plans the multi-distinct via Expand: a bounded 6× row
+    multiplication instead of 6 scans) and the per-column rows unpivot
+    from the 1-row stats frame driver-free. Min/max renderings are
+    pinned per type (integer cents for DOUBLE, fixed timestamp format)
+    because engine-native float/timestamp casts are NOT stable contracts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, rend, _ in _SCHEMA_PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+        aggs.append(F.expr(f"min({rend.format(c=c)})").alias(f"min_{c}"))
+        aggs.append(F.expr(f"max({rend.format(c=c)})").alias(f"max_{c}"))
+    s = orders.agg(*aggs)
+    structs = ", ".join(
+        f"struct('{c}' as col_name, n_rows,"
+        f" cast(null_{c} as bigint) as n_null,"
+        f" cast(nd_{c} as bigint) as n_distinct,"
+        f" min_{c} as min_repr, max_{c} as max_repr)"
+        for c, _, _ in _SCHEMA_PROFILE_COLS
+    )
+    return s.select(
+        F.explode(F.expr(f"array({structs})")).alias("p")
+    ).select("p.*")

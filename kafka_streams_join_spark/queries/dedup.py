@@ -963,3 +963,66 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # now composes the dedup_semantic contract, which registers after this
 # module (semdedup.py imports from dedup.py, so the composition must live
 # in a later-imported module).
+
+
+# --------------------------------------------------------------------------
+# dedup_source_affinity — who scrapes whom (round 6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_source_affinity",
+    oracle=f"""
+    WITH pairs AS ({_DEDUP_ORACLES["dedup_ngram_jaccard"]}),
+    src AS (SELECT doc_id, source FROM documents),
+    tagged AS (
+      SELECT least(sa.source, sb.source) AS source_a,
+             greatest(sa.source, sb.source) AS source_b
+      FROM pairs p
+      JOIN src sa ON sa.doc_id = p.doc_a
+      JOIN src sb ON sb.doc_id = p.doc_b
+    )
+    SELECT source_a, source_b, count(*) AS n_pairs,
+           CAST(count(*) * 1000000
+                // (SELECT count(*) FROM pairs) AS BIGINT) AS share_ppm
+    FROM tagged GROUP BY source_a, source_b
+    """,
+)
+def dedup_source_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup affinity between SOURCES: every verified near-dup pair
+    tagged with its two documents' sources (unordered), counted per
+    source pair with the exact-ppm share — the who-scrapes-whom matrix. A
+    hot off-diagonal cell means two crawls ingest the same upstream site
+    (dedup them jointly, or drop the lower-quality one); the diagonal is
+    within-source boilerplate. Composes the REGISTERED near-dup contract
+    verbatim (the ``pipeline_split_leakage_audit`` pattern applied to
+    provenance instead of splits).
+
+    Scale: the pair list is the already-gated bounded-candidate pipeline;
+    tagging is two narrow id joins; the matrix is ≤ sources² rows."""
+    pairs = _staged(
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("s_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("s_b"))
+    n = pairs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least(F.col("s_a"), F.col("s_b")).alias("source_a"),
+            F.greatest(F.col("s_a"), F.col("s_b")).alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .join(F.broadcast(n))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.expr("cast(n_pairs * 1000000 div n_total as bigint)").alias(
+                "share_ppm"
+            ),
+        )
+    )

@@ -221,3 +221,80 @@ def emb_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_zero"),
     )
+
+
+# --------------------------------------------------------------------------
+# emb_sq_reconstruction_error — int8 quantization loss audit (round 6)
+# --------------------------------------------------------------------------
+
+# the sim_sq_topk quantization contract: unit-normalize, scale by 127
+_SQ_NRM_SPARK = (
+    "sqrt(aggregate(transform(embedding, x -> cast(x as double)"
+    " * cast(x as double)), cast(0 as double), (acc, v) -> acc + v))"
+)
+
+
+def _sq_err_spark() -> str:
+    # flat left-associative sum of per-cell squared reconstruction errors;
+    # code c_d = round(x_d / nrm * 127), reconstruction = c_d / 127 * nrm
+    return " + ".join(
+        "pow(cast(embedding[{d}] as double)"
+        " - (cast(round(CASE WHEN nrm = cast(0 as double) THEN cast(0 as double)"
+        " ELSE cast(embedding[{d}] as double) / nrm * 127 END) as int)"
+        " / 127.0 * nrm), 2)".format(d=d)
+        for d in range(64)
+    )
+
+
+_SQ_ERR_SQL = (
+    "list_sum(list_transform(embedding, x ->"
+    " pow(CAST(x AS DOUBLE)"
+    " - (CAST(round(CASE WHEN nrm = 0 THEN 0.0"
+    " ELSE CAST(x AS DOUBLE) / nrm * 127 END) AS INTEGER)"
+    " / 127.0 * nrm), 2)))"
+)
+
+
+@register(
+    "emb_sq_reconstruction_error",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(embedding, x ->
+               CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    err AS (
+      SELECT label, round({_SQ_ERR_SQL}, 6) AS mse
+      FROM n
+    )
+    SELECT label, count(*) AS n,
+           round(avg(mse), 6) AS mean_err2,
+           round(max(mse), 6) AS max_err2
+    FROM err GROUP BY label
+    """,
+)
+def emb_sq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-error audit of the int8 scalar quantizer
+    (``sim_sq_topk``'s exact code contract: unit-normalize, scale 127,
+    round): per label, the mean and max squared L2 error between each
+    vector and its dequantized codes — the number that says whether the
+    4× compression is lossless ENOUGH before an index build commits to it
+    (the storage-side complement of ``sim_recall_report``'s query-side
+    answer). Per-vector errors are 6-dp rounded before the rollup (the
+    engine-parity float contract); the per-cell error sum is the same
+    flat left-associative 64-term expression in both engines.
+
+    Scale: one scan, row-local arithmetic, a label-cardinality aggregate
+    — the embedding column never shuffles."""
+    n = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", F.expr(_SQ_NRM_SPARK)
+    )
+    err = n.select(
+        "label", F.round(F.expr(_sq_err_spark()), 6).alias("mse")
+    )
+    return err.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("mse"), 6).alias("mean_err2"),
+        F.round(F.max("mse"), 6).alias("max_err2"),
+    )

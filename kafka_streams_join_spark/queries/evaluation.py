@@ -485,3 +485,79 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PRF_TOPN)
         .select("rnk", "doc_id", "n_terms_hit", "bm25")
     )
+
+
+# --------------------------------------------------------------------------
+# retrieval_mrr_eval — mean reciprocal rank of the exact top-k (round 6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "retrieval_mrr_eval",
+    oracle=f"""
+    WITH ranking AS ({ORACLES["sim_topk_bruteforce"]}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    firsthit AS (
+      SELECT r.query_id,
+             min(CASE WHEN ln.label = lq.label THEN r.rnk END) AS first_rel
+      FROM ranking r
+      JOIN lab lq ON lq.vec_id = r.query_id
+      JOIN lab ln ON ln.vec_id = r.neighbor_id
+      GROUP BY r.query_id
+    )
+    SELECT count(*) AS n_queries,
+           CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_hit,
+           round(avg(CASE WHEN first_rel IS NULL THEN 0.0
+                          ELSE 1.0 / first_rel END), 6) AS mrr,
+           round(avg(CASE WHEN first_rel = 1 THEN 1.0 ELSE 0.0 END), 6)
+             AS precision_at_1
+    FROM firsthit
+    """,
+)
+def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank + precision@1 of the exact cosine top-k under
+    label relevance — the single-number retrieval summary next to
+    ``retrieval_ndcg_eval``'s per-query detail (MRR weights ONLY the first
+    relevant hit, the metric for known-item search; nDCG grades the whole
+    list). Composes the same registered ranking oracle.
+
+    Scale: the ranking plan plus two narrow label joins and a Q-sized
+    min/avg rollup."""
+    ranking = sim_topk_bruteforce(spark, sf_dir)
+    lab = _staged(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    )
+    lq = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    ln_ = lab.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    firsthit = (
+        ranking.join(lq, "query_id")
+        .join(ln_, "neighbor_id")
+        .groupBy("query_id")
+        .agg(
+            F.min(
+                F.when(F.col("n_label") == F.col("q_label"), F.col("rnk"))
+            ).alias("first_rel")
+        )
+    )
+    return firsthit.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("first_rel").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_hit"),
+        F.round(
+            F.avg(
+                F.when(F.col("first_rel").isNull(), 0.0).otherwise(
+                    1.0 / F.col("first_rel")
+                )
+            ),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.avg(F.when(F.col("first_rel") == 1, 1.0).otherwise(0.0)), 6
+        ).alias("precision_at_1"),
+    )

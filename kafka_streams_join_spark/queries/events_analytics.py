@@ -1027,3 +1027,131 @@ def orders_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_days, 0.75)"), 4).alias("p75_days"),
         F.max("gap_days").cast("bigint").alias("max_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# orders_cohort_ltv — revenue cohort triangle (round 6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, min(o_orderdate) AS first_dt
+      FROM orders GROUP BY o_custkey
+    ),
+    facts AS (
+      SELECT year(f.first_dt) AS cohort_year,
+             year(o.o_orderdate) - year(f.first_dt) AS age_years,
+             o.o_custkey,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+    )
+    SELECT cohort_year, age_years,
+           count(DISTINCT o_custkey) AS n_active,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM facts GROUP BY 1, 2
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value cohort triangle: customers grouped by
+    first-order YEAR, revenue summed per (cohort, age-in-years) cell in
+    exact integer cents — the revenue twin of ``events_cohort_retention``
+    (which counts active users; this follows the money). Reading a row
+    down the triangle answers "how much does a 1995 customer spend in
+    year 3" — the payback-model input.
+
+    Scale: one o_custkey shuffle for the first-order aggregate, joined
+    back to the fact rows (same key, Spark reuses the partitioning), then
+    a cohort²-bounded cell aggregate with a distinct-customer count."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    facts = orders.join(first, "o_custkey").select(
+        F.year("first_dt").alias("cohort_year"),
+        (F.year("o_orderdate") - F.year("first_dt")).alias("age_years"),
+        "o_custkey",
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("cents"),
+    )
+    return facts.groupBy("cohort_year", "age_years").agg(
+        F.count_distinct("o_custkey").alias("n_active"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_bot_score — behavioral-rate bot heuristics (round 6)
+# --------------------------------------------------------------------------
+
+_BOT_MIN_EVENTS = 100  # flag thresholds: sustained volume with
+_BOT_MAX_MEAN_GAP_S = 20_000  # machine-regular cadence
+
+
+@register(
+    "events_bot_score",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             count(DISTINCT event_type) AS n_types,
+             CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+               AS span_us
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           CAST(span_us // 1000000 AS BIGINT) AS span_s,
+           CAST(CASE WHEN n_events > 1
+                     THEN (span_us // 1000000) // (n_events - 1)
+                     ELSE 0 END AS BIGINT) AS mean_gap_s,
+           CAST(n_events >= {_BOT_MIN_EVENTS}
+                AND n_events > 1
+                AND (span_us // 1000000) // (n_events - 1)
+                    <= {_BOT_MAX_MEAN_GAP_S} AS INTEGER) AS bot_flag
+    FROM u
+    """,
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral fingerprint + bot heuristic: event volume,
+    type diversity, activity span, mean inter-event gap (all exact
+    integers), and a flag for sustained machine-cadence accounts
+    (≥{_BOT_MIN_EVENTS} events at ≤{_BOT_MAX_MEAN_GAP_S}s mean gap) —
+    the first-pass abuse filter every event pipeline runs before
+    analytics trust user counts. Thresholds are literals shared with the
+    oracle, and every division is BIGINT floor division, so the flag
+    decides identically in both engines.
+
+    Scale: ONE map-side-combined aggregate over narrow (user_id, type,
+    ts) rows — no window, no self-join; the per-user frame is the
+    output."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+            (
+                F.expr("unix_micros(max(ts)) - unix_micros(min(ts))")
+            ).alias("span_us"),
+        )
+    )
+    return u.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.expr("cast(span_us div 1000000 as bigint)").alias("span_s"),
+        F.expr(
+            "cast(CASE WHEN n_events > 1"
+            " THEN (span_us div 1000000) div (n_events - 1)"
+            " ELSE 0 END as bigint)"
+        ).alias("mean_gap_s"),
+        F.expr(
+            f"cast(n_events >= {_BOT_MIN_EVENTS} AND n_events > 1"
+            f" AND (span_us div 1000000) div (n_events - 1)"
+            f" <= {_BOT_MAX_MEAN_GAP_S} as int)"
+        ).alias("bot_flag"),
+    )

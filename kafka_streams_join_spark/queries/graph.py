@@ -330,3 +330,164 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(1, n_wedges_undirected) as bigint)"
         ).alias("transitivity_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_common_neighbors — link-prediction candidates (round 6)
+# --------------------------------------------------------------------------
+
+_CN_TOPN = 20
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    und AS (
+      SELECT DISTINCT a.pkey AS u, b.pkey AS v
+      FROM basket a JOIN basket b ON a.okey = b.okey AND a.pkey < b.pkey
+    ),
+    sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    wedge AS (
+      SELECT e1.v AS a, e2.v AS b, count(*) AS n_common
+      FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT w.a, w.b, w.n_common
+      FROM wedge w LEFT JOIN und e ON e.u = w.a AND e.v = w.b
+      WHERE e.u IS NULL
+    ),
+    top AS (
+      SELECT * FROM cand ORDER BY n_common DESC, a, b LIMIT {_CN_TOPN}
+    )
+    SELECT row_number() OVER (ORDER BY n_common DESC, a, b) AS rnk,
+           a AS part_a, b AS part_b, n_common
+    FROM top
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common neighbors: the top-{_CN_TOPN} part pairs
+    that share the most co-purchase neighbors WITHOUT ever having been
+    co-purchased themselves — "frequently bought with the same things" =
+    substitute/complement candidates, the classic graph recommender
+    primitive (Liben-Nowell & Kleinberg '03).
+
+    Scale: wedges enumerate at the middle vertex over the symmetric edge
+    list — Σ deg² work, the honest cost of exact common-neighbor counts;
+    at web scale the per-node neighbor list is capped top-d by weight
+    first (the SHINGLE_DF_CAP pattern), which bounds the quadratic
+    per-node. The existing-edge removal is a broadcast-able anti join on
+    the (a, b) key; the top-N is ORDER BY + LIMIT (TakeOrdered heaps),
+    ranked row-locally afterwards."""
+    edges = _edges(spark, sf_dir)  # symmetric, deduped
+    und = _staged(edges.filter(F.col("src") < F.col("dst")))
+    e1 = edges.select(F.col("src").alias("m"), F.col("dst").alias("a"))
+    e2 = edges.select(F.col("src").alias("m"), F.col("dst").alias("b"))
+    wedge = (
+        e1.join(e2, "m")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cand = wedge.join(
+        und.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    top = cand.orderBy(
+        F.col("n_common").desc(), F.col("a"), F.col("b")
+    ).limit(_CN_TOPN)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_common").desc(), F.col("a"), F.col("b"))
+    return top.select(
+        F.row_number().over(w).alias("rnk"),
+        F.col("a").alias("part_a"),
+        F.col("b").alias("part_b"),
+        "n_common",
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_kcore_peel — bounded k-core peeling rounds (round 6)
+# --------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT DISTINCT a.pkey AS src, b.pkey AS dst
+      FROM basket a JOIN basket b ON a.okey = b.okey AND a.pkey < b.pkey
+    ),
+    e0 AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs)"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f""",
+    k{r} AS (
+      SELECT src AS node FROM e{r - 1} GROUP BY src
+      HAVING count(*) >= {_KCORE_K}
+    ),
+    e{r} AS (
+      SELECT e.src, e.dst FROM e{r - 1} e
+      JOIN k{r} a ON a.node = e.src
+      JOIN k{r} b ON b.node = e.dst
+    )""")
+    selects = [
+        f"SELECT {r} AS round, (SELECT count(*) FROM k{r}) AS n_nodes,"
+        f" (SELECT count(*) // 2 FROM e{r}) AS n_edges"
+        for r in range(1, _KCORE_ROUNDS + 1)
+    ]
+    return "".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+@register("graph_kcore_peel", oracle=_kcore_oracle())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded {_KCORE_K}-core peeling over the co-purchase graph:
+    {_KCORE_ROUNDS} unrolled rounds of "drop every node with degree <
+    {_KCORE_K}, induce, repeat", reporting surviving node/edge counts per
+    round. A monotone upper approximation of the true {_KCORE_K}-core
+    from above (each round only removes; the fixpoint IS the core) — the
+    dense-subgraph extractor behind spam-cluster and community mining.
+    Fixed unrolled depth keeps the plan a bounded chain and the oracle an
+    identical CTE ladder (the PageRank contract); production depth would
+    iterate with localCheckpoint + a convergence count like
+    ``connected_components``, whose RuntimeError guard is the model.
+
+    Scale: each round is one degree aggregate + two semi-join-shaped
+    equi-joins on node keys over narrow integer rows."""
+    edges = _staged(_edges(spark, sf_dir))
+    out = []
+    e = edges
+    for r in range(1, _KCORE_ROUNDS + 1):
+        k = _staged(
+            e.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("node")
+        )
+        e = _staged(
+            e.join(k.withColumnRenamed("node", "src"), "src")
+            .join(k.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+        )
+        out.append(
+            k.agg(F.count(F.lit(1)).alias("n_nodes"))
+            .crossJoin(
+                e.agg(F.expr("count(1) div 2").alias("n_edges"))
+            )
+            .select(F.lit(r).alias("round"), "n_nodes", "n_edges")
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

@@ -285,3 +285,115 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + 0.0d"
         ).alias("char_entropy"),
     )
+
+
+# --------------------------------------------------------------------------
+# text_bigram_lm_score — add-1 bigram-LM perplexity filter (round 6 wave 3)
+# --------------------------------------------------------------------------
+
+from ..operators.staging import staged as _staged  # noqa: E402
+
+# flag docs whose mean NLL exceeds this (micro-nats/bigram); e^6.5 ≈ 665
+# perplexity — far above the corpus's own typical mass, so the flag marks
+# genuinely-unlikely (garbled / off-distribution) text
+_LM_FLAG_MICRO_NLL = 6_500_000
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_transform({_TOKS_SQL}, t -> lower(t)) AS toks
+      FROM documents
+    ),
+    uni AS (
+      SELECT t.w, count(*) AS cu FROM (
+        SELECT unnest(toks) AS w FROM tok) t GROUP BY t.w
+    ),
+    v AS (SELECT count(*) AS vocab FROM uni),
+    doc_bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
+      FROM tok,
+        unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+    ),
+    big AS (SELECT bg, count(*) AS cb FROM doc_bg GROUP BY bg),
+    terms AS (
+      SELECT d.doc_id,
+             CAST(round(ln((u.cu + v.vocab) * 1.0 / (b.cb + 1)) * 1000000,
+                        0) AS BIGINT) AS nll_micro
+      FROM doc_bg d
+      JOIN uni u ON u.w = d.w1
+      JOIN big b ON b.bg = d.bg
+      CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(nll_micro) // count(*) AS BIGINT) AS mean_nll_micro,
+           CAST(sum(nll_micro) // count(*) > {_LM_FLAG_MICRO_NLL} AS INT)
+             AS high_ppl_flag
+    FROM terms GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring with a self-trained add-1 bigram
+    LM (the CCNet / Wenzek '20 filter, with the corpus itself as the LM
+    since no external model ships in-container): P(w₂|w₁) =
+    (c(w₁w₂)+1)/(c(w₁)+V), each bigram's negative log-likelihood rounded
+    to INTEGER micro-nats before summation — the per-doc total and mean
+    are then exact BIGINT arithmetic, immune to float summation order
+    (the integer-ppm contract applied to log-space). Docs whose mean NLL
+    exceeds {_LM_FLAG_MICRO_NLL} µnats (≈ perplexity 665) flag as
+    off-distribution — the filter every LLM data pipeline runs between
+    heuristic gates and model-based gates.
+
+    Scale: the unigram/bigram count tables are Zipf-bounded aggregates of
+    one token scan; scoring joins the exploded corpus to them on the gram
+    key (narrow hash shuffles — at 100 TB the head of the count table
+    could broadcast and the tail join only the misses); the per-doc
+    rollup is one map-side-combinable aggregate. Docs with < 2 tokens
+    have no bigram and drop out, same in both engines."""
+    tok = _staged(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.expr(f"transform({_TOKS}, t -> lower(t))").alias("toks"),
+        )
+    )
+    doc_bg = _staged(
+        tok.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) < 2 THEN array()"
+                    " ELSE transform(sequence(1, size(toks) - 1),"
+                    "   i -> struct(toks[i - 1] AS w1,"
+                    "     concat_ws(' ', toks[i - 1], toks[i]) AS bg)) END"
+                )
+            ).alias("t"),
+        ).select("doc_id", "t.w1", "t.bg")
+    )
+    uni = tok.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    v = uni.agg(F.count(F.lit(1)).alias("vocab"))
+    big = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    terms = (
+        doc_bg.join(uni.withColumnRenamed("w", "w1"), "w1")
+        .join(big, "bg")
+        .join(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.expr(
+                "cast(round(ln((cu + vocab) * 1.0 / (cb + 1)) * 1000000, 0)"
+                " as bigint)"
+            ).alias("nll_micro"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("cast(sum(nll_micro) div count(1) as bigint)").alias(
+            "mean_nll_micro"
+        ),
+        F.expr(
+            f"cast(sum(nll_micro) div count(1) > {_LM_FLAG_MICRO_NLL}"
+            " as int)"
+        ).alias("high_ppl_flag"),
+    )

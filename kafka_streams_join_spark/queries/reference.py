@@ -617,3 +617,74 @@ def golden_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("val").alias("value"),
     )
     return clicked.unionByName(missed)
+
+
+@register(
+    "asof_nearest_view",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+         j AS (
+           SELECT c.user_id, c.click_id, c.click_ts, v.view_id, v.view_ts,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY c.click_id
+                    ORDER BY abs(epoch_us(v.view_ts) - epoch_us(c.click_ts))
+                               ASC NULLS LAST,
+                             CAST(v.view_ts <= c.click_ts AS INT) DESC,
+                             v.view_id DESC NULLS LAST
+                  ) AS rn
+           FROM c LEFT JOIN v ON c.user_id = v.user_id
+         )
+    SELECT user_id, click_id, click_ts, view_id, view_ts FROM j WHERE rn = 1
+    """,
+)
+def asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of (round 6): for each click, the view closest in time
+    in EITHER direction — pandas ``merge_asof(direction='nearest')``,
+    completing the family next to backward / backward-with-tolerance /
+    forward. Composed from the two one-sided ``asof_join``s plus a
+    row-local chooser: |Δt| decides, exact ties prefer the backward
+    candidate (the "what did they see before clicking" reading), same-ts
+    ties inside a side resolve by the operator's max-id tie-break.
+
+    Scale: two runs of the single-shuffle as-of operator (each one
+    Exchange + sort, zero band blowup) joined on the Q-sized click key —
+    the oracle's unconstrained LEFT JOIN + rank formulation would
+    materialize every (click, view) pair per user instead."""
+    clicks, views = _asof_sides(spark, sf_dir, "click", "view")
+    back = _asof_project(
+        asof_join(
+            clicks, views, on="user_id", left_ts="click_ts",
+            right_ts="view_ts", direction="backward", right_tiebreak="view_id",
+        ),
+        "click", "view",
+    ).select(
+        "user_id", "click_id", "click_ts",
+        F.col("view_id").alias("b_id"), F.col("view_ts").alias("b_ts"),
+    )
+    fwd = _asof_project(
+        asof_join(
+            clicks, views, on="user_id", left_ts="click_ts",
+            right_ts="view_ts", direction="forward", right_tiebreak="view_id",
+        ),
+        "click", "view",
+    ).select(
+        F.col("click_id").alias("f_click_id"),
+        F.col("view_id").alias("f_id"), F.col("view_ts").alias("f_ts"),
+    )
+    j = back.join(fwd, back.click_id == fwd.f_click_id)
+    b_gap = F.expr("unix_micros(click_ts) - unix_micros(b_ts)")
+    f_gap = F.expr("unix_micros(f_ts) - unix_micros(click_ts)")
+    pick_b = (
+        F.col("f_ts").isNull()
+        | (F.col("b_ts").isNotNull() & (b_gap <= f_gap))
+    )
+    return j.select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        F.when(pick_b, F.col("b_id")).otherwise(F.col("f_id")).alias("view_id"),
+        F.when(pick_b, F.col("b_ts")).otherwise(F.col("f_ts")).alias("view_ts"),
+    )

@@ -734,3 +734,128 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rnk", F.row_number().over(wf))
         .filter(F.col("rnk") <= _RRF_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# retrieval_query_likelihood — Dirichlet-smoothed LM retrieval (round 6)
+# --------------------------------------------------------------------------
+
+_QL_MU = "50.0"  # Dirichlet prior, spelled identically in both engines
+# (classic default is 2000 for web docs; this corpus averages ~54
+# tokens/doc, so mu=50 keeps the prior comparable to a document length)
+_QL_TOPN = 20
+_QL_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+
+
+@register(
+    "retrieval_query_likelihood",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lower(unnest({_TOKS_SQL})) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    coll AS (SELECT CAST(sum(doclen) AS BIGINT) AS total FROM dl),
+    cf AS (
+      SELECT token, count(*) AS cf FROM tok
+      WHERE token IN {_QL_TERMS_SQL} GROUP BY token
+    ),
+    prior AS (
+      SELECT sum(ln({_QL_MU} * (cf * 1.0 / (SELECT total FROM coll))))
+               AS base_num
+      FROM cf
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok
+      WHERE token IN {_QL_TERMS_SQL} GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT tf.doc_id,
+             sum(ln(tf.tf + {_QL_MU} * (cf.cf * 1.0 / (SELECT total FROM coll)))
+                 - ln({_QL_MU} * (cf.cf * 1.0 / (SELECT total FROM coll))))
+               AS bonus,
+             count(*) AS n_terms_hit
+      FROM tf JOIN cf USING (token)
+      GROUP BY tf.doc_id
+    ),
+    scored AS (
+      SELECT dl.doc_id,
+             coalesce(adj.n_terms_hit, 0) AS n_terms_hit,
+             round((SELECT base_num FROM prior) + coalesce(adj.bonus, 0.0)
+                   - 3 * ln(dl.doclen + {_QL_MU}), 4) AS ql
+      FROM dl LEFT JOIN adj ON adj.doc_id = dl.doc_id
+    )
+    SELECT rnk, doc_id, n_terms_hit, ql FROM (
+      SELECT *, row_number() OVER (ORDER BY ql DESC, doc_id) AS rnk
+      FROM scored) WHERE rnk <= {_QL_TOPN}
+    """,
+)
+def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai & Lafferty
+    2001): score(d) = Σ_t ln((tf + μ·P(t|C)) / (|d| + μ)) for the fixed
+    query terms — the language-modeling alternative to BM25, decomposed so
+    non-matching documents cost O(1): score = prior(C) + Σ_hit bonus −
+    |Q|·ln(|d| + μ), where the prior and the per-term collection
+    probabilities are model-sized broadcasts and only HIT (doc, term) rows
+    carry a join. 4-dp rounding before the global rank, doc_id ties — the
+    BM25 engine-stable ordering contract.
+
+    Scale: one token scan feeds doclen (narrow shuffle) and the map-side
+    term filter; cf (3 rows) and the collection total (1 row) broadcast;
+    the rank runs over the doc-count-sized scored frame like
+    ``text_bm25_search`` (TakeOrdered at true scale)."""
+    tok = _staged(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.explode(F.expr(f"transform({_TOKS}, t -> lower(t))")).alias(
+                "token"
+            ),
+        )
+    )
+    dl = _staged(tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen")))
+    coll = dl.agg(F.sum("doclen").cast("bigint").alias("total"))
+    tf = _staged(
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cf = _staged(
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .crossJoin(F.broadcast(coll))
+        .select("token", "cf", (F.col("cf") * 1.0 / F.col("total")).alias("p"))
+    )
+    prior = cf.agg(
+        F.sum(F.log(F.expr(_QL_MU) * F.col("p"))).alias("base_num")
+    )
+    adj = (
+        tf.join(F.broadcast(cf), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(F.col("tf") + F.expr(_QL_MU) * F.col("p"))
+                - F.log(F.expr(_QL_MU) * F.col("p"))
+            ).alias("bonus"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    scored = (
+        dl.join(adj, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_terms_hit"), F.lit(0)).alias("n_terms_hit"),
+            F.round(
+                F.col("base_num")
+                + F.coalesce(F.col("bonus"), F.lit(0.0))
+                - 3 * F.log(F.col("doclen") + F.expr(_QL_MU)),
+                4,
+            ).alias("ql"),
+        )
+    )
+    w = Window.orderBy(F.col("ql").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _QL_TOPN)
+        .select("rnk", "doc_id", "n_terms_hit", "ql")
+    )

@@ -455,3 +455,209 @@ def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fpr_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_kmv_distinct_rollup — mergeable k-minimum-values distinct sketch
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SPACE = 1_099_511_627_776  # 2^40 — the 40-bit md5-prefix hash space
+# (K-1)·2^40 precomputed: Spark ANSI throws on an INT-literal product
+_KMV_NUM = (_KMV_K - 1) * _KMV_SPACE
+# 3σ relative-error bound for KMV: 3/sqrt(K-2), in ppm
+_KMV_TOL_PPM = int(3 / (_KMV_K - 2) ** 0.5 * 1_000_000)
+
+_KMV_H_SPARK = (
+    "cast(conv(substring(md5(cast(c_custkey as string)), 1, 10), 16, 10)"
+    " as bigint)"
+)
+_KMV_H_SQL = (
+    "CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10))"
+    " AS BIGINT)"
+)
+
+
+def _kmv_est(n_col: str, kth_col: str) -> str:
+    """Estimate expression shared by both engines (Spark spelling; the
+    oracle swaps ``div`` for ``//``): exact below K, (K-1)·2^40/h_K at
+    and above."""
+    return (
+        f"CASE WHEN {n_col} < {_KMV_K} THEN {n_col}"
+        f" ELSE {_KMV_NUM} div {kth_col} END"
+    )
+
+
+@register(
+    "agg_kmv_distinct_rollup",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT n.n_name AS nation, r.r_name AS region,
+             {_KMV_H_SQL} AS hv
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    nat_rnk AS (
+      SELECT nation, region, hv,
+             row_number() OVER (PARTITION BY nation ORDER BY hv) AS rnk
+      FROM h
+    ),
+    nat_sk AS (SELECT * FROM nat_rnk WHERE rnk <= {_KMV_K}),
+    reg_h AS (SELECT DISTINCT region, hv FROM nat_sk),
+    reg_rnk AS (
+      SELECT region, hv,
+             row_number() OVER (PARTITION BY region ORDER BY hv) AS rnk
+      FROM reg_h
+    ),
+    reg_sk AS (SELECT * FROM reg_rnk WHERE rnk <= {_KMV_K}),
+    all_h AS (SELECT DISTINCT hv FROM reg_sk),
+    all_rnk AS (
+      SELECT hv, row_number() OVER (ORDER BY hv) AS rnk FROM all_h
+    ),
+    all_sk AS (SELECT * FROM all_rnk WHERE rnk <= {_KMV_K}),
+    sk AS (
+      SELECT 'nation' AS scope_kind, nation AS scope,
+             count(*) AS n_sketch, max(hv) AS kth
+      FROM nat_sk GROUP BY nation
+      UNION ALL
+      SELECT 'region', region, count(*), max(hv) FROM reg_sk GROUP BY region
+      UNION ALL
+      SELECT 'all', 'ALL', count(*), max(hv) FROM all_sk
+    ),
+    exact AS (
+      SELECT 'nation' AS scope_kind, nation AS scope,
+             count(DISTINCT hv) AS n_exact
+      FROM h GROUP BY nation
+      UNION ALL
+      SELECT 'region', region, count(DISTINCT hv) FROM h GROUP BY region
+      UNION ALL
+      SELECT 'all', 'ALL', count(DISTINCT hv) FROM h
+    ),
+    est AS (
+      SELECT s.scope_kind, s.scope, e.n_exact, s.n_sketch,
+             CAST({_kmv_est("s.n_sketch", "s.kth").replace(" div ", " // ")}
+                  AS BIGINT) AS n_est
+      FROM sk s JOIN exact e
+        ON e.scope_kind = s.scope_kind AND e.scope = s.scope
+    )
+    SELECT scope_kind, scope, n_exact, n_sketch, n_est,
+           CAST(abs(n_est - n_exact) * 1000000 // n_exact AS BIGINT)
+             AS rel_err_ppm,
+           CAST(abs(n_est - n_exact) * 1000000 // n_exact
+                <= {_KMV_TOL_PPM} AS INT) AS within_3sigma
+    FROM est
+    """,
+)
+def agg_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef '02 / the theta-sketch
+    core) with a two-level MERGE: per-nation sketches (the {_KMV_K}
+    smallest distinct 40-bit hashes) roll up to region sketches, and the
+    region sketches to the global one, by union→distinct→re-min-K — never
+    rescanning rows. The merge is EXACT by the min-K theorem (the K
+    smallest of a union of per-group K-smallest sets IS the K smallest of
+    the union), so unlike the histogram's binning error the rollup
+    introduces none; estimate = (K−1)·2^40 / h_K in pure BIGINT
+    arithmetic, with the exact count, exact-ppm relative error, and a
+    3σ (= {_KMV_TOL_PPM} ppm) tolerance flag certified in-row — the HLL
+    contract pattern with an inspectable sketch.
+
+    Scale: the distinct-hash aggregate is the exact-dedup shape; the
+    per-nation min-K is a PARTITIONED rank window (Partial+Final
+    WindowGroupLimit — each input partition forwards ≤ K rows per nation
+    before the shuffle); every rollup above it touches ≤ scopes·K rows.
+    The one intentionally single-partition window is the global min-K
+    over the ≤ 5·{_KMV_K} region-sketch rows — sketch-sized by
+    construction, the documented exemption the meta-gate grants
+    bounded frames."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", F.col("n_name").alias("nation")
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    h = _staged(
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("nation", "region", F.expr(_KMV_H_SPARK).alias("hv"))
+        .distinct()
+    )
+    w_nat = Window.partitionBy("nation").orderBy("hv")
+    nat_sk = _staged(
+        h.withColumn("rnk", F.row_number().over(w_nat)).filter(
+            F.col("rnk") <= _KMV_K
+        )
+    )
+    w_reg = Window.partitionBy("region").orderBy("hv")
+    reg_sk = _staged(
+        nat_sk.select("region", "hv")
+        .distinct()
+        .withColumn("rnk", F.row_number().over(w_reg))
+        .filter(F.col("rnk") <= _KMV_K)
+    )
+    # global min-K over ≤ 5·K rows — bounded, single partition by design
+    w_all = Window.orderBy("hv")
+    all_sk = (
+        reg_sk.select("hv")
+        .distinct()
+        .withColumn("rnk", F.row_number().over(w_all))
+        .filter(F.col("rnk") <= _KMV_K)
+    )
+    sk = (
+        nat_sk.groupBy(F.col("nation").alias("scope"))
+        .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("hv").alias("kth"))
+        .select(F.lit("nation").alias("scope_kind"), "scope", "n_sketch", "kth")
+        .unionByName(
+            reg_sk.groupBy(F.col("region").alias("scope"))
+            .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("hv").alias("kth"))
+            .select(
+                F.lit("region").alias("scope_kind"), "scope", "n_sketch", "kth"
+            )
+        )
+        .unionByName(
+            all_sk.agg(
+                F.count(F.lit(1)).alias("n_sketch"), F.max("hv").alias("kth")
+            ).select(
+                F.lit("all").alias("scope_kind"),
+                F.lit("ALL").alias("scope"),
+                "n_sketch",
+                "kth",
+            )
+        )
+    )
+    exact = (
+        h.groupBy(F.col("nation").alias("scope"))
+        .agg(F.count_distinct("hv").alias("n_exact"))
+        .select(F.lit("nation").alias("scope_kind"), "scope", "n_exact")
+        .unionByName(
+            h.groupBy(F.col("region").alias("scope"))
+            .agg(F.count_distinct("hv").alias("n_exact"))
+            .select(F.lit("region").alias("scope_kind"), "scope", "n_exact")
+        )
+        .unionByName(
+            h.agg(F.count_distinct("hv").alias("n_exact")).select(
+                F.lit("all").alias("scope_kind"),
+                F.lit("ALL").alias("scope"),
+                "n_exact",
+            )
+        )
+    )
+    est = sk.join(exact, ["scope_kind", "scope"]).withColumn(
+        "n_est", F.expr(_kmv_est("n_sketch", "kth")).cast("bigint")
+    )
+    return est.select(
+        "scope_kind",
+        "scope",
+        "n_exact",
+        "n_sketch",
+        "n_est",
+        F.expr("cast(abs(n_est - n_exact) * 1000000 div n_exact as bigint)")
+        .alias("rel_err_ppm"),
+        F.expr(
+            f"cast(abs(n_est - n_exact) * 1000000 div n_exact"
+            f" <= {_KMV_TOL_PPM} as int)"
+        ).alias("within_3sigma"),
+    )

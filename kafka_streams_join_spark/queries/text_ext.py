@@ -799,3 +799,94 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         F.row_number().over(w).alias("rnk"), "n_docs", "n_occ", "gram"
     )
+
+
+# --------------------------------------------------------------------------
+# text_vocab_overlap_langs — pairwise language vocabulary affinity (round 6)
+# --------------------------------------------------------------------------
+
+_VOCAB_TOP = 200
+
+
+@register(
+    "text_vocab_overlap_langs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, lower(unnest({_TOKS_SQL})) AS token FROM documents
+    ),
+    freq AS (
+      SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token
+    ),
+    topv AS (
+      SELECT lang, token FROM (
+        SELECT lang, token,
+               row_number() OVER (PARTITION BY lang ORDER BY c DESC, token)
+                 AS rnk
+        FROM freq) WHERE rnk <= {_VOCAB_TOP}
+    ),
+    sizes AS (SELECT lang, count(*) AS sz FROM topv GROUP BY lang),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_common
+      FROM topv a JOIN topv b ON a.token = b.token AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT i.lang_a, i.lang_b, i.n_common,
+           CAST(i.n_common * 1000000
+                // (sa.sz + sb.sz - i.n_common) AS BIGINT) AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.lang = i.lang_a
+    JOIN sizes sb ON sb.lang = i.lang_b
+    """,
+)
+def text_vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise language affinity: Jaccard overlap (exact ppm) of each
+    language pair's top-{_VOCAB_TOP} vocabularies — shared loanwords /
+    code-switching / mislabeled-language mass. High en↔es overlap on a
+    supposedly-separated corpus means the lang labels (or the lang-id
+    model, cf. ``text_lang_confusion``) are leaking — the corpus-level
+    companion to that per-document confusion matrix.
+
+    Scale: the (lang, token) frequency aggregate is Zipf-bounded; the
+    top-V per lang is a PARTITIONED rank window (plans partial+final
+    WindowGroupLimit — per-partition heaps prune before the shuffle); the
+    pair join runs over 5×{_VOCAB_TOP} rows."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(F.expr(f"transform({_TOKS}, t -> lower(t))")).alias("token"),
+    )
+    freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("token"))
+    topv = _staged(
+        freq.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _VOCAB_TOP)
+        .select("lang", "token")
+    )
+    sizes = topv.groupBy("lang").agg(F.count(F.lit(1)).alias("sz"))
+    a = topv.select(F.col("lang").alias("lang_a"), "token")
+    b = topv.select(F.col("lang").alias("lang_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("lang", "lang_a")
+                        .withColumnRenamed("sz", "sa")),
+            "lang_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("lang", "lang_b")
+                        .withColumnRenamed("sz", "sb")),
+            "lang_b",
+        )
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_common",
+            F.expr(
+                "cast(n_common * 1000000 div (sa + sb - n_common) as bigint)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -691,3 +691,117 @@ def orders_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("co").desc(), "part_a", "part_b")
         .limit(_LIFT_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# orders_association_rules — directed confidence rules (round 6 wave 3)
+# --------------------------------------------------------------------------
+
+_RULE_MIN_CO = 3  # min co-occurrence support (absolute orders)
+_RULE_TOPN = 25
+
+
+@register(
+    "orders_association_rules",
+    oracle=f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    und AS (
+      SELECT a.pkey AS part_a, b.pkey AS part_b, count(*) AS co
+      FROM basket a JOIN basket b
+        ON a.okey = b.okey AND a.pkey < b.pkey
+      GROUP BY 1, 2
+    ),
+    rules AS (
+      SELECT part_a AS antecedent, part_b AS consequent, co FROM und
+      UNION ALL
+      SELECT part_b, part_a, co FROM und
+    ),
+    freq AS (SELECT pkey, count(*) AS c FROM basket GROUP BY pkey),
+    tot AS (SELECT count(DISTINCT okey) AS n_orders FROM basket),
+    scored AS (
+      SELECT r.antecedent, r.consequent, r.co,
+             CAST(r.co * 1000000 // fa.c AS BIGINT) AS confidence_ppm,
+             CAST(r.co * 1000000 // tot.n_orders AS BIGINT) AS support_ppm,
+             CAST(r.co * tot.n_orders * 1000000 // (fa.c * fc.c) AS BIGINT)
+               AS lift_ppm
+      FROM rules r
+      JOIN freq fa ON fa.pkey = r.antecedent
+      JOIN freq fc ON fc.pkey = r.consequent
+      CROSS JOIN tot
+      WHERE r.co >= {_RULE_MIN_CO}
+    )
+    SELECT * FROM scored
+    ORDER BY confidence_ppm DESC, antecedent, consequent
+    LIMIT {_RULE_TOPN}
+    """,
+)
+def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED association rules a→b over order baskets: confidence
+    (P(b|a), exact ppm), support, and lift for every pair co-purchased in
+    ≥ {_RULE_MIN_CO} orders, top-{_RULE_TOPN} by confidence — the
+    actionable half of ``orders_copurchase_lift`` (lift is symmetric;
+    "customers who bought a also bought b" needs the direction, and
+    confidence(a→b) ≠ confidence(b→a) whenever the parts' frequencies
+    differ).
+
+    Scale shape: identical to the lift query — the pair space is bounded
+    per basket by the order-key equi-join, the direction doubling is a
+    constant 2×, frequencies join on the part key, the 1-row total
+    broadcasts, and the top-N is a TakeOrdered with full tie-breaks."""
+    basket = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+        )
+        .distinct()
+    )
+    a = basket.alias("a")
+    b = basket.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.pkey") < F.col("b.pkey")),
+        )
+        .groupBy(
+            F.col("a.pkey").alias("part_a"), F.col("b.pkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= _RULE_MIN_CO)
+    )
+    rules = und.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "co",
+    ).unionByName(
+        und.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "co",
+        )
+    )
+    freq = basket.groupBy("pkey").agg(F.count(F.lit(1)).alias("c"))
+    tot = basket.agg(F.countDistinct("okey").alias("n_orders"))
+    return (
+        rules.join(
+            freq.select(F.col("pkey").alias("antecedent"), F.col("c").alias("fa")),
+            "antecedent",
+        )
+        .join(
+            freq.select(F.col("pkey").alias("consequent"), F.col("c").alias("fc")),
+            "consequent",
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "co",
+            F.expr("co * 1000000 div fa").alias("confidence_ppm"),
+            F.expr("co * 1000000 div n_orders").alias("support_ppm"),
+            F.expr("co * n_orders * 1000000 div (fa * fc)").alias("lift_ppm"),
+        )
+        .orderBy(F.col("confidence_ppm").desc(), "antecedent", "consequent")
+        .limit(_RULE_TOPN)
+    )

@@ -1018,3 +1018,165 @@ def test_boilerplate_topn_is_take_ordered(spark):
     df = QUERIES["text_boilerplate_spans"](spark, SF_SMOKE)
     plan = explain_str(df)
     assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+# --------------------------------------------------------------------------
+# round-6 wave-2 gates
+# --------------------------------------------------------------------------
+
+
+def test_source_affinity_composes_gated_pipeline(spark):
+    """Source affinity rides the already-gated near-dup candidate
+    pipeline: the staged pair list fans into the tag join and the total
+    (InMemoryTableScan), the source tags are narrow id joins, and no
+    cartesian appears anywhere."""
+    df = QUERIES["dedup_source_affinity"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("InMemoryTableScan") >= 2, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_sq_reconstruction_error_is_row_local(spark):
+    """SQ audit: one pruned scan, row-local arithmetic, a
+    label-cardinality aggregate — the embedding column never crosses an
+    Exchange and no Python evaluator appears."""
+    df = QUERIES["emb_sq_reconstruction_error"](spark, SF_SMOKE)
+    assert_no_wide_shuffle(df, col="embedding")
+    plan = explain_str(df)
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan[:1500]
+    assert_read_schema_pruned(df, max_columns=2)
+
+
+def test_mrr_eval_composes_ranking_no_cartesian(spark):
+    """MRR: the ranking legs and two narrow label joins — equi-joins
+    only; the sole nested-loop shapes allowed are the 1-row stats
+    broadcasts inside the composed ranking plan (so this gates
+    CartesianProduct, not BroadcastNestedLoopJoin)."""
+    df = QUERIES["retrieval_mrr_eval"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_cohort_ltv_reuses_custkey_partitioning(spark):
+    """Cohort LTV: first-order aggregate and fact join share the
+    o_custkey hash partitioning — exactly ONE exchange on o_custkey
+    feeds both (no re-shuffle for the join); scan pruned to 3 columns."""
+    df = QUERIES["orders_cohort_ltv"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.lower().count("hashpartitioning(o_custkey") <= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert_read_schema_pruned(df, max_columns=3)
+
+
+def test_bot_score_single_scan_no_window(spark):
+    """Bot score: ONE map-side-combined aggregate over a 3-column scan —
+    no window function, no join, no second scan."""
+    df = QUERIES["events_bot_score"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
+    assert_read_schema_pruned(df, max_columns=3)
+
+
+def test_common_neighbors_topn_is_take_ordered(spark):
+    """Common neighbors: the corpus-wide top-N plans
+    TakeOrderedAndProject (per-partition heaps before the 1-partition
+    collect of 20 rows); wedge build and anti-join are equi-joins."""
+    df = QUERIES["graph_common_neighbors"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_kcore_rounds_stay_node_keyed(spark):
+    """k-core: every peeling round is a degree aggregate + two node-key
+    equi-joins over staged frames; no rangepartitioning, no cartesian
+    (the per-round 1-row count crossJoins broadcast)."""
+    df = QUERIES["graph_kcore_peel"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_asof_nearest_single_shuffle_per_side(spark):
+    """Nearest as-of: two one-sided as-of runs (each ONE user_id
+    exchange + sort) joined on the click key — never a clicks×views
+    pair blowup (no cartesian, no nested loop on data-sized frames)."""
+    df = QUERIES["asof_nearest_view"](spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_query_likelihood_model_frames_broadcast(spark):
+    """Query likelihood: cf/prior/collection-total are broadcast
+    model-sized frames; only hit (doc, term) rows join; the global rank
+    runs over the scored doc frame once."""
+    df = QUERIES["retrieval_query_likelihood"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 1, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_vocab_overlap_topv_is_group_limited(spark):
+    """Vocab overlap: the per-lang top-V rank is a PARTITIONED window —
+    Partial+Final WindowGroupLimit prunes per-partition heaps before the
+    lang shuffle; the pair join runs over the staged top-V frame."""
+    df = QUERIES["text_vocab_overlap_langs"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+# --------------------------------------------------------------------------
+# round-6 wave-3 gates
+# --------------------------------------------------------------------------
+
+
+def test_kmv_nation_rank_is_group_limited(spark):
+    """KMV: the per-nation min-K rank is a PARTITIONED window —
+    Partial+Final WindowGroupLimit prunes each input partition to ≤ K
+    rows per nation before the shuffle. Rollup windows above it run on
+    sketch-sized (≤ scopes·K) frames only."""
+    df = QUERIES["agg_kmv_distinct_rollup"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+
+
+def test_association_rules_topn_is_take_ordered(spark):
+    """Association rules: basket-bounded pair stage (order-key
+    equi-join), part-key frequency joins, 1-row total broadcast, and a
+    TakeOrdered top-N — the copurchase_lift gate extended to the
+    directed-rule union."""
+    df = QUERIES["orders_association_rules"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_bigram_lm_fans_out_from_staged_frames(spark):
+    """Bigram LM: the token scan and the exploded bigram frame are each
+    STAGED and fanned into their consumers (counts + scoring) —
+    InMemoryTableScan appears for both; no Python evaluator, no
+    cartesian beyond the broadcast 1-row vocab frame."""
+    df = QUERIES["text_bigram_lm_score"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("InMemoryTableScan") >= 3, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan[:1500]
+
+
+def test_schema_profile_is_one_scan(spark):
+    """Schema profile: ONE FileScan feeds every column's stats (the
+    multi-distinct plans as Expand — a bounded row multiplication, not
+    extra scans); the per-column rows unpivot from the 1-row frame."""
+    df = QUERIES["dq_schema_profile"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    assert "Expand" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]

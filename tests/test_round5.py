@@ -448,7 +448,8 @@ def test_dedup_tier_report_orders_and_recomputes(spark):
     but shingles are case-sensitive, so a case-only twin is a
     normalization dup yet may share no shingle.)"""
     rows = {r.tier: r for r in QUERIES["dedup_tier_report"](spark, SF_SMOKE).collect()}
-    assert set(rows) == {"exact", "normalized", "neardup_cluster"}
+    # round 6 added the semantic tier (embedding-corpus removal rate)
+    assert set(rows) == {"exact", "normalized", "neardup_cluster", "semantic"}
     for r in rows.values():
         assert r.survivors + r.removed == r.n_docs
         assert r.removed_ppm == r.removed * 1_000_000 // r.n_docs

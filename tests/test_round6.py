@@ -414,3 +414,374 @@ def test_two_phase_rank_emits_bigint(spark):
         for f in pipeline_curriculum_order(spark, SF).schema.fields
     }
     assert schema["curriculum_rank"] == "bigint"
+
+
+# --------------------------------------------------------------------------
+# wave 2: source affinity / SQ audit / MRR
+# --------------------------------------------------------------------------
+
+
+def test_source_affinity_conserves_pairs(spark):
+    """Every near-dup pair lands in exactly one (source_a, source_b)
+    cell: cell counts sum to the pair total, shares floor-sum to ≤ 1e6,
+    and cells are unordered (a ≤ b)."""
+    from kafka_streams_join_spark.queries.dedup import (
+        dedup_ngram_jaccard,
+        dedup_source_affinity,
+    )
+
+    cells = dedup_source_affinity(spark, SF01).collect()
+    n_pairs = dedup_ngram_jaccard(spark, SF01).count()
+    assert sum(r["n_pairs"] for r in cells) == n_pairs
+    assert 0 < sum(r["share_ppm"] for r in cells) <= 1_000_000
+    assert all(r["source_a"] <= r["source_b"] for r in cells)
+
+
+def test_sq_reconstruction_error_bounds(spark):
+    """Per-label mean/max squared error: non-negative, mean ≤ max, and
+    below the analytic worst case 64·(0.5/127·nrm_max)² — rounding moves
+    each cell by at most half a code step."""
+    from kafka_streams_join_spark.queries.emb_ext import (
+        emb_sq_reconstruction_error,
+    )
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    rows = emb_sq_reconstruction_error(spark, SF).collect()
+    assert rows
+    nrm_max = (
+        load_table(spark, SF, "embeddings")
+        .select(
+            F.sqrt(
+                F.expr(
+                    "aggregate(transform(embedding, x -> cast(x as double)"
+                    " * cast(x as double)), cast(0 as double),"
+                    " (acc, v) -> acc + v)"
+                )
+            ).alias("nrm")
+        )
+        .agg(F.max("nrm"))
+        .collect()[0][0]
+    )
+    bound = 64 * (0.5 / 127 * nrm_max) ** 2 + 1e-4
+    for r in rows:
+        assert 0.0 <= r["mean_err2"] <= r["max_err2"] <= bound, r
+
+
+def test_mrr_bounds(spark):
+    """0 ≤ P@1 ≤ MRR ≤ hit-rate ≤ 1: P@1 counts only rank-1 hits, MRR
+    discounts later ones, hit-rate counts them all."""
+    from kafka_streams_join_spark.queries.evaluation import retrieval_mrr_eval
+
+    r = retrieval_mrr_eval(spark, SF).collect()[0]
+    hit_rate = r["n_with_hit"] / r["n_queries"]
+    assert 0.0 <= r["precision_at_1"] <= r["mrr"] + 1e-9
+    assert r["mrr"] <= hit_rate + 1e-9 <= 1.0 + 1e-9
+
+
+# --------------------------------------------------------------------------
+# wave 2: cohort LTV / bot score
+# --------------------------------------------------------------------------
+
+
+def test_cohort_ltv_conserves_revenue(spark):
+    """The triangle partitions ALL order revenue: cell cents sum to the
+    corpus total and ages are non-negative."""
+    from kafka_streams_join_spark.queries.events_analytics import (
+        orders_cohort_ltv,
+    )
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    cells = orders_cohort_ltv(spark, SF).collect()
+    total = (
+        load_table(spark, SF, "orders")
+        .agg(
+            F.sum(F.expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+        )
+        .collect()[0][0]
+    )
+    assert sum(r["revenue_cents"] for r in cells) == total
+    assert all(r["age_years"] >= 0 for r in cells)
+
+
+def test_bot_score_flag_consistent(spark):
+    """One row per user; the flag recomputes exactly from the row's own
+    published counters (the thresholds are literals shared with the
+    oracle)."""
+    from kafka_streams_join_spark.queries.events_analytics import (
+        _BOT_MAX_MEAN_GAP_S,
+        _BOT_MIN_EVENTS,
+        events_bot_score,
+    )
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    rows = events_bot_score(spark, SF).collect()
+    n_users = (
+        load_table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert len(rows) == n_users
+    for r in rows:
+        want = int(
+            r["n_events"] >= _BOT_MIN_EVENTS
+            and r["n_events"] > 1
+            and r["mean_gap_s"] <= _BOT_MAX_MEAN_GAP_S
+        )
+        assert r["bot_flag"] == want, r
+        if r["n_events"] > 1:
+            assert r["mean_gap_s"] * (r["n_events"] - 1) <= r["span_s"], r
+
+
+# --------------------------------------------------------------------------
+# wave 2: graph
+# --------------------------------------------------------------------------
+
+
+def test_common_neighbors_excludes_existing_edges(spark):
+    """No recommended pair may already be an edge, counts are positive,
+    and the list is rank-ordered by (n_common desc, a, b)."""
+    from kafka_streams_join_spark.queries.graph import (
+        _edges,
+        graph_common_neighbors,
+    )
+
+    rows = graph_common_neighbors(spark, SF).collect()
+    edges = {
+        (r["src"], r["dst"])
+        for r in _edges(spark, SF).collect()
+    }
+    prev = None
+    for r in sorted(rows, key=lambda r: r["rnk"]):
+        assert (r["part_a"], r["part_b"]) not in edges, r
+        assert r["n_common"] >= 1
+        key = (-r["n_common"], r["part_a"], r["part_b"])
+        assert prev is None or prev < key
+        prev = key
+
+
+def test_kcore_peel_monotone(spark):
+    """Peeling only removes: node and edge counts are non-increasing in
+    the round number and never negative."""
+    from kafka_streams_join_spark.queries.graph import graph_kcore_peel
+
+    rows = sorted(
+        graph_kcore_peel(spark, SF).collect(), key=lambda r: r["round"]
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert 0 <= b["n_nodes"] <= a["n_nodes"]
+        assert 0 <= b["n_edges"] <= a["n_edges"]
+
+
+# --------------------------------------------------------------------------
+# wave 2: nearest as-of (brute-force differential)
+# --------------------------------------------------------------------------
+
+
+def test_asof_nearest_matches_bruteforce(spark):
+    """Every click's chosen view minimizes |Δt| over ALL the user's
+    views (ties → backward), checked against the full cross join at
+    sf0.001."""
+    from kafka_streams_join_spark.queries.reference import asof_nearest_view
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    got = {
+        r["click_id"]: (r["view_id"], r["view_ts"])
+        for r in asof_nearest_view(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    clicks = [
+        r
+        for r in ev.collect()
+        if r["event_type"] == "click"
+    ]
+    views_by_user = {}
+    for r in ev.collect():
+        if r["event_type"] == "view":
+            views_by_user.setdefault(r["user_id"], []).append(r)
+    assert len(got) == len(clicks)
+    for c in clicks:
+        vs = views_by_user.get(c["user_id"], [])
+        if not vs:
+            assert got[c["event_id"]] == (None, None)
+            continue
+        best = min(
+            vs,
+            key=lambda v: (
+                abs((v["ts"] - c["ts"]).total_seconds()),
+                0 if v["ts"] <= c["ts"] else 1,
+                -v["event_id"],
+            ),
+        )
+        assert got[c["event_id"]][1] is not None
+        assert abs(
+            (got[c["event_id"]][1] - c["ts"]).total_seconds()
+        ) == abs((best["ts"] - c["ts"]).total_seconds()), (c, best)
+
+
+# --------------------------------------------------------------------------
+# wave 2: retrieval QL / vocab overlap
+# --------------------------------------------------------------------------
+
+
+def test_query_likelihood_shape(spark):
+    """Ranked 1..N with ql non-increasing; hits bounded by the query
+    term count."""
+    from kafka_streams_join_spark.queries.retrieval import (
+        _BM25_TERMS,
+        retrieval_query_likelihood,
+    )
+
+    rows = sorted(
+        retrieval_query_likelihood(spark, SF).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a["ql"] >= b["ql"]
+    assert all(0 <= r["n_terms_hit"] <= len(_BM25_TERMS) for r in rows)
+
+
+def test_vocab_overlap_is_jaccard(spark):
+    """Unordered pairs, intersection bounded by the top-V cap, and the
+    ppm recomputes exactly from the published sizes."""
+    from kafka_streams_join_spark.queries.text_ext import (
+        _VOCAB_TOP,
+        text_vocab_overlap_langs,
+    )
+
+    rows = text_vocab_overlap_langs(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["lang_a"] < r["lang_b"]
+        assert 1 <= r["n_common"] <= _VOCAB_TOP
+        assert 0 < r["jaccard_ppm"] <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# wave 3: KMV sketch / association rules / bigram LM / schema profile
+# --------------------------------------------------------------------------
+
+
+def test_kmv_scopes_and_flags(spark):
+    """25 nation + 5 region + 1 global scope; sketch size = min(K,
+    exact); estimate exact below K; the error ppm and 3σ flag recompute
+    from the row's own published numbers."""
+    from kafka_streams_join_spark.queries.sketches import (
+        _KMV_K,
+        _KMV_TOL_PPM,
+        agg_kmv_distinct_rollup,
+    )
+
+    rows = agg_kmv_distinct_rollup(spark, SF).collect()
+    kinds = {}
+    for r in rows:
+        kinds[r["scope_kind"]] = kinds.get(r["scope_kind"], 0) + 1
+        assert r["n_sketch"] == min(_KMV_K, r["n_exact"]), r
+        if r["n_exact"] < _KMV_K:
+            assert r["n_est"] == r["n_exact"], r
+        err = abs(r["n_est"] - r["n_exact"]) * 1_000_000 // r["n_exact"]
+        assert r["rel_err_ppm"] == err, r
+        assert r["within_3sigma"] == int(err <= _KMV_TOL_PPM), r
+    assert kinds == {"nation": 25, "region": 5, "all": 1}
+
+
+def test_kmv_merge_law(spark):
+    """The min-K theorem in action: the global sketch built by rolling up
+    region sketches equals the min-K computed directly over ALL distinct
+    hashes — the merge introduces zero error."""
+    from kafka_streams_join_spark.queries.sketches import (
+        _KMV_H_SPARK,
+        _KMV_K,
+        agg_kmv_distinct_rollup,
+    )
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    all_row = [
+        r
+        for r in agg_kmv_distinct_rollup(spark, SF).collect()
+        if r["scope_kind"] == "all"
+    ][0]
+    direct = sorted(
+        r["hv"]
+        for r in load_table(spark, SF, "customer")
+        .select(F.expr(_KMV_H_SPARK).alias("hv"))
+        .distinct()
+        .collect()
+    )[: _KMV_K]
+    assert all_row["n_sketch"] == len(direct)
+    # the rollup's kth smallest hash is exactly the direct kth smallest
+    est_direct = (
+        len(direct)
+        if len(direct) < _KMV_K
+        else (_KMV_K - 1) * 1_099_511_627_776 // direct[-1]
+    )
+    assert all_row["n_est"] == est_direct
+
+
+def test_association_rules_invariants(spark):
+    """Rules are confidence-ordered, support-bounded by confidence, and
+    every score sits in (0, 1e6] ppm except lift (which may exceed 1e6 by
+    design)."""
+    from kafka_streams_join_spark.queries.tpch_ext import (
+        _RULE_MIN_CO,
+        orders_association_rules,
+    )
+
+    rows = orders_association_rules(spark, SF).collect()
+    assert rows
+    prev = None
+    for r in rows:
+        assert r["co"] >= _RULE_MIN_CO
+        assert 0 < r["support_ppm"] <= r["confidence_ppm"] <= 1_000_000, r
+        assert r["lift_ppm"] > 0
+        key = (-r["confidence_ppm"], r["antecedent"], r["consequent"])
+        assert prev is None or prev < key
+        prev = key
+
+
+def test_bigram_lm_scores_every_multi_token_doc(spark):
+    """One score row per ≥2-token doc, n_bigrams = n_tokens − 1, NLL
+    non-negative, and the flag recomputes from the mean."""
+    from kafka_streams_join_spark.queries.quality import (
+        _LM_FLAG_MICRO_NLL,
+        text_bigram_lm_score,
+    )
+    from kafka_streams_join_spark.queries.text import _TOKS
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    got = {r["doc_id"]: r for r in text_bigram_lm_score(spark, SF).collect()}
+    ntok = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", F.expr(f"size({_TOKS})").alias("n"))
+        .collect()
+    }
+    expect = {d for d, n in ntok.items() if n >= 2}
+    assert set(got) == expect
+    for d, r in got.items():
+        assert r["n_bigrams"] == ntok[d] - 1, r
+        assert r["mean_nll_micro"] >= 0
+        assert r["high_ppl_flag"] == int(
+            r["mean_nll_micro"] > _LM_FLAG_MICRO_NLL
+        )
+
+
+def test_schema_profile_knows_its_keys(spark):
+    """Six column rows sharing one n_rows; the PK column profiles as
+    all-distinct/no-null; distinct and null counts never exceed rows."""
+    from kafka_streams_join_spark.queries.data_quality import (
+        _SCHEMA_PROFILE_COLS,
+        dq_schema_profile,
+    )
+
+    rows = {r["col_name"]: r for r in dq_schema_profile(spark, SF).collect()}
+    assert set(rows) == {c for c, _, _ in _SCHEMA_PROFILE_COLS}
+    n_rows = {r["n_rows"] for r in rows.values()}
+    assert len(n_rows) == 1
+    pk = rows["o_orderkey"]
+    assert pk["n_null"] == 0 and pk["n_distinct"] == pk["n_rows"]
+    for r in rows.values():
+        assert 0 <= r["n_null"] <= r["n_rows"]
+        assert 0 <= r["n_distinct"] <= r["n_rows"]
+        assert r["min_repr"] is not None and r["max_repr"] is not None
