@@ -35,6 +35,7 @@ def two_phase_rank(
     id_col: str,
     rank_col: str = "rank",
     ascending: bool = True,
+    allow_null_levels: bool = False,
 ) -> DataFrame:
     """Append ``rank_col`` = global ``row_number() OVER (ORDER BY
     level_col [desc], id_col)`` without a single-partition sort of ``df``.
@@ -53,8 +54,26 @@ def two_phase_rank(
     NULL levels: Spark orders NULL FIRST ascending / LAST descending, but
     DuckDB defaults to NULLS LAST for BOTH directions — a caller with a
     DuckDB oracle and nullable ``level_col`` would silently diverge on the
-    NULL-level rows. Oracle-paired callers must guarantee non-null levels
-    (every current caller ranks on a count or a coalesced rounded score)."""
+    NULL-level rows. ENFORCED (ADVICE round 6): by default a NULL level
+    value fails the job loudly at run time (``coalesce`` short-circuits
+    past the ``raise_error`` arm on every non-null row, so the guard is a
+    codegen null check, not a second pass); Spark-only callers that want
+    the documented null-safe placement opt in with
+    ``allow_null_levels=True``."""
+    if not allow_null_levels:
+        df = df.withColumn(
+            level_col,
+            F.coalesce(
+                F.col(level_col),
+                F.raise_error(
+                    F.lit(
+                        f"two_phase_rank: NULL {level_col} violates the "
+                        "oracle NULL-ordering contract (pass "
+                        "allow_null_levels=True for Spark-only ranking)"
+                    )
+                ).cast(df.schema[level_col].dataType),
+            ),
+        )
     lvl_order: Column = F.col(level_col).asc() if ascending else F.col(level_col).desc()
     off_w = Window.orderBy(lvl_order).rowsBetween(Window.unboundedPreceding, -1)
     levels = (

@@ -106,27 +106,12 @@ def _driver_green() -> set[str]:
 # certified tail with no manual cleanup (entries become dead weight, never
 # wrong, and can be pruned at leisure).
 _RECERTIFY_FROM_ROUND = {
-    "text_repetition_stats": 4,  # staged gram frame -> zero-shuffle row-local
-    "cluster_kmeans_embeddings": 4,  # argmin window -> map-side min(struct)
-    "dedup_minhash_lsh": 4,  # banding refactored through _band_sig_exprs
-    # round-5 reworks (the r4 weaks + the leg cap + query_admission refactor)
-    "pipeline_importance_resample": 5,  # global rank -> two-phase rank
-    "text_vocab_growth": 5,  # cumulative window -> two-phase prefix sums
-    "retrieval_hybrid_rrf": 5,  # leg top-N cap (TakeOrdered legs)
-    "sim_topk_bruteforce": 5,  # query_admission threading (default-neutral,
-    "sim_lsh_ann_topk": 5,  # but a refactor on the query side re-queues
-    "sim_ivf_topk": 5,  # the family for a fresh driver hash row)
-    "sim_pq_topk": 5,
-    "sim_ivfpq_topk": 5,
-    "sim_ivfpq_residual_topk": 5,
-    "sim_sq_topk": 5,
-    # round-6 reworks
-    "pipeline_split_leakage_audit": 6,  # staged() the 3-consumer pair frame
-    "dedup_band_recall_audit": 6,  # staged() both twice-consumed legs
-    "pipeline_importance_resample": 6,  # two_phase_rank int -> bigint
-    "pipeline_curriculum_order": 6,  # two_phase_rank int -> bigint
-    "events_power_user_share": 6,  # two_phase_rank int -> bigint (internal)
-    "dedup_tier_report": 6,  # + semantic tier; n_docs = per-tier population
+    # (rounds 4-6 entries pruned after their round-6 re-certification —
+    # every listed query had a fresh hash-green row in CORRECTNESS_r06;
+    # see git history for the retired list)
+    # round-7 reworks
+    "graph_common_neighbors": 7,  # staged wpairs/adj + top-_CN_CAP recall contract
+    "graph_kcore_peel": 7,  # staging trimmed to the per-round edge frame
 }
 
 

@@ -58,11 +58,16 @@ _ROW_SCHEMA = "value string, ts_ms bigint"
 
 
 def tws_available() -> bool:
-    """True iff the transformWithState protobuf runtime can load here."""
+    """True iff the transformWithState runtime can actually run here:
+    the protobuf wire dependency loads AND the installed pyspark exposes
+    ``GroupedData.transformWithStateInPandas`` (a Spark 4.x API — on a
+    protobuf-equipped 3.x box the e2e would otherwise fail with
+    AttributeError instead of skipping; ADVICE round 6)."""
     try:  # pragma: no cover - environment probe
         import google.protobuf  # noqa: F401
+        from pyspark.sql.group import GroupedData
 
-        return True
+        return hasattr(GroupedData, "transformWithStateInPandas")
     except ImportError:
         return False
 

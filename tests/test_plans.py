@@ -1091,9 +1091,10 @@ def test_common_neighbors_topn_is_take_ordered(spark):
 
 
 def test_kcore_rounds_stay_node_keyed(spark):
-    """k-core: every peeling round is a degree aggregate + two node-key
-    equi-joins over staged frames; no rangepartitioning, no cartesian
-    (the per-round 1-row count crossJoins broadcast)."""
+    """k-core (round-7 rework): every peeling round is two hash-partitioned
+    window counts over the staged edge frame — no node-set joins at all;
+    no rangepartitioning, no cartesian (the per-round 1-row count
+    crossJoins broadcast)."""
     df = QUERIES["graph_kcore_peel"](spark, SF_SMOKE)
     plan = explain_str(df, "simple")
     assert "rangepartitioning" not in plan.lower(), plan[:2000]

@@ -43,6 +43,22 @@ def test_sweep_window_covers_unproven_surface():
         assert all(n not in green for n in window)
 
 
+def test_unproven_queue_fits_one_sweep():
+    """Queue-hygiene invariant (VERDICT r6 task 5): the unproven queue —
+    new registrations plus _RECERTIFY_FROM_ROUND re-queues — must fit in
+    ONE driver sweep, or this round's sweep cannot close the
+    certification queue and uncertified queries silently carry over.
+    Checked as a hard bound so over-registering in a round fails pytest
+    instead of surfacing in the next VERDICT."""
+    names = list(QUERIES)
+    green = _driver_green()
+    unproven = [n for n in names if n not in green]
+    assert len(unproven) <= SWEEP_WINDOW, (
+        f"{len(unproven)} unproven queries exceed the {SWEEP_WINDOW}-slot "
+        f"sweep: {unproven}"
+    )
+
+
 def test_driver_green_reflects_recorded_results():
     """Sanity-pin against the checked-in sweep files: known-green queries
     are green; the r01 hash failures were re-certified green in r02."""

@@ -425,6 +425,9 @@ def test_two_phase_rank_randomized_vs_direct_window(spark):
                 for r in two_phase_rank(
                     df, level_col="lvl", id_col="id",
                     rank_col="rank", ascending=ascending,
+                    # this property deliberately exercises the Spark-only
+                    # NULL-level placement (round-7 guard opt-out)
+                    allow_null_levels=True,
                 ).collect()
             }
             # Spark null ordering: NULLS FIRST ascending, NULLS LAST desc
@@ -438,6 +441,25 @@ def test_two_phase_rank_randomized_vs_direct_window(spark):
                 row[0]: k + 1 for k, row in enumerate(sorted(rows, key=key))
             }
             assert got == expect, (trial, ascending, rows, got, expect)
+
+
+def test_two_phase_rank_null_level_fails_loudly_by_default(spark):
+    """Round-7 guard (ADVICE r6): a NULL level under the default contract
+    raises at run time instead of silently diverging from a DuckDB
+    oracle's NULLS LAST ordering; non-null frames are untouched."""
+    import pytest
+
+    from kafka_streams_join_spark.operators.ranking import two_phase_rank
+
+    df = spark.createDataFrame([(1, 2.0), (2, None)], "id long, lvl double")
+    with pytest.raises(Exception, match="NULL-ordering contract"):
+        two_phase_rank(df, level_col="lvl", id_col="id").collect()
+    ok = spark.createDataFrame([(1, 2.0), (2, 1.0)], "id long, lvl double")
+    ranks = {
+        r.id: r.rank
+        for r in two_phase_rank(ok, level_col="lvl", id_col="id").collect()
+    }
+    assert ranks == {2: 1, 1: 2}
 
 
 def test_dedup_tier_report_orders_and_recomputes(spark):
