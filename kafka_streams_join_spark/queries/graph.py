@@ -547,3 +547,380 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+# --------------------------------------------------------------------------
+# graph_label_propagation — bounded-round community detection (round 7)
+# --------------------------------------------------------------------------
+
+_LP_ROUNDS = 3
+_LP_TOPN = 20
+# label/count packing space for the deterministic argmax: labels are part
+# keys (< 2^40 at any TPC-H scale), counts are bounded by max degree, so
+# enc = cnt * 2^40 + (2^40 - 1 - label) fits BIGINT and max(enc) IS
+# "highest count, smallest label" — the same single-BIGINT argmax contract
+# the k-means assignment uses (min-struct there, max-pack here, both exact)
+_LP_SPACE = 1 << 40
+_LP_LBL_MAX = _LP_SPACE - 1
+
+
+def _lp_oracle() -> str:
+    rounds = "\n".join(
+        f""",
+    cnt{r} AS (
+      SELECT e.dst AS node, l.lbl, count(*) AS c
+      FROM edges e JOIN labels{r - 1} l ON l.node = e.src
+      GROUP BY 1, 2
+    ),
+    labels{r} AS (
+      SELECT node,
+             CAST({_LP_LBL_MAX} - (max(c * {_LP_SPACE}
+                  + ({_LP_LBL_MAX} - lbl)) % {_LP_SPACE}) AS BIGINT) AS lbl
+      FROM cnt{r} GROUP BY node
+    )"""
+        for r in range(1, _LP_ROUNDS + 1)
+    )
+    return f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT DISTINCT a.pkey AS src, b.pkey AS dst
+      FROM basket a JOIN basket b ON a.okey = b.okey AND a.pkey < b.pkey
+    ),
+    edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+    labels0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges){rounds},
+    sizes AS (
+      SELECT lbl AS community, count(*) AS n_members
+      FROM labels{_LP_ROUNDS} GROUP BY lbl
+    ),
+    top AS (
+      SELECT * FROM sizes ORDER BY n_members DESC, community LIMIT {_LP_TOPN}
+    )
+    SELECT row_number() OVER (ORDER BY n_members DESC, community) AS rnk,
+           community, n_members
+    FROM top
+    """
+
+
+@register("graph_label_propagation", oracle=_lp_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan '07) over the
+    co-purchase graph, {_LP_ROUNDS} unrolled synchronous rounds: every
+    node adopts the most common label among its neighbors, ties broken
+    toward the SMALLEST label — the community twin of
+    ``graph_pagerank_parts``, reporting the top-{_LP_TOPN} communities by
+    size. Determinism contract: the per-node argmax is a single-BIGINT
+    max over ``cnt·2^40 + (2^40−1−label)`` (see ``_LP_SPACE``), so both
+    engines pick bit-identical labels every round — float-free, order-free.
+
+    Scale: each round is one edges ⋈ labels equi-join (narrow int rows)
+    plus two map-side-combinable aggregates; labels frames are node-count
+    sized. Fixed unrolled depth = bounded plan chain (the PageRank
+    contract); the edge frame is staged for its {_LP_ROUNDS}+1 consumers."""
+    edges = _staged(_edges(spark, sf_dir))
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LP_ROUNDS):
+        labels = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.col("c") * F.lit(_LP_SPACE)
+                    + (F.lit(_LP_LBL_MAX) - F.col("lbl"))
+                ).alias("enc")
+            )
+            .select(
+                "node",
+                (F.lit(_LP_LBL_MAX) - F.col("enc") % F.lit(_LP_SPACE))
+                .cast("bigint")
+                .alias("lbl"),
+            )
+        )
+    sizes = labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    top = sizes.orderBy(
+        F.col("n_members").desc(), F.col("community")
+    ).limit(_LP_TOPN)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_members").desc(), F.col("community"))
+    return top.select(
+        F.row_number().over(w).alias("rnk"), "community", "n_members"
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_jaccard_neighbors — neighbor-set similarity (round 7)
+# --------------------------------------------------------------------------
+
+_JACC_TOPN = 20
+_JACC_MIN_COMMON = 2
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    wpairs AS (
+      SELECT a.pkey AS u, b.pkey AS v, count(*) AS w
+      FROM basket a JOIN basket b ON a.okey = b.okey AND a.pkey < b.pkey
+      GROUP BY 1, 2
+    ),
+    sym AS (SELECT u, v, w FROM wpairs UNION ALL SELECT v, u, w FROM wpairs),
+    adj0 AS (
+      SELECT u, v FROM (
+        SELECT u, v,
+               row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+        FROM sym
+      ) WHERE rn <= {_CN_CAP}
+    ),
+    adj AS (
+      SELECT a.u, a.v FROM adj0 a JOIN adj0 b ON a.u = b.v AND a.v = b.u
+    ),
+    capdeg AS (SELECT u AS node, count(*) AS d FROM adj GROUP BY u),
+    wedge AS (
+      SELECT e1.v AS a, e2.v AS b, count(*) AS n_common
+      FROM adj e1 JOIN adj e2 ON e1.u = e2.u AND e1.v < e2.v
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT w.a, w.b, w.n_common,
+             CAST(w.n_common * 1000000
+                  // (da.d + db.d - w.n_common) AS BIGINT) AS jaccard_ppm
+      FROM wedge w
+      JOIN capdeg da ON da.node = w.a
+      JOIN capdeg db ON db.node = w.b
+      WHERE w.n_common >= {_JACC_MIN_COMMON}
+    ),
+    top AS (
+      SELECT * FROM scored
+      ORDER BY jaccard_ppm DESC, a, b LIMIT {_JACC_TOPN}
+    )
+    SELECT row_number() OVER (ORDER BY jaccard_ppm DESC, a, b) AS rnk,
+           a AS part_a, b AS part_b, n_common, jaccard_ppm
+    FROM top
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity: the top-{_JACC_TOPN} part pairs by
+    |N(a)∩N(b)| / |N(a)∪N(b)| over the MUTUAL top-{_CN_CAP} adjacency
+    (edge kept iff each endpoint is in the other's top list by weight) —
+    the normalized cousin of ``graph_common_neighbors`` (raw overlap
+    favors hubs; Jaccard surfaces niche substitutes). Symmetrizing is a
+    correctness requirement, not a tuning choice: under a one-directed
+    cap, "common neighbors of (a, b)" counts center nodes that may be in
+    NEITHER a's nor b's own list, so overlap can exceed the union and
+    Jaccard > 1 (caught by the round-7 bound test). Integer contract:
+    jaccard in ppm by BIGINT floor division, |union| = da + db − common
+    on the mutual lists — a true Jaccard in (0, 1e6].
+
+    Scale: inherits the common-neighbors shape — staged weighted pairs,
+    WindowGroupLimit cap, a mutual-filter self equi-join on the capped
+    frame, Σ C(cap,2) wedge bound, equi-joins against the node-count-
+    sized capped-degree frame, TakeOrdered top-N."""
+    from pyspark.sql import Window
+
+    basket = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey"))
+        .distinct()
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    wpairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.pkey") < F.col("b.pkey")),
+        )
+        .groupBy(F.col("a.pkey").alias("u"), F.col("b.pkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    sym = wpairs.unionByName(
+        wpairs.select(F.col("v").alias("u"), F.col("u").alias("v"), F.col("w"))
+    )
+    cap_w = Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v"))
+    adj0 = _staged(
+        sym.withColumn("rn", F.row_number().over(cap_w))
+        .filter(F.col("rn") <= _CN_CAP)
+        .select("u", "v")
+    )
+    # mutual filter: keep (u, v) only if (v, u) also survived the cap —
+    # see the docstring for why a one-directed cap breaks the Jaccard bound
+    adj = _staged(
+        adj0.join(
+            adj0.select(F.col("v").alias("u"), F.col("u").alias("v")),
+            ["u", "v"],
+            "left_semi",
+        )
+    )
+    capdeg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    e1 = adj.select(F.col("u").alias("m"), F.col("v").alias("a"))
+    e2 = adj.select(F.col("u").alias("m"), F.col("v").alias("b"))
+    wedge = (
+        e1.join(e2, "m")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= _JACC_MIN_COMMON)
+    )
+    scored = (
+        wedge.join(
+            capdeg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a"
+        )
+        .join(capdeg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            F.expr("cast(n_common * 1000000 div (da + db - n_common) as bigint)")
+            .alias("jaccard_ppm"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("jaccard_ppm").desc(), F.col("a"), F.col("b")
+    ).limit(_JACC_TOPN)
+    w = Window.orderBy(F.col("jaccard_ppm").desc(), F.col("a"), F.col("b"))
+    return top.select(
+        F.row_number().over(w).alias("rnk"),
+        F.col("a").alias("part_a"),
+        F.col("b").alias("part_b"),
+        "n_common",
+        "jaccard_ppm",
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_local_clustering — per-node clustering coefficient (round 7)
+# --------------------------------------------------------------------------
+
+_LCC_TOPN = 20
+_LCC_MIN_DEG = 5
+
+
+@register(
+    "graph_local_clustering",
+    oracle=f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    und AS (
+      SELECT DISTINCT a.pkey AS u, b.pkey AS v
+      FROM basket a JOIN basket b ON a.okey = b.okey AND a.pkey < b.pkey
+    ),
+    sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY u),
+    o AS (
+      SELECT s.u, s.v, du.d AS du, dv.d AS dv
+      FROM sym s
+      JOIN deg du ON du.node = s.u
+      JOIN deg dv ON dv.node = s.v
+      WHERE du.d < dv.d OR (du.d = dv.d AND s.u < s.v)
+    ),
+    wedge AS (
+      SELECT e1.u AS ctr, e1.v AS a, e2.v AS b
+      FROM o e1 JOIN o e2 ON e1.u = e2.u
+      WHERE e1.dv < e2.dv
+         OR (e1.dv = e2.dv AND e1.v < e2.v)
+    ),
+    tri AS (
+      SELECT w.ctr, w.a, w.b
+      FROM wedge w JOIN o e ON e.u = w.a AND e.v = w.b
+    ),
+    pertri AS (
+      SELECT ctr AS node FROM tri
+      UNION ALL SELECT a FROM tri
+      UNION ALL SELECT b FROM tri
+    ),
+    tcnt AS (SELECT node, count(*) AS n_tri FROM pertri GROUP BY node),
+    scored AS (
+      SELECT d.node, d.d AS degree, coalesce(t.n_tri, 0) AS n_tri,
+             CAST(coalesce(t.n_tri, 0) * 2000000
+                  // (d.d * (d.d - 1)) AS BIGINT) AS cc_ppm
+      FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+      WHERE d.d >= {_LCC_MIN_DEG}
+    ),
+    top AS (
+      SELECT * FROM scored ORDER BY cc_ppm DESC, node LIMIT {_LCC_TOPN}
+    )
+    SELECT row_number() OVER (ORDER BY cc_ppm DESC, node) AS rnk,
+           node AS part_id, degree, n_tri, cc_ppm
+    FROM top
+    """,
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (Watts-Strogatz): the
+    top-{_LCC_TOPN} parts (degree ≥ {_LCC_MIN_DEG}) by
+    2·triangles(v) / (d(v)·(d(v)−1)) in exact integer ppm — the
+    tight-community membership signal the global transitivity of
+    ``graph_triangle_count`` averages away.
+
+    Scale: exact triangles via the same degree-ordered orientation as
+    ``graph_triangle_count`` (``graph.py:260``) — wedges enumerate only at
+    the lower-degree endpoint, Σ outdeg² with outdeg ≤ O(√m) — then each
+    closed triangle (ctr, a, b) is charged to its THREE corners with one
+    explode + hash aggregate; per-node division is row-local. Oriented
+    edge and degree frames are staged for their multiple consumers."""
+    from pyspark.sql import Window
+
+    edges = _staged(_edges(spark, sf_dir))
+    deg = _staged(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+    )
+    o = _staged(
+        edges.join(
+            deg.select(F.col("node").alias("src"), F.col("d").alias("du")), "src"
+        )
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dv")), "dst")
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"), "dv")
+    )
+    e1 = o.select(F.col("u").alias("ctr"), F.col("v").alias("a"), F.col("dv").alias("da_"))
+    e2 = o.select(F.col("u").alias("ctr"), F.col("v").alias("b"), F.col("dv").alias("db_"))
+    wedge = e1.join(e2, "ctr").filter(
+        (F.col("da_") < F.col("db_"))
+        | ((F.col("da_") == F.col("db_")) & (F.col("a") < F.col("b")))
+    )
+    tri = wedge.join(
+        o.select(F.col("u").alias("a"), F.col("v").alias("b")), ["a", "b"]
+    ).select("ctr", "a", "b")
+    pertri = tri.select(
+        F.explode(F.array("ctr", "a", "b")).alias("node")
+    )
+    tcnt = pertri.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    scored = (
+        deg.filter(F.col("d") >= _LCC_MIN_DEG)
+        .join(tcnt, "node", "left")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+            F.expr(
+                "cast(coalesce(n_tri, 0) * 2000000"
+                " div (d * (d - 1)) as bigint)"
+            ).alias("cc_ppm"),
+        )
+    )
+    top = scored.orderBy(F.col("cc_ppm").desc(), F.col("node")).limit(_LCC_TOPN)
+    w = Window.orderBy(F.col("cc_ppm").desc(), F.col("node"))
+    return top.select(
+        F.row_number().over(w).alias("rnk"),
+        F.col("node").alias("part_id"),
+        "degree",
+        "n_tri",
+        "cc_ppm",
+    )

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -277,4 +278,248 @@ def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(abs(total_bytes - grand div {_SHARDS}) * 1000000"
             f" div greatest(1, grand div {_SHARDS}) as bigint)"
         ).alias("abs_dev_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# mm_phash_neardup — perceptual-hash near-dup for binary assets (round 7)
+# --------------------------------------------------------------------------
+
+_PH_BITS = 32  # average-hash width (chunks of the byte stream)
+_PH_BANDS = 4  # LSH bands over the hash: 4 bands x 8 bits
+_PH_BAND_BITS = _PH_BITS // _PH_BANDS
+_PH_MAX_HAMMING = 5
+
+_PH_SCHEMA = "doc_id long, ahash long"
+
+
+def _ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Average-hash over the raw bytes (the STUB stands in for hashing a
+    decoded, resized luma plane — no media libs in-container; the
+    mm_decode_features contract). EXACT INTEGER bit rule so the oracle
+    replays it: bit_k = chunk_sum_k * n_bytes > total_sum * chunk_len_k
+    (cross-multiplied means, no floats)."""
+    for pdf in batches:
+        hashes = []
+        for b in pdf["payload"]:
+            n = len(b)
+            vals = list(b)
+            total = sum(vals)
+            sums = [0] * _PH_BITS
+            cnts = [0] * _PH_BITS
+            for i, v in enumerate(vals):
+                k = i * _PH_BITS // n
+                sums[k] += v
+                cnts[k] += 1
+            h = 0
+            for k in range(_PH_BITS):
+                if sums[k] * n > total * cnts[k]:
+                    h |= 1 << k
+            hashes.append(h)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": hashes})
+
+
+@register(
+    "mm_phash_neardup",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, n,
+             CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INT) AS v,
+             (i - 1) * {_PH_BITS} // n AS k
+      FROM b, unnest(generate_series(1, n)) AS t(i)
+    ),
+    chunks AS (
+      SELECT doc_id, n, k, sum(v) AS csum, count(*) AS ccnt,
+             sum(sum(v)) OVER (PARTITION BY doc_id) AS total
+      FROM bytes GROUP BY doc_id, n, k
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN csum * n > total * ccnt
+                           THEN 1::BIGINT << k ELSE 0 END) AS BIGINT) AS ahash
+      FROM chunks GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, ahash, t.band,
+             (ahash >> (band * {_PH_BAND_BITS}))
+               & {(1 << _PH_BAND_BITS) - 1} AS band_val
+      FROM hashes, unnest(generate_series(0, {_PH_BANDS - 1})) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.ahash AS ha, b.ahash AS hb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {_PH_MAX_HAMMING}
+    """,
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for binary assets — the
+    dedup modality the text tiers can't see (VERDICT r6 task 3). A
+    {_PH_BITS}-bit average-hash per blob (Arrow-batched mapInPandas over
+    the payload; the decode stub is the mm_decode_features contract),
+    then banded LSH over the hash — {_PH_BANDS} bands of {_PH_BAND_BITS}
+    bits, candidates = same (band, band_val) — and an exact Hamming ≤
+    {_PH_MAX_HAMMING} verify via bit_count(xor) on the candidates only.
+
+    Scale: the all-pairs space is never enumerated — candidates come from
+    band-bucket equi-joins (the dedup_simhash pigeonhole pattern), and
+    the wide payload never shuffles: only (doc_id, ahash) leaves the
+    scan stage. The integer bit rule makes the hash engine-exact, so the
+    oracle certifies the whole pipeline."""
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    hashes = _staged(doc.mapInPandas(_ahash_batches, schema=_PH_SCHEMA))
+    mask = (1 << _PH_BAND_BITS) - 1
+    bands = hashes.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_PH_BANDS)])
+        ).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"(ahash >> (band * {_PH_BAND_BITS})) & {mask}"),
+    )
+    a = bands.select(
+        F.col("band").alias("band_a"),
+        F.col("band_val").alias("bv_a"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("ahash").alias("ha"),
+    )
+    b = bands.select(
+        F.col("band").alias("band_b"),
+        F.col("band_val").alias("bv_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("ahash").alias("hb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bv_a") == F.col("bv_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("cast(bit_count(ha ^ hb) as bigint)").alias("hamming"),
+    ).filter(F.col("hamming") <= _PH_MAX_HAMMING)
+
+
+# --------------------------------------------------------------------------
+# mm_dedup_exact_bytes — byte-identical asset dedup per modality (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mm_dedup_exact_bytes",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN n_chars % 3 = 0 THEN 'image'
+                  WHEN n_chars % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             md5(text) AS digest
+      FROM documents
+    ),
+    g AS (SELECT modality, digest, count(*) AS c FROM t GROUP BY 1, 2)
+    SELECT modality,
+           CAST(sum(c) AS BIGINT)        AS n_assets,
+           count(*)                      AS n_distinct,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups,
+           CAST(sum(c) - count(*) AS BIGINT) AS n_redundant
+    FROM g GROUP BY modality
+    """,
+)
+def mm_dedup_exact_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical asset dedup: md5 digest of the raw payload, grouped
+    per modality — the first rung of the multimodal dedup ladder (before
+    the perceptual tier), and the storage-savings estimate (n_redundant
+    assets could be replaced by references).
+
+    Scale: digest computed map-side inside the scan; only the 16-byte
+    digest shuffles (hash aggregate), never the payload — exact dedup at
+    any scale is two hash aggregates."""
+    t = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") % 3 == 0, "image")
+        .when(F.col("n_chars") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("digest"),
+    )
+    g = t.groupBy("modality", "digest").agg(F.count(F.lit(1)).alias("c"))
+    return g.groupBy("modality").agg(
+        F.sum("c").cast("bigint").alias("n_assets"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.expr("cast(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) as bigint)").alias(
+            "n_dup_groups"
+        ),
+        F.expr("cast(sum(c) - count(1) as bigint)").alias("n_redundant"),
+    )
+
+
+# --------------------------------------------------------------------------
+# mm_size_quantiles — per-modality asset-size profile (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mm_size_quantiles",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN n_chars % 3 = 0 THEN 'image'
+                  WHEN n_chars % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    )
+    SELECT modality, count(*) AS n_assets,
+           CAST(min(nb) AS BIGINT) AS min_bytes,
+           round(quantile_cont(nb, 0.5) + 0.0, 4) AS p50_bytes,
+           round(quantile_cont(nb, 0.9) + 0.0, 4) AS p90_bytes,
+           round(quantile_cont(nb, 0.99) + 0.0, 4) AS p99_bytes,
+           CAST(max(nb) AS BIGINT) AS max_bytes,
+           CAST(sum(nb) AS BIGINT) AS total_bytes
+    FROM t GROUP BY modality
+    """,
+)
+def mm_size_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality asset-size profile (count, min/p50/p90/p99/max,
+    total bytes) — the shard-planning and decode-budget input every
+    multimodal ingest stage reads first (oversized-asset policies key off
+    p99).
+
+    Scale: octet_length map-side in the scan (payloads never shuffle),
+    one bounded-cardinality group-by; quantiles via the engine-shared
+    percentile ≡ quantile_cont interpolation contract."""
+    t = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") % 3 == 0, "image")
+        .when(F.col("n_chars") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("nb"),
+    )
+    return t.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.min("nb").cast("bigint").alias("min_bytes"),
+        F.expr("round(percentile(nb, 0.5) + 0.0, 4)").alias("p50_bytes"),
+        F.expr("round(percentile(nb, 0.9) + 0.0, 4)").alias("p90_bytes"),
+        F.expr("round(percentile(nb, 0.99) + 0.0, 4)").alias("p99_bytes"),
+        F.max("nb").cast("bigint").alias("max_bytes"),
+        F.sum("nb").cast("bigint").alias("total_bytes"),
     )

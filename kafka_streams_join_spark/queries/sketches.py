@@ -661,3 +661,220 @@ def agg_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" <= {_KMV_TOL_PPM} as int)"
         ).alias("within_3sigma"),
     )
+
+
+# --------------------------------------------------------------------------
+# sketch_hash_sample_quantiles — mergeable hash-Bernoulli rank sketch (r7)
+# --------------------------------------------------------------------------
+
+_HSQ_RATE = 8  # keep 1/8 of rows: hv < 2^40 / 8
+_HSQ_CUT = _KMV_SPACE // _HSQ_RATE
+_HSQ_H_SPARK = (
+    "cast(conv(substring(md5(concat(cast(l_orderkey as string), '-',"
+    " cast(l_linenumber as string))), 1, 10), 16, 10) as bigint)"
+)
+_HSQ_H_SQL = (
+    "CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||"
+    " CAST(l_linenumber AS VARCHAR)), 1, 10)) AS BIGINT)"
+)
+
+
+@register(
+    "sketch_hash_sample_quantiles",
+    oracle=f"""
+    WITH t AS (
+      SELECT l_returnflag AS returnflag, l_extendedprice AS price,
+             ({_HSQ_H_SQL} < {_HSQ_CUT}) AS smp
+      FROM lineitem
+    )
+    SELECT returnflag,
+           count(*)                                  AS n_total,
+           CAST(sum(CASE WHEN smp THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+           CAST(sum(CASE WHEN smp THEN 1 ELSE 0 END)
+                * {_HSQ_RATE} AS BIGINT)             AS est_total,
+           CAST(abs(sum(CASE WHEN smp THEN 1 ELSE 0 END) * {_HSQ_RATE}
+                    - count(*)) * 1000000 // count(*) AS BIGINT) AS err_ppm,
+           round(quantile_cont(CASE WHEN smp THEN price END, 0.5) + 0.0, 4)
+             AS q50,
+           round(quantile_cont(CASE WHEN smp THEN price END, 0.9) + 0.0, 4)
+             AS q90,
+           round(quantile_cont(CASE WHEN smp THEN price END, 0.99) + 0.0, 4)
+             AS q99
+    FROM t
+    GROUP BY returnflag
+    """,
+)
+def sketch_hash_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable rank sketch by deterministic hash sampling: keep exactly
+    the rows whose 40-bit md5 row-hash falls below 2^40/{_HSQ_RATE} (a
+    fixed-universe Bernoulli sample), then take EXACT quantiles over the
+    sample per group. The sketch is mergeable by construction — the hash
+    filter commutes with union, so sample(A ∪ B) IS sample(A) ∪ sample(B)
+    with no compaction step (pytest pins the merge law) — the property
+    KLL buys with randomized compactors, bought here with determinism the
+    oracle can replay. est_total audits the sampler (n_sample·{_HSQ_RATE}
+    vs exact count, integer ppm).
+
+    Scale: one scan, map-side hash + filter; the quantile state per group
+    is the sample (1/{_HSQ_RATE} of rows), bounded further in production
+    by raising the rate per level of a rollup. No shuffle beyond the
+    group-by; quantile interpolation is the engine-shared
+    percentile ≡ quantile_cont contract, rounded 4dp."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_extendedprice").alias("price"),
+        (F.expr(_HSQ_H_SPARK) < F.lit(_HSQ_CUT)).alias("smp"),
+    )
+    spr = "CASE WHEN smp THEN price END"
+    return li.groupBy("returnflag").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.expr("cast(sum(CASE WHEN smp THEN 1 ELSE 0 END) as bigint)").alias(
+            "n_sample"
+        ),
+        F.expr(
+            f"cast(sum(CASE WHEN smp THEN 1 ELSE 0 END) * {_HSQ_RATE}"
+            " as bigint)"
+        ).alias("est_total"),
+        F.expr(
+            f"cast(abs(sum(CASE WHEN smp THEN 1 ELSE 0 END) * {_HSQ_RATE}"
+            " - count(1)) * 1000000 div count(1) as bigint)"
+        ).alias("err_ppm"),
+        F.expr(f"round(percentile({spr}, 0.5) + 0.0, 4)").alias("q50"),
+        F.expr(f"round(percentile({spr}, 0.9) + 0.0, 4)").alias("q90"),
+        F.expr(f"round(percentile({spr}, 0.99) + 0.0, 4)").alias("q99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sketch_theta_intersection — KMV/theta set-intersection estimates (r7)
+# --------------------------------------------------------------------------
+
+_THETA_K = 64
+_THETA_H_SPARK = (
+    "cast(conv(substring(md5(cast(user_id as string)), 1, 10), 16, 10)"
+    " as bigint)"
+)
+_THETA_H_SQL = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10)) AS BIGINT)"
+)
+
+
+@register(
+    "sketch_theta_intersection",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type AS et, {_THETA_H_SQL} AS hv FROM events
+    ),
+    rnk AS (
+      SELECT et, hv, row_number() OVER (PARTITION BY et ORDER BY hv) AS rn
+      FROM h
+    ),
+    sk AS (SELECT et, hv FROM rnk WHERE rn <= {_THETA_K}),
+    kth AS (SELECT et, max(hv) AS kth FROM sk GROUP BY et),
+    common AS (
+      SELECT a.et AS et_a, b.et AS et_b, count(*) AS n_common
+      FROM sk a JOIN sk b ON a.hv = b.hv AND a.et < b.et
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT a.et AS et_a, b.et AS et_b, count(*) AS n_exact
+      FROM h a JOIN h b ON a.hv = b.hv AND a.et < b.et
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT ka.et AS et_a, kb.et AS et_b,
+             CASE WHEN ka.kth < kb.kth THEN ka.kth ELSE kb.kth END AS theta
+      FROM kth ka JOIN kth kb ON ka.et < kb.et
+    )
+    SELECT p.et_a AS type_a, p.et_b AS type_b,
+           CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common_sketch,
+           CAST(coalesce(c.n_common, 0) * {_KMV_SPACE} // p.theta AS BIGINT)
+             AS est_common,
+           CAST(coalesce(e.n_exact, 0) AS BIGINT) AS exact_common,
+           CAST(abs(coalesce(c.n_common, 0) * {_KMV_SPACE} // p.theta
+                    - coalesce(e.n_exact, 0)) * 1000000
+                // greatest(1, coalesce(e.n_exact, 0)) AS BIGINT) AS err_ppm
+    FROM pairs p
+    LEFT JOIN common c ON c.et_a = p.et_a AND c.et_b = p.et_b
+    LEFT JOIN exact e ON e.et_a = p.et_a AND e.et_b = p.et_b
+    """,
+)
+def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set intersection (the KMV estimator of Beyer '07 /
+    the DataSketches theta family): per event type, keep the {_THETA_K}
+    smallest distinct 40-bit user hashes; for each type pair, θ =
+    min(θ_a, θ_b) and est = |common sketch hashes| · 2^40 / θ in pure
+    BIGINT — set algebra on constant-size summaries instead of a
+    distinct-join over raw rows. exact_common and err_ppm audit the
+    estimate (at 100 TB you keep only the sketch columns).
+
+    Scale: sketches build with one WindowGroupLimit pass (per-type top-K
+    heaps before the shuffle); every downstream join touches only
+    K·|types| sketch rows and the |types|-row θ frame (broadcast). The
+    exact audit leg is the only raw-data join and exists solely for the
+    oracle-checked error column."""
+    from pyspark.sql import Window
+
+    ev = _staged(
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("et"), F.expr(_THETA_H_SPARK).alias("hv")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("et").orderBy("hv")
+    sk = _staged(
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _THETA_K)
+        .select("et", "hv")
+    )
+    kth = sk.groupBy("et").agg(F.max("hv").alias("kth"))
+    sa = sk.select(F.col("et").alias("et_a"), "hv")
+    sb = sk.select(F.col("et").alias("et_b"), "hv")
+    common = (
+        sa.join(sb, "hv")
+        .filter(F.col("et_a") < F.col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ha = ev.select(F.col("et").alias("et_a"), "hv")
+    hb = ev.select(F.col("et").alias("et_b"), "hv")
+    exact = (
+        ha.join(hb, "hv")
+        .filter(F.col("et_a") < F.col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    ka = kth.select(F.col("et").alias("et_a"), F.col("kth").alias("kth_a"))
+    kb = kth.select(F.col("et").alias("et_b"), F.col("kth").alias("kth_b"))
+    pairs = (
+        ka.join(kb, F.col("et_a") < F.col("et_b"))
+        .select(
+            "et_a",
+            "et_b",
+            F.least(F.col("kth_a"), F.col("kth_b")).alias("theta"),
+        )
+    )
+    return (
+        pairs.join(common, ["et_a", "et_b"], "left")
+        .join(exact, ["et_a", "et_b"], "left")
+        .select(
+            F.col("et_a").alias("type_a"),
+            F.col("et_b").alias("type_b"),
+            F.expr("cast(coalesce(n_common, 0) as bigint)").alias(
+                "n_common_sketch"
+            ),
+            F.expr(
+                f"cast(coalesce(n_common, 0) * {_KMV_SPACE} div theta"
+                " as bigint)"
+            ).alias("est_common"),
+            F.expr("cast(coalesce(n_exact, 0) as bigint)").alias(
+                "exact_common"
+            ),
+            F.expr(
+                f"cast(abs(coalesce(n_common, 0) * {_KMV_SPACE} div theta"
+                " - coalesce(n_exact, 0)) * 1000000"
+                " div greatest(1, coalesce(n_exact, 0)) as bigint)"
+            ).alias("err_ppm"),
+        )
+    )

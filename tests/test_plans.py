@@ -1181,3 +1181,96 @@ def test_schema_profile_is_one_scan(spark):
     assert plan.count("FileScan parquet") == 1, plan[:2000]
     assert "Expand" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+# --------------------------------------------------------------------------
+# round-7 wave 1: graph communities/similarity, sketches, multimodal
+# --------------------------------------------------------------------------
+
+
+def test_common_neighbors_cap_is_window_group_limit(spark):
+    """Round-7 rework: the per-node top-d adjacency cap plans as
+    WindowGroupLimit (partial per-partition heaps + final), so the wedge
+    stage never sees more than _CN_CAP neighbors per node."""
+    df = QUERIES["graph_common_neighbors"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_label_propagation_bounded_chain(spark):
+    """LPA rounds are equi-joins + hash aggregates on the staged edge
+    frame: no rangepartitioning, no cartesian, top-N via TakeOrdered."""
+    df = QUERIES["graph_label_propagation"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_jaccard_neighbors_cap_and_take_ordered(spark):
+    df = QUERIES["graph_jaccard_neighbors"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_local_clustering_no_cartesian_take_ordered(spark):
+    df = QUERIES["graph_local_clustering"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_hash_sample_sketch_is_one_scan_no_window(spark):
+    """The hash-Bernoulli rank sketch is one scan + one hash aggregate:
+    the sample filter is map-side, no window, no join, pruned read."""
+    df = QUERIES["sketch_hash_sample_quantiles"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+    # 4 = value + group + the two row-key columns the sample hash digests
+    assert_read_schema_pruned(df, max_columns=4)
+
+
+def test_theta_intersection_sketch_joins_only(spark):
+    """Theta sketches build via WindowGroupLimit; the pair frame is a
+    |types|-row broadcast (BroadcastNestedLoopJoin allowed on the tiny
+    kth frames), never a data-sized cartesian."""
+    df = QUERIES["sketch_theta_intersection"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_phash_neardup_bands_equi_join_payload_stays_local(spark):
+    """Perceptual near-dup: candidates come from an equi-join on
+    (band, band_val) — no cartesian, no broadcast-nested-loop on the
+    data-sized band frames; the binary payload never crosses an
+    Exchange (only doc_id + 64-bit hash shuffle)."""
+    df = QUERIES["mm_phash_neardup"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "payload" not in _exchange_sections(plan), plan[:2000]
+
+
+def _exchange_sections(plan: str) -> str:
+    """Concatenated text of Exchange plan lines (cheap proxy for 'what
+    crosses a shuffle')."""
+    return "\n".join(
+        line for line in plan.splitlines() if "Exchange" in line
+    )
+
+
+def test_mm_profile_queries_prune_to_metadata(spark):
+    """Exact-bytes dedup and size quantiles read only the columns they
+    digest (text + n_chars), one scan each, no joins."""
+    for name in ("mm_dedup_exact_bytes", "mm_size_quantiles"):
+        df = QUERIES[name](spark, SF_SMOKE)
+        plan = explain_str(df, "simple")
+        assert plan.count("FileScan parquet") == 1, (name, plan[:1500])
+        assert "Join" not in plan, (name, plan[:1500])
+        assert_read_schema_pruned(df, max_columns=2)
