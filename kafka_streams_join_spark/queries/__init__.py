@@ -63,6 +63,9 @@ from . import sketches  # noqa: E402,F401
 from . import evaluation  # noqa: E402,F401
 from . import emb_ext  # noqa: E402,F401
 from . import tier_report  # noqa: E402,F401
+# round-7 additions
+from . import text_insights  # noqa: E402,F401
+from . import analytics_ext  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1,0 +1,387 @@
+"""Round-7 analytics extensions: promotion uplift, basket shapes, snapshot
+churn, Benford auditing, behavioral entropy, and prefix dedup — operators
+that fill real gaps left by the existing families (checked name-by-name
+against the registry before writing; everything here is new surface).
+
+Engine-parity contracts are the repo's standard set: exact BIGINT
+arithmetic wherever possible, per-term micro-nat rounding of ln() before
+summation, 4-dp rounding of unavoidable doubles, deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .registry import register
+
+# --------------------------------------------------------------------------
+# orders_discount_uplift — quantity response to discount depth
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_discount_uplift",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_discount * 100) AS INT) AS disc_pct,
+             count(*) AS n_items,
+             CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY 1
+    ),
+    base AS (SELECT 1000 * sum_qty // n_items AS base_milli FROM b
+             WHERE disc_pct = 0)
+    SELECT disc_pct, n_items,
+           CAST(1000 * sum_qty // n_items AS BIGINT) AS qty_milli,
+           CAST((1000 * sum_qty // n_items) * 1000000 // base.base_milli
+                - 1000000 AS BIGINT) AS uplift_ppm
+    FROM b CROSS JOIN base
+    """,
+)
+def orders_discount_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion response curve: average line quantity per discount depth
+    (integer percent buckets), with the signed uplift vs the no-discount
+    baseline in exact ppm — the first-order elasticity read every pricing
+    team does before fitting a model. Quantities are integral-valued
+    doubles, so round(sum()) is exact and the whole curve is BIGINT.
+
+    Scale: one map-side-combined aggregate over lineitem (bounded by the
+    11 discount buckets); the 1-row baseline broadcasts."""
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.expr("cast(round(l_discount * 100) as int)").alias("disc_pct")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr("cast(round(sum(l_quantity)) as bigint)").alias("sum_qty"),
+        )
+    )
+    base = b.filter(F.col("disc_pct") == 0).select(
+        F.expr("1000 * sum_qty div n_items").alias("base_milli")
+    )
+    return b.crossJoin(F.broadcast(base)).select(
+        "disc_pct",
+        "n_items",
+        F.expr("cast(1000 * sum_qty div n_items as bigint)").alias("qty_milli"),
+        F.expr(
+            "cast((1000 * sum_qty div n_items) * 1000000 div base_milli"
+            " - 1000000 as bigint)"
+        ).alias("uplift_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_basket_size_histogram — order-size distribution (0 included)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_basket_size_histogram",
+    oracle="""
+    WITH sz AS (
+      SELECT o.o_orderkey, count(l.l_orderkey) AS basket_size
+      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey
+    ),
+    n AS (SELECT count(*) AS n_orders FROM orders)
+    SELECT basket_size, count(*) AS n_orders,
+           CAST(count(*) * 1000000 // n.n_orders AS BIGINT) AS share_ppm
+    FROM sz CROSS JOIN n
+    GROUP BY basket_size, n.n_orders
+    """,
+)
+def orders_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size histogram with exact-ppm shares, zero-item orders
+    included (LEFT join from orders — count(l.key) counts matches, not
+    rows). The distribution that sizes every basket-pair stage the graph
+    and market-basket families build on (pair work is Σ C(size, 2)).
+
+    Scale: one fact-table aggregate + a bounded histogram aggregate; the
+    1-row total broadcasts."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    sz = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count(F.col("l_orderkey")).alias("basket_size"))
+    )
+    n = orders.agg(F.count(F.lit(1)).alias("n_orders_total"))
+    return (
+        sz.groupBy("basket_size")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "basket_size",
+            "n_orders",
+            F.expr(
+                "cast(n_orders * 1000000 div n_orders_total as bigint)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# pipeline_snapshot_diff — dataset-version churn audit
+# --------------------------------------------------------------------------
+
+_DIFF_CUTOFF = "2024-01-16 00:00:00"
+
+
+@register(
+    "pipeline_snapshot_diff",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT user_id, event_type,
+             sum(CASE WHEN ts < TIMESTAMP '{_DIFF_CUTOFF}'
+                      THEN 1 ELSE 0 END) AS c_early,
+             sum(CASE WHEN ts >= TIMESTAMP '{_DIFF_CUTOFF}'
+                      THEN 1 ELSE 0 END) AS c_late
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN c_early = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(sum(CASE WHEN c_late = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(sum(CASE WHEN c_early > 0 AND c_late > 0
+                         AND c_early != c_late THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(sum(CASE WHEN c_early = c_late THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unchanged,
+           CAST(sum(CASE WHEN c_early = c_late THEN 0 ELSE 1 END) * 1000000
+                // count(*) AS BIGINT) AS churn_ppm
+    FROM keyed GROUP BY event_type
+    """,
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: treating the first/second half of the event
+    log as two snapshot builds, classify every (user, event_type) key as
+    added / removed / changed / unchanged by its per-snapshot count and
+    report per-type churn in exact ppm — the audit a training-data
+    pipeline runs between corpus versions before deciding to retrain
+    (the SCD2 family tracks row history; this tracks BUILD deltas).
+
+    Scale: ONE pass — both snapshot counts are conditional sums in the
+    same map-side-combined aggregate, so no self-join, no second scan;
+    the report is a bounded per-type aggregate."""
+    keyed = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < F.lit(_DIFF_CUTOFF).cast("timestamp"), 1)
+                .otherwise(0)
+            ).alias("c_early"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.lit(_DIFF_CUTOFF).cast("timestamp"), 1
+                ).otherwise(0)
+            ).alias("c_late"),
+        )
+    )
+    return keyed.groupBy("event_type").agg(
+        F.expr("cast(sum(CASE WHEN c_early = 0 THEN 1 ELSE 0 END) as bigint)")
+        .alias("n_added"),
+        F.expr("cast(sum(CASE WHEN c_late = 0 THEN 1 ELSE 0 END) as bigint)")
+        .alias("n_removed"),
+        F.expr(
+            "cast(sum(CASE WHEN c_early > 0 AND c_late > 0"
+            " AND c_early != c_late THEN 1 ELSE 0 END) as bigint)"
+        ).alias("n_changed"),
+        F.expr(
+            "cast(sum(CASE WHEN c_early = c_late THEN 1 ELSE 0 END) as bigint)"
+        ).alias("n_unchanged"),
+        F.expr(
+            "cast(sum(CASE WHEN c_early = c_late THEN 0 ELSE 1 END) * 1000000"
+            " div count(1) as bigint)"
+        ).alias("churn_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dq_benford_audit — first-digit law deviation for generated amounts
+# --------------------------------------------------------------------------
+
+# expected first-digit shares, log10(1 + 1/d) in ppm — precomputed so both
+# engines compare against identical integers
+_BENFORD_PPM = {d: round(math.log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)}
+_BENFORD_SQL_VALUES = ", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM.items())
+
+
+@register(
+    "dq_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                  1, 1) AS INT) AS digit
+      FROM orders
+    ),
+    hist AS (SELECT digit, count(*) AS n_orders FROM digits GROUP BY digit),
+    n AS (SELECT count(*) AS total FROM digits),
+    bf(digit, benford_ppm) AS (VALUES {_BENFORD_SQL_VALUES})
+    SELECT bf.digit,
+           CAST(coalesce(h.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(h.n_orders, 0) * 1000000 // n.total AS BIGINT)
+             AS share_ppm,
+           CAST(bf.benford_ppm AS BIGINT) AS benford_ppm,
+           CAST(abs(coalesce(h.n_orders, 0) * 1000000 // n.total
+                    - bf.benford_ppm) AS BIGINT) AS dev_ppm
+    FROM bf LEFT JOIN hist h ON h.digit = bf.digit CROSS JOIN n
+    """,
+)
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed first-digit shares vs
+    the log10(1 + 1/d) expectation, deviation in exact ppm per digit —
+    the classic generated-or-tampered-amounts detector (TPC-H's uniform
+    price generator fails it loudly, which is exactly what the audit
+    should say about synthetic data). Expected shares are precomputed
+    integer constants, so no engine evaluates log10 at query time.
+
+    Scale: one scan, digit extracted map-side from the integer part's
+    decimal string; everything downstream is 9-row arithmetic."""
+    digits = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "cast(substring(cast(cast(floor(o_totalprice) as bigint) as string),"
+            " 1, 1) as int)"
+        ).alias("digit")
+    )
+    hist = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    n = digits.agg(F.count(F.lit(1)).alias("total"))
+    bf = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_PPM.items()], "digit int, benford_ppm bigint"
+    )
+    return (
+        bf.join(hist, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.expr("cast(coalesce(n_orders, 0) as bigint)").alias("n_orders"),
+            F.expr(
+                "cast(coalesce(n_orders, 0) * 1000000 div total as bigint)"
+            ).alias("share_ppm"),
+            F.col("benford_ppm").cast("bigint").alias("benford_ppm"),
+            F.expr(
+                "cast(abs(coalesce(n_orders, 0) * 1000000 div total"
+                " - benford_ppm) as bigint)"
+            ).alias("dev_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events_user_entropy — behavioral diversity histogram
+# --------------------------------------------------------------------------
+
+_ENT_BUCKET_MICRO = 200_000  # 0.2-nat histogram buckets
+
+
+@register(
+    "events_user_entropy",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT user_id, sum(c) AS n FROM c GROUP BY user_id),
+    per_user AS (
+      SELECT c.user_id,
+             CAST(sum(round(1000000.0 * c.c
+                  * ln(CAST(t.n AS DOUBLE) / c.c) / t.n)) AS BIGINT) AS e
+      FROM c JOIN tot t ON t.user_id = c.user_id
+      GROUP BY c.user_id
+    )
+    SELECT e // {_ENT_BUCKET_MICRO} AS bucket, count(*) AS n_users
+    FROM per_user GROUP BY 1
+    """,
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity histogram: Shannon entropy of each user's
+    event-type distribution (integer micro-nats, per-term rounding before
+    summation — the repo's log-space contract), bucketed at
+    {_ENT_BUCKET_MICRO} µnats — bots concentrate (entropy ≈ 0), engaged
+    humans spread toward ln(5) ≈ 1.609e6 µnats. The single-column cousin
+    of ``events_bot_score``'s multi-signal rule.
+
+    Scale: one (user, type) aggregate, a user-keyed equi-join against the
+    user-total frame (both user-cardinality, narrow), a per-user integer
+    sum, and one bounded histogram aggregate — no data-sized windows."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = c.groupBy("user_id").agg(F.sum("c").alias("n"))
+    per_user = (
+        c.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "cast(sum(round(1000000.0D * c"
+                " * ln(cast(n as double) / c) / n)) as bigint)"
+            ).alias("e")
+        )
+    )
+    return per_user.groupBy(
+        F.expr(f"e div {_ENT_BUCKET_MICRO}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# dedup_common_prefix — shared-prefix duplicate groups
+# --------------------------------------------------------------------------
+
+_PFX_LEN = 64
+_PFX_TOPN = 10
+
+
+@register(
+    "dedup_common_prefix",
+    oracle=f"""
+    WITH g AS (
+      SELECT substr(text, 1, {_PFX_LEN}) AS prefix,
+             count(*) AS n_docs, min(doc_id) AS representative
+      FROM documents
+      GROUP BY 1 HAVING count(*) > 1
+    ),
+    top AS (
+      SELECT * FROM g ORDER BY n_docs DESC, prefix LIMIT {_PFX_TOPN}
+    )
+    SELECT row_number() OVER (ORDER BY n_docs DESC, prefix) AS rnk,
+           prefix, n_docs, representative
+    FROM top
+    """,
+)
+def dedup_common_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix duplicate groups: documents whose first {_PFX_LEN}
+    characters are byte-identical — the wire-copy/boilerplate-header rung
+    of the dedup ladder (catches syndicated articles and templated pages
+    that full-document hashing misses once the tail diverges), reported
+    as the top-{_PFX_TOPN} largest groups with their earliest doc as
+    representative.
+
+    Scale: the prefix is the grouping key — map-side substring, one hash
+    aggregate, no pair enumeration (the exact-dedup shape); top-N via
+    TakeOrdered heaps."""
+    from pyspark.sql import Window
+
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.substring(F.col("text"), 1, _PFX_LEN).alias("prefix"), "doc_id")
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("representative"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    top = g.orderBy(F.col("n_docs").desc(), F.col("prefix")).limit(_PFX_TOPN)
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("prefix"))
+    return top.select(
+        F.row_number().over(w).alias("rnk"),
+        "prefix",
+        "n_docs",
+        "representative",
+    )

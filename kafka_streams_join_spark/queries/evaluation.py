@@ -561,3 +561,119 @@ def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("first_rel") == 1, 1.0).otherwise(0.0)), 6
         ).alias("precision_at_1"),
     )
+
+
+# --------------------------------------------------------------------------
+# retrieval_map_eval — mean-average-precision of the exact top-k (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "retrieval_map_eval",
+    oracle=f"""
+    WITH ranking AS ({ORACLES["sim_topk_bruteforce"]}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    rel AS (
+      SELECT r.query_id, r.rnk,
+             CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END AS rel
+      FROM ranking r
+      JOIN lab lq ON lq.vec_id = r.query_id
+      JOIN lab ln ON ln.vec_id = r.neighbor_id
+    ),
+    cum AS (
+      SELECT query_id, rnk, rel,
+             sum(rel) OVER (PARTITION BY query_id ORDER BY rnk) AS cum_rel
+      FROM rel
+    ),
+    ap AS (
+      SELECT query_id,
+             CAST(sum(rel) AS BIGINT) AS n_rel_top,
+             round(sum(CASE WHEN rel = 1
+                            THEN CAST(cum_rel AS DOUBLE) / rnk
+                            ELSE 0 END), 6) AS ap_num
+      FROM cum GROUP BY query_id
+    ),
+    nrel AS (
+      SELECT lq.vec_id AS query_id, lq.label,
+             CAST(count(*) AS BIGINT) AS n_rel_corpus
+      FROM lab lq JOIN lab lo
+        ON lo.label = lq.label AND lo.vec_id != lq.vec_id
+      WHERE lq.vec_id % 100 = 0
+      GROUP BY 1, 2
+    )
+    SELECT n.query_id, n.label, n.n_rel_corpus, a.n_rel_top,
+           round(a.ap_num / least({TOP_K}, n.n_rel_corpus), 6) AS ap
+    FROM nrel n JOIN ap a ON a.query_id = n.query_id
+    """,
+)
+def retrieval_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision @{TOP_K} per query over the exact cosine top-k
+    (binary relevance = shared embedding label): AP = Σ_i rel_i · P@i
+    normalized by min(k, R) — the rank-sensitive companion to
+    ``retrieval_ndcg_eval`` and ``retrieval_mrr_eval`` that completes the
+    standard eval triple (MAP is the macro mean of this column; reported
+    per query so the oracle certifies every ranking position, not one
+    scalar). Composes ``sim_topk_bruteforce``'s REGISTERED oracle.
+
+    Scale: the ranking is the already-gated blocked-GEMM plan; P@i needs
+    only a cumulative sum over each query's k-row ranked list (window
+    partitioned by query — bounded frames); corpus relevant-counts are a
+    label-cardinality aggregate joined to the stride query list."""
+    ranking = sim_topk_bruteforce(spark, sf_dir)
+    lab = _staged(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    )
+    lq = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    ln_ = lab.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    rel = (
+        ranking.join(lq, "query_id")
+        .join(ln_, "neighbor_id")
+        .select(
+            "query_id",
+            "rnk",
+            F.when(F.col("n_label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("rnk")
+    ap = (
+        rel.withColumn("cum_rel", F.sum("rel").over(w))
+        .groupBy("query_id")
+        .agg(
+            F.sum("rel").cast("bigint").alias("n_rel_top"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("rel") == 1,
+                        F.col("cum_rel").cast("double") / F.col("rnk"),
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("ap_num"),
+        )
+    )
+    sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_label_rows"))
+    nrel = (
+        lab.filter(F.col("vec_id") % 100 == 0)
+        .join(F.broadcast(sizes), "label")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "label",
+            (F.col("n_label_rows") - 1).cast("bigint").alias("n_rel_corpus"),
+        )
+    )
+    return nrel.join(ap, "query_id").select(
+        "query_id",
+        "label",
+        "n_rel_corpus",
+        "n_rel_top",
+        F.round(
+            F.col("ap_num") / F.least(F.lit(TOP_K), F.col("n_rel_corpus")),
+            6,
+        ).alias("ap"),
+    )

@@ -924,3 +924,89 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tri",
         "cc_ppm",
     )
+
+
+# --------------------------------------------------------------------------
+# graph_assortativity — degree-degree correlation (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    und AS (
+      SELECT DISTINCT a.pkey AS u, b.pkey AS v
+      FROM basket a JOIN basket b ON a.okey = b.okey AND a.pkey < b.pkey
+    ),
+    sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY u),
+    xy AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM sym s JOIN deg du ON du.node = s.u JOIN deg dv ON dv.node = s.v
+    ),
+    sums AS (
+      SELECT count(*) AS m,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM xy
+    )
+    SELECT CAST(m AS BIGINT) AS n_edges_directed,
+           CAST(CASE WHEN (m * sxx - sx * sx) = 0
+                       OR (m * syy - sy * sy) = 0 THEN 0
+                ELSE round(1000.0 * (m * sxy - sx * sy)
+                     / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(m * syy - sy * sy AS DOUBLE))))
+                END AS BIGINT) AS assortativity_milli
+    FROM sums
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman '02): the Pearson correlation of
+    endpoint degrees over all directed edges, in milli-units — positive
+    means hubs prefer hubs (social-graph shape), negative means hubs link
+    to the periphery (hub-and-spoke, the usual retail shape). THE
+    one-number skew diagnostic for every per-node join in this family.
+
+    Determinism: all five sums are exact BIGINTs (degrees are bounded
+    ints); only the final Pearson ratio touches doubles — numerator and
+    both variance terms enter as exact integers, each variance square-
+    rooted separately so nothing overflows, one round at milli scale.
+
+    Scale: one degree aggregate, two node-keyed equi-joins to annotate
+    edge endpoints (narrow int rows), one global 6-sum aggregate."""
+    edges = _staged(_edges(spark, sf_dir))
+    deg = _staged(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+    )
+    xy = (
+        edges.join(
+            deg.select(F.col("node").alias("src"), F.col("d").alias("x")),
+            "src",
+        )
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("y")), "dst")
+        .select("x", "y")
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    return sums.select(
+        F.col("m").cast("bigint").alias("n_edges_directed"),
+        F.expr(
+            "cast(CASE WHEN (m * sxx - sx * sx) = 0"
+            " OR (m * syy - sy * sy) = 0 THEN 0"
+            " ELSE round(1000.0D * (m * sxy - sx * sy)"
+            " / (sqrt(cast(m * sxx - sx * sx as double))"
+            " * sqrt(cast(m * syy - sy * sy as double))))"
+            " END as bigint)"
+        ).alias("assortativity_milli"),
+    )

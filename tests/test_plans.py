@@ -1274,3 +1274,66 @@ def test_mm_profile_queries_prune_to_metadata(spark):
         assert plan.count("FileScan parquet") == 1, (name, plan[:1500])
         assert "Join" not in plan, (name, plan[:1500])
         assert_read_schema_pruned(df, max_columns=2)
+
+
+# --------------------------------------------------------------------------
+# round-7 wave 2: text insights, analytics extensions, MAP, assortativity
+# --------------------------------------------------------------------------
+
+
+def test_round7_wave2_no_cartesians(spark):
+    """Blanket gate for the wave: no data-sized cartesian anywhere (1-row
+    broadcast stats crossJoins plan BroadcastNestedLoopJoin, allowed)."""
+    for name in (
+        "text_ngram_novelty",
+        "text_js_divergence_sources",
+        "text_term_burstiness",
+        "orders_discount_uplift",
+        "orders_basket_size_histogram",
+        "dq_benford_audit",
+        "events_user_entropy",
+        "dedup_common_prefix",
+        "retrieval_map_eval",
+        "graph_assortativity",
+    ):
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert "CartesianProduct" not in explain_str(df), name
+
+
+def test_snapshot_diff_is_one_scan(spark):
+    """Both snapshot counts ride ONE conditional aggregate — one scan,
+    no self-join, no second pass."""
+    df = QUERIES["pipeline_snapshot_diff"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+    assert_read_schema_pruned(df, max_columns=3)
+
+
+def test_common_prefix_is_exact_dedup_shape(spark):
+    """Prefix dedup never enumerates pairs: one scan, hash aggregate on
+    the prefix key, TakeOrdered top-N."""
+    df = QUERIES["dedup_common_prefix"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert_read_schema_pruned(df, max_columns=2)
+
+
+def test_jsd_sources_joins_on_token_take_ordered(spark):
+    """The JSD pair stage is a token-keyed equi-join (never all-pairs of
+    rows); per-source totals broadcast; top-N is TakeOrdered."""
+    df = QUERIES["text_js_divergence_sources"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_novelty_first_occurrence_is_aggregate_not_pairs(spark):
+    """First-occurrence novelty joins shingles to a min-aggregate on the
+    shingle key — no shingle-pair enumeration, staged shingle frame."""
+    df = QUERIES["text_ngram_novelty"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "InMemoryTableScan" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]

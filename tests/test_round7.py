@@ -245,3 +245,235 @@ def test_size_quantiles_ordered(spark):
             <= r["max_bytes"]
         )
         assert r["total_bytes"] >= r["n_assets"] * r["min_bytes"]
+
+
+# --------------------------------------------------------------------------
+# wave 2: text insights
+# --------------------------------------------------------------------------
+
+
+def test_ngram_novelty_conservation(spark):
+    """Every distinct shingle is first-seen exactly once, so Σ n_novel
+    over buckets equals the corpus-wide distinct-shingle count; novelty
+    never exceeds the bucket's shingle total."""
+    from kafka_streams_join_spark.queries.text_insights import (
+        text_ngram_novelty,
+    )
+    from kafka_streams_join_spark.queries.text import _TOKS
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    rows = text_ngram_novelty(spark, SF).collect()
+    assert rows
+    total_novel = sum(r["n_novel"] for r in rows)
+    distinct_shingles = (
+        load_table(spark, SF, "documents")
+        .select(F.expr(f"transform({_TOKS}, t -> lower(t))").alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 2, 0)),"
+                    " i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1]))"
+                )
+            ).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert total_novel == distinct_shingles
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+        assert 0 <= r["novelty_ppm"] <= 1_000_000
+
+
+def test_jsd_bounds_and_order(spark):
+    """JSD is bounded by ln 2 (693147 µnats) up to per-term rounding, and
+    the report is rank-ordered."""
+    from kafka_streams_join_spark.queries.text_insights import (
+        text_js_divergence_sources,
+    )
+
+    rows = sorted(
+        text_js_divergence_sources(spark, SF).collect(), key=lambda r: r["rnk"]
+    )
+    assert rows
+    prev = None
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert -1000 <= r["jsd_micro"] <= 693147 + 1000
+        key = (-r["jsd_micro"], r["src_a"], r["src_b"])
+        assert prev is None or prev < key
+        prev = key
+
+
+def test_burstiness_nonnegative_ordered(spark):
+    from kafka_streams_join_spark.queries.text_insights import (
+        _BURST_MIN_CF,
+        text_term_burstiness,
+    )
+
+    rows = text_term_burstiness(spark, SF01).collect()
+    assert rows
+    prev = None
+    for r in rows:
+        assert r["cf"] >= _BURST_MIN_CF
+        assert r["df"] <= r["cf"]
+        assert r["fano_milli"] >= 0  # variance is non-negative
+        key = (-r["fano_milli"], r["token"])
+        assert prev is None or prev < key
+        prev = key
+
+
+# --------------------------------------------------------------------------
+# wave 2: analytics extensions
+# --------------------------------------------------------------------------
+
+
+def test_discount_uplift_baseline_is_zero(spark):
+    from kafka_streams_join_spark.queries.analytics_ext import (
+        orders_discount_uplift,
+    )
+
+    rows = {r["disc_pct"]: r for r in orders_discount_uplift(spark, SF01).collect()}
+    assert 0 in rows and rows[0]["uplift_ppm"] == 0
+    for r in rows.values():
+        assert 0 <= r["disc_pct"] <= 10
+        assert r["qty_milli"] > 0
+
+
+def test_basket_histogram_conserves_orders(spark):
+    from kafka_streams_join_spark.queries.analytics_ext import (
+        orders_basket_size_histogram,
+    )
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    rows = orders_basket_size_histogram(spark, SF01).collect()
+    n_orders = load_table(spark, SF01, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    assert sum(r["share_ppm"] for r in rows) <= 1_000_000
+    assert all(r["basket_size"] >= 0 for r in rows)
+
+
+def test_snapshot_diff_partitions_keys(spark):
+    """added/removed/changed/unchanged partition the per-type key space;
+    churn is their non-unchanged share."""
+    from kafka_streams_join_spark.queries.analytics_ext import (
+        pipeline_snapshot_diff,
+    )
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    rows = pipeline_snapshot_diff(spark, SF01).collect()
+    keys = (
+        load_table(spark, SF01, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    totals = {r["event_type"]: r["count"] for r in keys}
+    for r in rows:
+        parts = (
+            r["n_added"] + r["n_removed"] + r["n_changed"] + r["n_unchanged"]
+        )
+        assert parts == totals[r["event_type"]]
+        assert 0 <= r["churn_ppm"] <= 1_000_000
+
+
+def test_benford_conserves_and_bounds(spark):
+    from kafka_streams_join_spark.queries.analytics_ext import (
+        dq_benford_audit,
+    )
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    rows = dq_benford_audit(spark, SF01).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    n = load_table(spark, SF01, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == n
+    for r in rows:
+        assert r["dev_ppm"] == abs(r["share_ppm"] - r["benford_ppm"])
+
+
+def test_user_entropy_buckets_bounded(spark):
+    """Entropy of a 5-outcome distribution is ≤ ln 5 ≈ 1.609e6 µnats, so
+    buckets live in [0, 8]; users are conserved."""
+    from kafka_streams_join_spark.queries.analytics_ext import (
+        events_user_entropy,
+    )
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    rows = events_user_entropy(spark, SF01).collect()
+    n_users = (
+        load_table(spark, SF01, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+    assert all(0 <= r["bucket"] <= 8 for r in rows)
+
+
+def test_common_prefix_matches_bruteforce(spark):
+    from collections import Counter
+
+    from kafka_streams_join_spark.queries.analytics_ext import (
+        _PFX_LEN,
+        dedup_common_prefix,
+    )
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF, "documents").collect()
+    groups = Counter(r["text"][:_PFX_LEN] for r in docs)
+    reps: dict[str, int] = {}
+    for r in docs:
+        p = r["text"][:_PFX_LEN]
+        reps[p] = min(reps.get(p, r["doc_id"]), r["doc_id"])
+    expect = sorted(
+        ((n, p) for p, n in groups.items() if n > 1),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    rows = sorted(dedup_common_prefix(spark, SF).collect(), key=lambda r: r["rnk"])
+    assert [(r["n_docs"], r["prefix"]) for r in rows] == expect
+    for r in rows:
+        assert r["representative"] == reps[r["prefix"]]
+
+
+def test_map_eval_bounds(spark):
+    from kafka_streams_join_spark.queries.evaluation import retrieval_map_eval
+    from kafka_streams_join_spark.queries.similarity import TOP_K
+
+    rows = retrieval_map_eval(spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_rel_top"] <= TOP_K
+        assert 0.0 <= r["ap"] <= 1.0
+        if r["n_rel_top"] == 0:
+            assert r["ap"] == 0.0
+
+
+def test_assortativity_matches_bruteforce(spark):
+    """Differential: the BIGINT-sums Pearson equals a pure-Python Pearson
+    over the collected sf0.001 edge list, at milli precision."""
+    import math
+
+    from kafka_streams_join_spark.queries.graph import (
+        _edges,
+        graph_assortativity,
+    )
+
+    edges = [(r["src"], r["dst"]) for r in _edges(spark, SF).collect()]
+    deg: dict[int, int] = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    xs = [deg[u] for u, v in edges]
+    ys = [deg[v] for u, v in edges]
+    m = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    expect = round(
+        1000.0
+        * (m * sxy - sx * sy)
+        / (math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy))
+    )
+    row = graph_assortativity(spark, SF).collect()[0]
+    assert row["n_edges_directed"] == m
+    assert row["assortativity_milli"] == expect
+    assert abs(row["assortativity_milli"]) <= 1000
