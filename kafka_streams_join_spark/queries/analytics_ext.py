@@ -385,3 +385,187 @@ def dedup_common_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "representative",
     )
+
+
+# --------------------------------------------------------------------------
+# orders_ship_latency — order-to-ship latency per priority (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_ship_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST((epoch(l.l_shipdate) - epoch(o.o_orderdate)) // 86400
+                  AS BIGINT) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority, count(*) AS n_lines,
+           CAST(min(days) AS BIGINT) AS min_days,
+           round(quantile_cont(days, 0.5) + 0.0, 4) AS p50_days,
+           round(quantile_cont(days, 0.9) + 0.0, 4) AS p90_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY priority
+    """,
+)
+def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority (integer
+    days from exact epoch arithmetic — both dates are midnights, so the
+    floor division is lossless): the operational SLA read, and the
+    sanity check that priority classes actually ship differently.
+
+    Scale: one fact-fact equi-join on the order key (the lineitem side
+    carries only two columns), one bounded per-priority aggregate;
+    quantiles via the engine-shared percentile ≡ quantile_cont
+    contract."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    , "o_orderdate")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            "cast((unix_timestamp(l_shipdate) - unix_timestamp(o_orderdate))"
+            " div 86400 as bigint)"
+        ).alias("days"),
+    )
+    return lat.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("days").cast("bigint").alias("min_days"),
+        F.expr("round(percentile(days, 0.5) + 0.0, 4)").alias("p50_days"),
+        F.expr("round(percentile(days, 0.9) + 0.0, 4)").alias("p90_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dq_freshness_lag — per-stream timeliness audit (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_freshness_lag",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, count(*) AS n_events, max(ts) AS latest
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT max(latest) AS global_latest FROM per)
+    SELECT event_type, n_events,
+           CAST(floor(epoch(global_latest)) - floor(epoch(latest))
+                AS BIGINT) AS lag_seconds
+    FROM per CROSS JOIN g
+    """,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness (timeliness) audit: how far each event stream's newest
+    record lags the newest record overall, in integer seconds — the DQ
+    dimension the profile/constraint/drift family didn't yet cover; a
+    stream lagging hours behind its siblings means its producer or its
+    ingestion partition stalled.
+
+    Scale: one map-side-combined aggregate + a broadcast 1-row global
+    max; epoch seconds via the floor() contract (Spark truncates,
+    DuckDB's bare cast rounds)."""
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("latest"))
+    )
+    g = per.agg(F.max("latest").alias("global_latest"))
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        F.expr(
+            "cast(unix_timestamp(global_latest) - unix_timestamp(latest)"
+            " as bigint)"
+        ).alias("lag_seconds"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_funnel_latency — time-to-convert between funnel stages (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_latency",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    deltas AS (
+      SELECT 'view->click' AS transition,
+             CAST(floor(epoch(t_click)) - floor(epoch(t_view)) AS BIGINT)
+               AS delta_s
+      FROM firsts WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+        AND t_click >= t_view
+      UNION ALL
+      SELECT 'click->purchase',
+             CAST(floor(epoch(t_purchase)) - floor(epoch(t_click)) AS BIGINT)
+      FROM firsts WHERE t_click IS NOT NULL AND t_purchase IS NOT NULL
+        AND t_purchase >= t_click
+    )
+    SELECT transition, count(*) AS n_users,
+           round(quantile_cont(delta_s, 0.5) + 0.0, 4) AS p50_s,
+           round(quantile_cont(delta_s, 0.9) + 0.0, 4) AS p90_s
+    FROM deltas GROUP BY transition
+    """,
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert between funnel stages: per user, the first view /
+    click / purchase timestamps (ONE conditional min-aggregate — the
+    funnel-conversion shape), then latency quantiles for each ordered
+    transition — the metric that distinguishes a slow funnel from a leaky
+    one (``events_funnel_conversion`` reports WHO converts; this reports
+    HOW LONG it takes).
+
+    Scale: one map-side-combined per-user aggregate, a row-local delta
+    projection, and a 2-group quantile aggregate; epoch seconds via the
+    floor() contract."""
+    firsts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "t_view"
+            ),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+                "t_click"
+            ),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("t_purchase"),
+        )
+    )
+    vc = firsts.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & (F.col("t_click") >= F.col("t_view"))
+    ).select(
+        F.lit("view->click").alias("transition"),
+        F.expr(
+            "cast(unix_timestamp(t_click) - unix_timestamp(t_view) as bigint)"
+        ).alias("delta_s"),
+    )
+    cp = firsts.filter(
+        F.col("t_click").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_click"))
+    ).select(
+        F.lit("click->purchase").alias("transition"),
+        F.expr(
+            "cast(unix_timestamp(t_purchase) - unix_timestamp(t_click)"
+            " as bigint)"
+        ).alias("delta_s"),
+    )
+    return vc.unionByName(cp).groupBy("transition").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.expr("round(percentile(delta_s, 0.5) + 0.0, 4)").alias("p50_s"),
+        F.expr("round(percentile(delta_s, 0.9) + 0.0, 4)").alias("p90_s"),
+    )

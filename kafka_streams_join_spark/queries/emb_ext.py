@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 from ..sources.parquet import load_table
 from .pca_frozen import PCA_COMPS, PCA_MEANS
 from .registry import register
+from .similarity import QUERY_STRIDE as _SIM_QUERY_STRIDE
+from .similarity import _COS_SQL as _SIM_COS_SQL
+from .similarity import _DOT_SPARK as _SIM_DOT_SPARK
+from .similarity import _NORM2_SPARK as _SIM_NORM2_SPARK
 
 _DIM = 64
 
@@ -297,4 +301,114 @@ def emb_sq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("mse"), 6).alias("mean_err2"),
         F.round(F.max("mse"), 6).alias("max_err2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sim_range_search — threshold (range) retrieval next to top-k (round 7)
+# --------------------------------------------------------------------------
+
+_RANGE_MIN_COS = 0.30
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_SIM_COS_SQL}, 3) AS cos
+      FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+      WHERE a.vec_id % {_SIM_QUERY_STRIDE} = 0
+    ) WHERE cos >= {_RANGE_MIN_COS}
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (threshold) similarity search: ALL corpus vectors with cosine
+    ≥ {_RANGE_MIN_COS} of each stride query — the retrieval mode top-k
+    can't express (k is unknown a priori; dedup and recall-oriented
+    mining want "everything this similar", not "the best 5"). Scores are
+    3-dp-rounded and the threshold applies to the ROUNDED score, so both
+    engines admit identical boundary rows.
+
+    Scale: same candidate discipline as ``dedup_embedding_cosine`` — the
+    flat codegen'd 64-dim dot product runs inside the query×corpus
+    equi-free join that the blocked-GEMM family already bounds (query set
+    is the fixed stride slice, so the pair space is |Q|·N, not N²); at
+    production scale the LSH/IVF bucket recall path pre-filters the same
+    expression."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % _SIM_QUERY_STRIDE == 0).alias("a")
+    b = emb.alias("b")
+    pairs = a.join(b, F.col("b.vec_id") != F.col("a.vec_id")).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.round(
+            F.expr(_SIM_DOT_SPARK)
+            / F.sqrt(
+                F.expr(_SIM_NORM2_SPARK.replace("embedding", "a.embedding"))
+                * F.expr(_SIM_NORM2_SPARK.replace("embedding", "b.embedding"))
+            ),
+            3,
+        ).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= _RANGE_MIN_COS)
+
+
+# --------------------------------------------------------------------------
+# emb_similarity_histogram — embedding-space health check (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "emb_similarity_histogram",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT round({_SIM_COS_SQL}, 3) AS cos
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    ),
+    n AS (SELECT count(*) AS n_pairs FROM pairs)
+    SELECT CAST(floor(cos * 10) AS INT) AS bucket,
+           count(*) AS n_pairs,
+           CAST(count(*) * 1000000 // n.n_pairs AS BIGINT) AS share_ppm
+    FROM pairs CROSS JOIN n
+    GROUP BY 1, n.n_pairs
+    """,
+)
+def emb_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health histogram: cosine similarity of id-adjacent
+    vector pairs (a deterministic pseudo-random pair sample — ids carry no
+    spatial meaning), bucketed at 0.1 — the collapsed-space detector
+    (all mass near bucket 9 means the encoder mapped everything to one
+    direction; healthy spaces center near 0). The one-scan sibling of the
+    pairwise machinery: N−1 pairs via an EQUI-join on vec_id + 1, never
+    N².
+
+    Buckets floor the 3-dp-rounded score, so both engines bin identical
+    values."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b, F.col("b.vec_id") == F.col("a.vec_id") + 1
+    ).select(
+        F.round(
+            F.expr(_SIM_DOT_SPARK)
+            / F.sqrt(
+                F.expr(_SIM_NORM2_SPARK.replace("embedding", "a.embedding"))
+                * F.expr(_SIM_NORM2_SPARK.replace("embedding", "b.embedding"))
+            ),
+            3,
+        ).alias("cos")
+    )
+    n = pairs.agg(F.count(F.lit(1)).alias("n_pairs_total"))
+    return (
+        pairs.groupBy(F.expr("cast(floor(cos * 10) as int)").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bucket",
+            "n_pairs",
+            F.expr(
+                "cast(n_pairs * 1000000 div n_pairs_total as bigint)"
+            ).alias("share_ppm"),
+        )
     )

@@ -1010,3 +1010,96 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END as bigint)"
         ).alias("assortativity_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_bfs_hops — bounded-round BFS reachability (round 7)
+# --------------------------------------------------------------------------
+
+_BFS_ROUNDS = 3
+
+
+def _bfs_oracle() -> str:
+    rounds = "\n".join(
+        f""",
+    d{r} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{r - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM edges e JOIN d{r - 1} d ON d.node = e.src AND d.dist = {r - 1}
+      ) GROUP BY node
+    )"""
+        for r in range(1, _BFS_ROUNDS + 1)
+    )
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS hop, (SELECT count(*) FROM d{r} WHERE dist <= {r})"
+        f" AS n_reached, (SELECT count(*) FROM d{r} WHERE dist = {r})"
+        f" AS n_frontier"
+        for r in range(1, _BFS_ROUNDS + 1)
+    )
+    return f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT DISTINCT a.pkey AS src, b.pkey AS dst
+      FROM basket a JOIN basket b ON a.okey = b.okey AND a.pkey < b.pkey
+    ),
+    edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+    seed AS (SELECT min(src) AS node FROM edges),
+    d0 AS (SELECT node, 0 AS dist FROM seed){rounds}
+    {selects}
+    """
+
+
+@register("graph_bfs_hops", oracle=_bfs_oracle())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round BFS from the smallest part key: per hop, the
+    cumulative reachable-node count and the new frontier size — the
+    reachability primitive (and the empirical small-world check: a
+    co-purchase graph saturating by hop 2 is why the component family
+    converges in O(1) rounds here). Frontier-only expansion: each round
+    joins edges against JUST the previous frontier (dist = r−1), then a
+    min-aggregate folds rediscoveries — the textbook distributed BFS
+    step, unrolled to a bounded chain with the identical CTE ladder as
+    the oracle (the PageRank contract).
+
+    Scale: per round one frontier ⋈ edges equi-join + one min-aggregate
+    over narrow int rows; distance frames are node-count bounded; the
+    staged edge frame serves all {_BFS_ROUNDS} rounds."""
+    edges = _staged(_edges(spark, sf_dir))
+    seed = edges.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).alias("dist")
+    )
+    d = seed
+    out = []
+    for r in range(1, _BFS_ROUNDS + 1):
+        frontier = d.filter(F.col("dist") == r - 1).select(
+            F.col("node").alias("src")
+        )
+        expanded = (
+            edges.join(frontier, "src")
+            .select(F.col("dst").alias("node"), F.lit(r).alias("dist"))
+        )
+        d = _staged(
+            d.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        out.append(
+            d.filter(F.col("dist") <= r)
+            .agg(F.count(F.lit(1)).alias("n_reached"))
+            .crossJoin(
+                F.broadcast(
+                    d.filter(F.col("dist") == r).agg(
+                        F.count(F.lit(1)).alias("n_frontier")
+                    )
+                )
+            )
+            .select(F.lit(r).alias("hop"), "n_reached", "n_frontier")
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

@@ -1337,3 +1337,51 @@ def test_novelty_first_occurrence_is_aggregate_not_pairs(spark):
     plan = explain_str(df, "simple")
     assert "InMemoryTableScan" in plan, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
+
+
+# --------------------------------------------------------------------------
+# round-7 wave 3: BFS, range search, latency/freshness analytics
+# --------------------------------------------------------------------------
+
+
+def test_round7_wave3_no_cartesians(spark):
+    for name in (
+        "graph_bfs_hops",
+        "orders_ship_latency",
+        "dq_freshness_lag",
+        "events_funnel_latency",
+        "emb_similarity_histogram",
+    ):
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert "CartesianProduct" not in explain_str(df), name
+
+
+def test_funnel_latency_is_one_scan(spark):
+    """All three first-stage timestamps ride ONE conditional aggregate."""
+    df = QUERIES["events_funnel_latency"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") <= 2, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+
+
+def test_similarity_histogram_pairs_by_equi_join(spark):
+    """The pair sample joins on vec_id + 1 — an equi-join, never the N²
+    nested loop; wide embedding columns stay out of Exchanges (meta-gate
+    double-checks registry-wide)."""
+    df = QUERIES["emb_similarity_histogram"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_range_search_prunes_query_side(spark):
+    """The stride filter reaches the query-side scan (PushedFilters), so
+    the pair space is |Q|·N, not N²."""
+    df = QUERIES["sim_range_search"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan or "vec_id" in plan, plan[:1500]
+    assert "PushedFilters" in plan, plan[:1500]

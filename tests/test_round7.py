@@ -477,3 +477,128 @@ def test_assortativity_matches_bruteforce(spark):
     assert row["n_edges_directed"] == m
     assert row["assortativity_milli"] == expect
     assert abs(row["assortativity_milli"]) <= 1000
+
+
+# --------------------------------------------------------------------------
+# wave 3: BFS, range search, latency analytics
+# --------------------------------------------------------------------------
+
+
+def test_bfs_hops_monotone_and_bruteforce(spark):
+    """Cumulative reach is non-decreasing, frontier ≤ reach, and hop-1
+    equals the seed's degree + 1 check via a pure-Python BFS."""
+    from collections import deque
+
+    from kafka_streams_join_spark.queries.graph import _edges, graph_bfs_hops
+
+    edges = [(r["src"], r["dst"]) for r in _edges(spark, SF).collect()]
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    seed = min(adj)
+    dist = {seed: 0}
+    q = deque([seed])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    rows = sorted(graph_bfs_hops(spark, SF).collect(), key=lambda r: r["hop"])
+    prev_reach = 1
+    for r in rows:
+        h = r["hop"]
+        assert r["n_reached"] == sum(1 for d in dist.values() if d <= h)
+        assert r["n_frontier"] == sum(1 for d in dist.values() if d == h)
+        assert r["n_reached"] >= prev_reach
+        prev_reach = r["n_reached"]
+
+
+def test_range_search_matches_topk_scores(spark):
+    """Every range hit re-verifies against a brute-force Python cosine,
+    and every pair above threshold is present (exactness, not recall)."""
+    import math
+
+    from kafka_streams_join_spark.queries.emb_ext import (
+        _RANGE_MIN_COS,
+        sim_range_search,
+    )
+    from kafka_streams_join_spark.queries.similarity import QUERY_STRIDE
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in sim_range_search(spark, SF).collect()
+    }
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(x) ** 2 for x in b))
+        return round(dot / (na / 1 * nb), 3)
+
+    expect = {}
+    for q, qa in vecs.items():
+        if q % QUERY_STRIDE != 0:
+            continue
+        for nid, nb_ in vecs.items():
+            if nid == q:
+                continue
+            c = cos(qa, nb_)
+            if c >= _RANGE_MIN_COS:
+                expect[(q, nid)] = c
+    assert got == expect and got
+
+
+def test_ship_latency_nonnegative(spark):
+    from kafka_streams_join_spark.queries.analytics_ext import (
+        orders_ship_latency,
+    )
+
+    rows = orders_ship_latency(spark, SF01).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # the synthetic corpus generates shipdates independently of order
+        # dates, so negative latency EXISTS — the query's job is to surface
+        # it, the test's job is the quantile ordering
+        assert r["min_days"] <= r["p50_days"] <= r["p90_days"] <= r["max_days"]
+
+
+def test_freshness_lag_has_zero_row(spark):
+    """Exactly the globally-freshest stream(s) lag zero; all lags are
+    non-negative."""
+    from kafka_streams_join_spark.queries.analytics_ext import (
+        dq_freshness_lag,
+    )
+
+    rows = dq_freshness_lag(spark, SF01).collect()
+    assert min(r["lag_seconds"] for r in rows) == 0
+    assert all(r["lag_seconds"] >= 0 for r in rows)
+
+
+def test_funnel_latency_bounds(spark):
+    from kafka_streams_join_spark.queries.analytics_ext import (
+        events_funnel_latency,
+    )
+
+    rows = {r["transition"]: r for r in events_funnel_latency(spark, SF01).collect()}
+    assert set(rows) == {"view->click", "click->purchase"}
+    for r in rows.values():
+        assert r["n_users"] > 0
+        assert 0 <= r["p50_s"] <= r["p90_s"]
+
+
+def test_similarity_histogram_conserves_pairs(spark):
+    from kafka_streams_join_spark.queries.emb_ext import (
+        emb_similarity_histogram,
+    )
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    rows = emb_similarity_histogram(spark, SF01).collect()
+    n = load_table(spark, SF01, "embeddings").count()
+    assert sum(r["n_pairs"] for r in rows) == n - 1
+    assert all(-10 <= r["bucket"] <= 10 for r in rows)
