@@ -569,3 +569,165 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("round(percentile(delta_s, 0.5) + 0.0, 4)").alias("p50_s"),
         F.expr("round(percentile(delta_s, 0.9) + 0.0, 4)").alias("p90_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# dq_total_reconciliation — cross-table amount reconciliation (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_total_reconciliation",
+    oracle="""
+    WITH computed AS (
+      SELECT l_orderkey AS okey,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)
+                            * (1 + l_tax)) * 100) AS BIGINT) AS calc_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+      SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+             coalesce(c.calc_cents, 0) AS calc_cents
+      FROM orders o LEFT JOIN computed c ON c.okey = o.o_orderkey
+    ),
+    classed AS (
+      SELECT CASE
+               WHEN abs(total_cents - calc_cents) <= 1 THEN 'exact'
+               WHEN abs(total_cents - calc_cents) * 100 <= total_cents
+                 THEN 'within_1pct'
+               WHEN abs(total_cents - calc_cents) * 10 <= total_cents
+                 THEN 'within_10pct'
+               ELSE 'mismatch'
+             END AS bucket
+      FROM joined
+    ),
+    n AS (SELECT count(*) AS total FROM classed)
+    SELECT bucket, count(*) AS n_orders,
+           CAST(count(*) * 1000000 // n.total AS BIGINT) AS share_ppm
+    FROM classed CROSS JOIN n
+    GROUP BY bucket, n.total
+    """,
+)
+def dq_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: does the order header's total match the
+    sum of its line amounts (extendedprice·(1−disc)·(1+tax))? Buckets:
+    exact (≤1 cent), within 1%, within 10%, mismatch — the books-balance
+    audit every warehouse runs between a fact table and its rollup
+    header (on this synthetic corpus the generator draws totals
+    independently, and the audit SAYS so loudly — that is the finding).
+    Cents via round(·100) on the 2-dp money values; thresholds compare
+    integers cross-multiplied, so classification is exact BIGINT.
+
+    Scale: one per-order aggregate + one key equi-join + a 4-bucket
+    aggregate; the 1-row total broadcasts."""
+    computed = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(
+            F.expr(
+                "cast(round(sum(l_extendedprice * (1 - l_discount)"
+                " * (1 + l_tax)) * 100) as bigint)"
+            ).alias("calc_cents")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias(
+            "total_cents"
+        ),
+    )
+    joined = o.join(
+        computed, o.o_orderkey == computed.okey, "left"
+    ).select(
+        "total_cents", F.coalesce(F.col("calc_cents"), F.lit(0)).alias("calc_cents")
+    )
+    classed = joined.select(
+        F.expr(
+            "CASE WHEN abs(total_cents - calc_cents) <= 1 THEN 'exact'"
+            " WHEN abs(total_cents - calc_cents) * 100 <= total_cents"
+            " THEN 'within_1pct'"
+            " WHEN abs(total_cents - calc_cents) * 10 <= total_cents"
+            " THEN 'within_10pct'"
+            " ELSE 'mismatch' END"
+        ).alias("bucket")
+    )
+    n = classed.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        classed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bucket",
+            "n_orders",
+            F.expr("cast(n_orders * 1000000 div total as bigint)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# pipeline_kfold_split — deterministic k-fold assignment + balance (round 7)
+# --------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+@register(
+    "pipeline_kfold_split",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))
+                  AS BIGINT) % {_KFOLD_K} AS fold,
+             n_chars
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS total, sum(n_chars) AS total_chars FROM t)
+    SELECT fold, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(count(*) * 1000000 // n.total AS BIGINT) AS doc_share_ppm,
+           CAST(abs(count(*) * 1000000 // n.total
+                    - {1_000_000 // _KFOLD_K}) AS BIGINT) AS imbalance_ppm
+    FROM t CROSS JOIN n
+    GROUP BY fold, n.total
+    """,
+)
+def pipeline_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {_KFOLD_K}-fold cross-validation assignment (fold =
+    40-bit md5(doc_id) mod {_KFOLD_K} — stable across runs, engines, and
+    cluster sizes, the property random splits lose on re-execution) with
+    the per-fold balance audit: doc and char masses, share, and deviation
+    from the ideal 1/{_KFOLD_K} in exact ppm. Completes the split family
+    (train/test, group holdout, stratified sample) with the resampling
+    protocol evaluators actually use.
+
+    Scale: map-side hash + one bounded aggregate; the 1-row totals
+    broadcast."""
+    t = load_table(spark, sf_dir, "documents").select(
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 10), 16, 10)"
+            f" as bigint) % {_KFOLD_K}"
+        ).alias("fold"),
+        "n_chars",
+    )
+    n = t.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        t.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "fold",
+            "n_docs",
+            "n_chars",
+            F.expr("cast(n_docs * 1000000 div total as bigint)").alias(
+                "doc_share_ppm"
+            ),
+            F.expr(
+                f"cast(abs(n_docs * 1000000 div total"
+                f" - {1_000_000 // _KFOLD_K}) as bigint)"
+            ).alias("imbalance_ppm"),
+        )
+    )

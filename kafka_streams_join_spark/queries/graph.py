@@ -1103,3 +1103,149 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+# --------------------------------------------------------------------------
+# graph_modularity — quality of the LPA communities (round 7)
+# --------------------------------------------------------------------------
+
+
+def _lp_rounds_sql() -> str:
+    """The label-propagation CTE ladder (shared with _lp_oracle): edges +
+    labels0..labels{_LP_ROUNDS}, ending ready for a final SELECT."""
+    rounds = "\n".join(
+        f""",
+    cnt{r} AS (
+      SELECT e.dst AS node, l.lbl, count(*) AS c
+      FROM edges e JOIN labels{r - 1} l ON l.node = e.src
+      GROUP BY 1, 2
+    ),
+    labels{r} AS (
+      SELECT node,
+             CAST({_LP_LBL_MAX} - (max(c * {_LP_SPACE}
+                  + ({_LP_LBL_MAX} - lbl)) % {_LP_SPACE}) AS BIGINT) AS lbl
+      FROM cnt{r} GROUP BY node
+    )"""
+        for r in range(1, _LP_ROUNDS + 1)
+    )
+    return f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT DISTINCT a.pkey AS src, b.pkey AS dst
+      FROM basket a JOIN basket b ON a.okey = b.okey AND a.pkey < b.pkey
+    ),
+    edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+    labels0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges){rounds}"""
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""{_lp_rounds_sql()},
+    lab AS (SELECT node, lbl FROM labels{_LP_ROUNDS}),
+    m AS (SELECT count(*) // 2 AS m_und FROM edges),
+    annotated AS (
+      SELECT la.lbl AS lbl_src, lb.lbl AS lbl_dst
+      FROM edges e
+      JOIN lab la ON la.node = e.src
+      JOIN lab lb ON lb.node = e.dst
+    ),
+    per_c AS (
+      SELECT lbl_src AS community,
+             count(*) AS d_c,
+             sum(CASE WHEN lbl_src = lbl_dst THEN 1 ELSE 0 END) AS intra2
+      FROM annotated GROUP BY lbl_src
+    ),
+    terms AS (
+      SELECT community,
+             (intra2 // 2) * 1000000 // m.m_und AS cover_ppm,
+             (d_c * 1000000 // (2 * m.m_und)) * d_c
+               // (2 * m.m_und) AS expect_ppm
+      FROM per_c CROSS JOIN m
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           (SELECT CAST(m_und AS BIGINT) FROM m) AS m_edges,
+           CAST(sum(cover_ppm) - sum(expect_ppm) AS BIGINT) AS q_ppm
+    FROM terms
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the {_LP_ROUNDS}-round label-propagation
+    communities, in exact integer ppm: Q = Σ_c [m_c/m − (d_c/2m)²] with
+    per-community floor divisions mirrored in the oracle — the quality
+    score that says whether ``graph_label_propagation``'s communities
+    beat random assignment (Q ≈ 0) on this graph. Degree sums and
+    intra-community edge counts come from ONE pass over the label-
+    annotated symmetric edge list (each undirected intra edge appears
+    twice — intra2/2 — and d_c is exactly the per-community endpoint
+    count).
+
+    Scale: the LPA rounds are the already-certified bounded chain; the
+    annotation is two node-keyed equi-joins against the node-count label
+    frame; everything after is community-cardinality arithmetic."""
+    edges = _staged(_edges(spark, sf_dir))
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LP_ROUNDS):
+        labels = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.col("c") * F.lit(_LP_SPACE)
+                    + (F.lit(_LP_LBL_MAX) - F.col("lbl"))
+                ).alias("enc")
+            )
+            .select(
+                "node",
+                (F.lit(_LP_LBL_MAX) - F.col("enc") % F.lit(_LP_SPACE))
+                .cast("bigint")
+                .alias("lbl"),
+            )
+        )
+    labels = _staged(labels)
+    m = edges.agg(F.expr("count(1) div 2").alias("m_und"))
+    annotated = (
+        edges.join(
+            labels.select(
+                F.col("node").alias("src"), F.col("lbl").alias("lbl_src")
+            ),
+            "src",
+        )
+        .join(
+            labels.select(
+                F.col("node").alias("dst"), F.col("lbl").alias("lbl_dst")
+            ),
+            "dst",
+        )
+    )
+    per_c = annotated.groupBy(F.col("lbl_src").alias("community")).agg(
+        F.count(F.lit(1)).alias("d_c"),
+        F.sum(
+            F.when(F.col("lbl_src") == F.col("lbl_dst"), 1).otherwise(0)
+        ).alias("intra2"),
+    )
+    terms = per_c.crossJoin(F.broadcast(m)).select(
+        F.expr("(intra2 div 2) * 1000000 div m_und").alias("cover_ppm"),
+        # staged floor division: d_c^2 * 1e6 overflows BIGINT once
+        # d_c > ~3e6 (sf1's giant community); (d_c*1e6 div 2m) * d_c div 2m
+        # stays bounded by 1e6 * d_c — the identical contract in the oracle
+        F.expr(
+            "(d_c * 1000000 div (2 * m_und)) * d_c div (2 * m_und)"
+        ).alias("expect_ppm"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+    ).crossJoin(F.broadcast(m.select(F.col("m_und").cast("bigint").alias("m_edges")))).crossJoin(
+        F.broadcast(
+            terms.agg(
+                F.expr(
+                    "cast(sum(cover_ppm) - sum(expect_ppm) as bigint)"
+                ).alias("q_ppm")
+            )
+        )
+    )

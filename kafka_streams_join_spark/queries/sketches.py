@@ -878,3 +878,95 @@ def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sketch_ams_f2 — AMS second-frequency-moment sketch (round 7)
+# --------------------------------------------------------------------------
+
+_AMS_R = 16  # independent ±1 counters
+_AMS_H_SPARK = (
+    "cast(conv(substring(md5(cast(user_id as string)), 1, 10), 16, 10)"
+    " as bigint)"
+)
+_AMS_H_SQL = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10)) AS BIGINT)"
+)
+
+
+@register(
+    "sketch_ams_f2",
+    oracle=f"""
+    WITH h AS (SELECT {_AMS_H_SQL} AS hv FROM events),
+    counters AS (
+      SELECT t.j,
+             CAST(sum(2 * ((hv >> t.j) & 1) - 1) AS BIGINT) AS z
+      FROM h, unnest(generate_series(0, {_AMS_R - 1})) AS t(j)
+      GROUP BY t.j
+    ),
+    est AS (
+      SELECT CAST(sum(z * z) // {_AMS_R} AS BIGINT) AS f2_est FROM counters
+    ),
+    exact AS (
+      SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM (
+        SELECT count(*) AS c FROM events GROUP BY user_id
+      )
+    )
+    SELECT (SELECT count(*) FROM h) AS n_rows,
+           exact.f2_exact, est.f2_est,
+           CAST(abs(est.f2_est - exact.f2_exact) * 1000000
+                // exact.f2_exact AS BIGINT) AS err_ppm
+    FROM est CROSS JOIN exact
+    """,
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy '96):
+    {_AMS_R} ±1 counters over the event stream's user ids — sign j is
+    md5-hash bit j, counter_j = Σ signs, F2_est = mean of squared
+    counters — the join-size/self-join-size estimator that completes the
+    classical sketch family (distinct: HLL/KMV, quantiles: histogram +
+    hash-sample, frequency: count-min, membership: Bloom, moments: AMS).
+    Mergeable by construction: counters are SUMS, so partition/partial
+    merge is ordinary addition (the map-side combine IS the merge);
+    everything is exact BIGINT, and the exact-F2 audit leg feeds err_ppm.
+
+    Scale: the sketch is one {_AMS_R}-way explode + map-side-combined
+    sum (constant state); only the audit leg aggregates per user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(_AMS_H_SPARK).alias("hv")
+    )
+    counters = (
+        ev.select(
+            "hv",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(_AMS_R)])
+            ).alias("j"),
+        )
+        .groupBy("j")
+        .agg(
+            F.expr("cast(sum(2 * ((hv >> j) & 1) - 1) as bigint)").alias("z")
+        )
+    )
+    est = counters.agg(
+        F.expr(f"cast(sum(z * z) div {_AMS_R} as bigint)").alias("f2_est")
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.expr("cast(sum(c * c) as bigint)").alias("f2_exact"))
+    )
+    n = ev.agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        n.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est))
+        .select(
+            "n_rows",
+            "f2_exact",
+            "f2_est",
+            F.expr(
+                "cast(abs(f2_est - f2_exact) * 1000000 div f2_exact"
+                " as bigint)"
+            ).alias("err_ppm"),
+        )
+    )

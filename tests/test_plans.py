@@ -1385,3 +1385,26 @@ def test_range_search_prunes_query_side(spark):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan or "vec_id" in plan, plan[:1500]
     assert "PushedFilters" in plan, plan[:1500]
+
+
+# --------------------------------------------------------------------------
+# round-7 wave 4: AMS, modularity, reconciliation, k-fold
+# --------------------------------------------------------------------------
+
+
+def test_round7_wave4_no_cartesians(spark):
+    for name in (
+        "graph_modularity",
+        "sketch_ams_f2",
+        "dq_total_reconciliation",
+        "pipeline_kfold_split",
+    ):
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert "CartesianProduct" not in explain_str(df), name
+
+
+def test_kfold_split_is_one_scan(spark):
+    df = QUERIES["pipeline_kfold_split"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") <= 2, plan[:1500]
+    assert_read_schema_pruned(df, max_columns=2)

@@ -602,3 +602,96 @@ def test_similarity_histogram_conserves_pairs(spark):
     n = load_table(spark, SF01, "embeddings").count()
     assert sum(r["n_pairs"] for r in rows) == n - 1
     assert all(-10 <= r["bucket"] <= 10 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# wave 4: AMS merge law, modularity bounds, reconciliation conservation
+# --------------------------------------------------------------------------
+
+
+def test_ams_counters_merge_law(spark):
+    """AMS counters are sums, so counters(A ∪ B) = counters(A) +
+    counters(B) exactly — the mergeable-sketch property, pinned on a
+    disjoint user split; and the estimator is the mean of squares."""
+    from kafka_streams_join_spark.queries.sketches import (
+        _AMS_H_SPARK,
+        _AMS_R,
+        sketch_ams_f2,
+    )
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", F.expr(_AMS_H_SPARK).alias("hv")
+    )
+
+    def counters(df):
+        return {
+            r["j"]: r["z"]
+            for r in df.select(
+                "hv",
+                F.explode(F.array(*[F.lit(j) for j in range(_AMS_R)])).alias(
+                    "j"
+                ),
+            )
+            .groupBy("j")
+            .agg(F.expr("cast(sum(2 * ((hv >> j) & 1) - 1) as bigint)").alias("z"))
+            .collect()
+        }
+
+    whole = counters(ev)
+    a = counters(ev.filter(F.col("user_id") % 2 == 0))
+    b = counters(ev.filter(F.col("user_id") % 2 == 1))
+    assert {j: a[j] + b[j] for j in whole} == whole
+    row = sketch_ams_f2(spark, SF).collect()[0]
+    assert row["f2_est"] == sum(z * z for z in whole.values()) // _AMS_R
+    assert row["f2_exact"] > 0
+
+
+def test_modularity_bounds(spark):
+    """Q ∈ [−1e6, 1e6] ppm, communities ≥ 1, and on this co-purchase
+    graph the LPA partition must be at least as good as random (Q ≥ 0
+    would be ideal; we only pin the hard bounds plus edge count parity)."""
+    from kafka_streams_join_spark.queries.graph import (
+        _edges,
+        graph_modularity,
+    )
+
+    row = graph_modularity(spark, SF).collect()[0]
+    assert 1 <= row["n_communities"]
+    assert -1_000_000 <= row["q_ppm"] <= 1_000_000
+    m = _edges(spark, SF).count() // 2
+    assert row["m_edges"] == m
+
+
+def test_reconciliation_conserves_orders(spark):
+    from kafka_streams_join_spark.queries.analytics_ext import (
+        dq_total_reconciliation,
+    )
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    rows = dq_total_reconciliation(spark, SF01).collect()
+    n = load_table(spark, SF01, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == n
+    assert {r["bucket"] for r in rows} <= {
+        "exact",
+        "within_1pct",
+        "within_10pct",
+        "mismatch",
+    }
+
+
+def test_kfold_split_covers_and_balances(spark):
+    from kafka_streams_join_spark.queries.analytics_ext import (
+        _KFOLD_K,
+        pipeline_kfold_split,
+    )
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    rows = pipeline_kfold_split(spark, SF01).collect()
+    assert sorted(r["fold"] for r in rows) == list(range(_KFOLD_K))
+    n = load_table(spark, SF01, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    for r in rows:
+        assert r["imbalance_ppm"] == abs(
+            r["doc_share_ppm"] - 1_000_000 // _KFOLD_K
+        )
