@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
@@ -730,4 +730,278 @@ def pipeline_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" - {1_000_000 // _KFOLD_K}) as bigint)"
             ).alias("imbalance_ppm"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_pareto_share — revenue concentration: Lorenz deciles + Gini
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_pareto_share",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100 AS dollars
+      FROM orders GROUP BY o_custkey
+    ),
+    rk AS (
+      SELECT o_custkey, dollars,
+             row_number() OVER (ORDER BY dollars DESC, o_custkey) AS rnk
+      FROM rev
+    ),
+    stats AS (
+      SELECT count(*) AS n_cust, CAST(sum(dollars) AS BIGINT) AS total
+      FROM rev
+    ),
+    gini AS (
+      SELECT CAST((2 * sum((s.n_cust - r.rnk + 1) * r.dollars) // s.n_cust)
+                  * 1000000 // greatest(s.total, 1)
+                  - ((s.n_cust + 1) * 1000000) // s.n_cust AS BIGINT) AS gini_ppm
+      FROM rk r CROSS JOIN stats s
+      GROUP BY s.n_cust, s.total
+    ),
+    dec AS (
+      SELECT (r.rnk - 1) * 10 // s.n_cust + 1 AS decile,
+             count(*) AS n_customers,
+             CAST(sum(r.dollars) AS BIGINT) AS decile_dollars
+      FROM rk r CROSS JOIN stats s
+      GROUP BY (r.rnk - 1) * 10 // s.n_cust + 1
+    )
+    SELECT d.decile, d.n_customers, d.decile_dollars,
+           CAST(sum(d.decile_dollars)
+                  OVER (ORDER BY d.decile ROWS UNBOUNDED PRECEDING)
+                * 1000000 // greatest(s.total, 1) AS BIGINT) AS cum_share_ppm,
+           g.gini_ppm
+    FROM dec d CROSS JOIN stats s CROSS JOIN gini g
+    """,
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: rank customers by lifetime revenue (whole
+    dollars — exact-cents sums floored to dollars so the rank level is
+    bounded-cardinality), cut into exact rank-deciles, and report each
+    decile's customer count, revenue, and cumulative Lorenz share in
+    exact ppm, plus the Gini coefficient from the rank formula
+    G = 2·Σi·x_i/(n·Σx) − (n+1)/n evaluated entirely in BIGINT (the Σi·x
+    term divides by n BEFORE the ppm scale-up so nothing overflows; past
+    ~2^53-dollar corpora swap in decimal(38)). The who-pays-for-everything
+    curve behind every account-tiering decision.
+
+    Scale: one orders aggregate (shuffle on custkey); the global rank is
+    ``two_phase_rank`` — per-level offsets over the BOUNDED distinct-dollar
+    frame + in-level row_number, never a single-partition sort of the
+    customer frame; deciles then aggregate to 10 rows and the cumulative
+    window runs on those 10."""
+    from ..operators.ranking import two_phase_rank
+    from ..operators.staging import staged as _staged
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)"
+                " div 100"
+            ).alias("dollars")
+        )
+    )
+    rk = _staged(
+        two_phase_rank(
+            rev, "dollars", "o_custkey", rank_col="rnk", ascending=False
+        )
+    )
+    stats = rk.agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("dollars").cast("bigint").alias("total"),
+    )
+    gini = (
+        rk.crossJoin(F.broadcast(stats))
+        .groupBy("n_cust", "total")
+        .agg(
+            F.sum((F.col("n_cust") - F.col("rnk") + 1) * F.col("dollars")).alias(
+                "__six"
+            )
+        )
+        .select(
+            F.expr(
+                "cast((2 * __six div n_cust) * 1000000 div greatest(total, 1)"
+                " - ((n_cust + 1) * 1000000) div n_cust as bigint)"
+            ).alias("gini_ppm")
+        )
+    )
+    dec = (
+        rk.crossJoin(F.broadcast(stats))
+        .groupBy(
+            F.expr("(rnk - 1) * 10 div n_cust + 1").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("dollars").cast("bigint").alias("decile_dollars"),
+        )
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        dec.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(gini))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_dollars",
+            F.sum("decile_dollars").over(wcum).alias("__cum"),
+            "total",
+            "gini_ppm",
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "decile_dollars",
+            F.expr(
+                "cast(__cum * 1000000 div greatest(total, 1) as bigint)"
+            ).alias("cum_share_ppm"),
+            "gini_ppm",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_churn_risk — overdue customers vs their own cadence
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_churn_risk",
+    oracle="""
+    WITH days AS (
+      SELECT o_custkey,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+      FROM orders
+    ),
+    per AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             min(day) AS first_day, max(day) AS last_day
+      FROM days GROUP BY o_custkey
+    ),
+    mx AS (SELECT max(last_day) AS corpus_max FROM per)
+    SELECT o_custkey, n_orders,
+           CAST(last_day - first_day AS BIGINT) AS span_days,
+           CAST(m.corpus_max - last_day AS BIGINT) AS days_since_last,
+           CAST((m.corpus_max - last_day) * (n_orders - 1) * 1000000
+                // greatest(last_day - first_day, 1) AS BIGINT) AS overdue_ppm,
+           CAST(CASE WHEN (m.corpus_max - last_day) * (n_orders - 1)
+                          > 2 * (last_day - first_day)
+                     THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+    FROM per CROSS JOIN mx m
+    WHERE n_orders >= 2
+    """,
+)
+def orders_churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-risk screen: for every repeat customer, how overdue is their
+    next order relative to their OWN historical cadence? The gap sum
+    telescopes (Σ gaps = last − first), so mean inter-order gap needs no
+    window — just min/max/count per customer; ``overdue_ppm`` is
+    days-since-last over mean-gap in exact ppm (integer cross-multiplied:
+    days_since·(n−1)·1e6 // span), and ``at_risk`` flags customers more
+    than 2 mean gaps silent. All epoch-day BIGINT arithmetic; nonnegative
+    operands so truncating division agrees across engines.
+
+    Scale: one orders aggregate (shuffle on custkey) + a broadcast 1-row
+    corpus max; no windows, no self-joins."""
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.expr(
+                "cast(unix_timestamp(o_orderdate) div 86400 as bigint)"
+            ).alias("day"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+        .filter(F.col("n_orders") >= 2)
+    )
+    mx = per.agg(F.max("last_day").alias("corpus_max"))
+    return per.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        "n_orders",
+        F.expr("cast(last_day - first_day as bigint)").alias("span_days"),
+        F.expr("cast(corpus_max - last_day as bigint)").alias(
+            "days_since_last"
+        ),
+        F.expr(
+            "cast((corpus_max - last_day) * (n_orders - 1) * 1000000"
+            " div greatest(last_day - first_day, 1) as bigint)"
+        ).alias("overdue_ppm"),
+        F.expr(
+            "cast(CASE WHEN (corpus_max - last_day) * (n_orders - 1)"
+            " > 2 * (last_day - first_day) THEN 1 ELSE 0 END as bigint)"
+        ).alias("at_risk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_mom_growth — month-over-month / year-over-year revenue growth
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS ym,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT ym, rev_cents,
+           round((rev_cents - lag(rev_cents, 1) OVER (ORDER BY ym)) * 1.0
+                 / lag(rev_cents, 1) OVER (ORDER BY ym), 6) + 0.0 AS mom_growth,
+           round((rev_cents - lag(rev_cents, 12) OVER (ORDER BY ym)) * 1.0
+                 / lag(rev_cents, 12) OVER (ORDER BY ym), 6) + 0.0 AS yoy_growth
+    FROM monthly
+    """,
+)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth over the
+    observed-month sequence (the corpus has every calendar month, so the
+    12-row lag IS the calendar year). Revenue is exact cents (per-term
+    rounding before the sum); growth ratios are the only doubles, rounded
+    6 dp with ``+ 0.0`` normalizing -0.0; first months are NULL by lag
+    semantics — the trend table behind every revenue review.
+
+    Scale: the fact table collapses to ~84 month rows in one map-side-
+    combined aggregate; the unpartitioned lag window runs on that bounded
+    calendar frame, never on data-sized rows."""
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(
+                "cast(year(o_orderdate) * 100 + month(o_orderdate) as bigint)"
+            ).alias("ym")
+        )
+        .agg(
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.orderBy("ym")
+    mom = F.col("rev_cents") - F.lag("rev_cents", 1).over(w)
+    yoy = F.col("rev_cents") - F.lag("rev_cents", 12).over(w)
+    return monthly.select(
+        "ym",
+        "rev_cents",
+        (
+            F.round(mom * 1.0 / F.lag("rev_cents", 1).over(w), 6) + 0.0
+        ).alias("mom_growth"),
+        (
+            F.round(yoy * 1.0 / F.lag("rev_cents", 12).over(w), 6) + 0.0
+        ).alias("yoy_growth"),
     )

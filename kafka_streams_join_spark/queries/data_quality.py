@@ -430,3 +430,87 @@ def dq_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.explode(F.expr(f"array({structs})")).alias("p")
     ).select("p.*")
+
+
+# --------------------------------------------------------------------------
+# dq_iqr_outliers — Tukey-fence outlier audit per numeric column (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_iqr_outliers",
+    oracle="""
+    WITH stacked AS (
+      SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+    ),
+    q AS (
+      SELECT col_name,
+             quantile_cont(v, 0.25) AS q1,
+             quantile_cont(v, 0.75) AS q3
+      FROM stacked GROUP BY col_name
+    )
+    SELECT s.col_name,
+           round(q.q1 + 0.0, 4) AS q1,
+           round(q.q3 + 0.0, 4) AS q3,
+           round(q.q3 - q.q1 + 0.0, 4) AS iqr,
+           round(q.q1 - 1.5 * (q.q3 - q.q1) + 0.0, 4) AS lo_fence,
+           round(q.q3 + 1.5 * (q.q3 - q.q1) + 0.0, 4) AS hi_fence,
+           CAST(sum(CASE WHEN s.v < q.q1 - 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN s.v > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+    FROM stacked s JOIN q USING (col_name)
+    GROUP BY s.col_name, q.q1, q.q3
+    """,
+)
+def dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (1.5·IQR) outlier audit over lineitem's numeric
+    columns: exact q1/q3 (``percentile`` ≡ DuckDB ``quantile_cont``, both
+    linear interpolation), the fences, and how many rows fall outside
+    each — the robust complement to ``events_value_outliers``' z-score
+    screen (fences don't move when the outliers themselves inflate the
+    variance). Fence comparisons use the UNROUNDED double fences — the
+    arithmetic q1 − 1.5·iqr is the same IEEE expression on both engines —
+    and only the report columns are rounded.
+
+    Scale: the unpivot is a projection (no extra scan — one pass stacks 3
+    columns); exact percentile is one sort-based agg per column key (3
+    groups), and the fence counts re-aggregate the same stacked frame
+    with the 3-row quantile table broadcast back; swap in
+    ``approx_percentile`` past memory-bound group sizes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.expr(
+            "stack(3, 'l_quantity', l_quantity,"
+            " 'l_extendedprice', l_extendedprice,"
+            " 'l_discount', l_discount) as (col_name, v)"
+        )
+    )
+    q = stacked.groupBy("col_name").agg(
+        F.expr("percentile(v, 0.25)").alias("q1"),
+        F.expr("percentile(v, 0.75)").alias("q3"),
+    )
+    joined = stacked.join(F.broadcast(q), "col_name")
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return joined.groupBy("col_name", "q1", "q3").agg(
+        F.sum(F.when(F.col("v") < lo, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below"),
+        F.sum(F.when(F.col("v") > hi, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above"),
+    ).select(
+        "col_name",
+        F.round(F.col("q1") + 0.0, 4).alias("q1"),
+        F.round(F.col("q3") + 0.0, 4).alias("q3"),
+        F.round(F.col("q3") - F.col("q1") + 0.0, 4).alias("iqr"),
+        F.round(lo + 0.0, 4).alias("lo_fence"),
+        F.round(hi + 0.0, 4).alias("hi_fence"),
+        "n_below",
+        "n_above",
+    )

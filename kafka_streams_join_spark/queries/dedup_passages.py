@@ -222,3 +222,88 @@ def text_remove_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFram
             "clean_hash"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_passage_containment — doc-level containment-fraction report (r7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_passage_containment",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    win AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i:i + {PASSAGE_W - 1}], ' ')) AS whash
+      FROM tok,
+           unnest(generate_series(1, greatest(len(toks) - {PASSAGE_W} + 1, 0))) AS t(i)
+    ),
+    firstd AS (SELECT whash, min(doc_id) AS first_doc FROM win GROUP BY whash),
+    per AS (
+      SELECT w.doc_id,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN f.first_doc < w.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contained
+      FROM win w JOIN firstd f USING (whash)
+      GROUP BY w.doc_id
+    )
+    SELECT doc_id, n_windows, n_contained,
+           CAST(n_contained * 1000000 // n_windows AS BIGINT)
+             AS containment_ppm
+    FROM per
+    """,
+)
+def dedup_passage_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level containment report over the passage-window hashes: for
+    every document with at least one W-token window, the exact-ppm
+    fraction of its windows that already appear in a LOWER-doc_id
+    document — the keep-first containment policy at document granularity
+    (a doc near 1e6 ppm is a suffix/near-copy of earlier corpus content
+    even when no single span is long enough for the passage cutter).
+    Composes ``dedup_duplicate_passages``' window-hash stage; containment
+    is hash-function-independent (equal windows, not equal hashes, drive
+    the min-doc comparison — the engines' different hashes induce the
+    same equality classes), the same argument as the span detector's.
+
+    Scale: window-hash map stage (wide text never shuffles), one
+    per-hash min aggregate, one hash-keyed join back, one per-doc
+    aggregate — all linear, no pair enumeration; the min-doc frame is
+    the persisted band-index shape ``dedup_incremental_minhash`` probes
+    in production."""
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKS).alias("toks")
+    )
+    win = doc.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {PASSAGE_W}"
+                f" THEN transform(sequence(1, size(toks) - {PASSAGE_W} + 1),"
+                f"   i -> xxhash64(concat_ws(' ', slice(toks, i, {PASSAGE_W}))))"
+                " ELSE array() END"
+            )
+        ).alias("whash"),
+    )
+    win = _staged(win)
+    firstd = win.groupBy("whash").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        win.join(firstd, "whash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(
+                F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_contained"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_windows",
+        "n_contained",
+        F.expr("cast(n_contained * 1000000 div n_windows as bigint)").alias(
+            "containment_ppm"
+        ),
+    )

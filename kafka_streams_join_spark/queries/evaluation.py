@@ -677,3 +677,107 @@ def retrieval_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ap"),
     )
+
+
+# --------------------------------------------------------------------------
+# retrieval_pr_at_k — precision / recall / F1 of the exact top-k (round 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "retrieval_pr_at_k",
+    oracle=f"""
+    WITH ranking AS ({ORACLES["sim_topk_bruteforce"]}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    hits AS (
+      SELECT r.query_id,
+             CAST(sum(CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rel_top
+      FROM ranking r
+      JOIN lab lq ON lq.vec_id = r.query_id
+      JOIN lab ln ON ln.vec_id = r.neighbor_id
+      GROUP BY r.query_id
+    ),
+    nrel AS (
+      SELECT lq.vec_id AS query_id, lq.label,
+             CAST(count(*) AS BIGINT) AS n_rel_corpus
+      FROM lab lq JOIN lab lo
+        ON lo.label = lq.label AND lo.vec_id != lq.vec_id
+      WHERE lq.vec_id % 100 = 0
+      GROUP BY 1, 2
+    )
+    SELECT n.query_id, n.label, n.n_rel_corpus, h.n_rel_top,
+           CAST(h.n_rel_top * 1000000 // {TOP_K} AS BIGINT) AS precision_ppm,
+           CAST(h.n_rel_top * 1000000 // greatest(n.n_rel_corpus, 1)
+                AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN h.n_rel_top * 1000000 // {TOP_K}
+                          + h.n_rel_top * 1000000 // greatest(n.n_rel_corpus, 1)
+                          > 0
+                     THEN 2 * (h.n_rel_top * 1000000 // {TOP_K})
+                            * (h.n_rel_top * 1000000 // greatest(n.n_rel_corpus, 1))
+                            // ((h.n_rel_top * 1000000 // {TOP_K})
+                                + (h.n_rel_top * 1000000 // greatest(n.n_rel_corpus, 1)))
+                     ELSE 0 END AS BIGINT) AS f1_ppm
+    FROM nrel n JOIN hits h ON h.query_id = n.query_id
+    """,
+)
+def retrieval_pr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@{TOP_K} / Recall@{TOP_K} / F1@{TOP_K} per query over the
+    exact cosine top-k (binary relevance = shared embedding label) — the
+    set-based floor of the eval family (MAP/nDCG/MRR weight rank; P/R/F1
+    ignore it), and the pair every recall-vs-precision tradeoff plot
+    starts from. ENTIRELY integer: counts → exact-ppm ratios → harmonic
+    mean via 2pr//(p+r); no float enters, so the oracle hash certifies
+    every position with zero rounding contract.
+
+    Scale: the ranking is the already-gated blocked-GEMM plan; relevance
+    is two broadcast label joins; corpus relevant-counts are a
+    label-cardinality aggregate joined to the stride query list — no new
+    shuffle shape beyond ``retrieval_map_eval``'s."""
+    ranking = sim_topk_bruteforce(spark, sf_dir)
+    lab = _staged(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    )
+    lq = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    ln_ = lab.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    hits = (
+        ranking.join(lq, "query_id")
+        .join(ln_, "neighbor_id")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_rel_top")
+        )
+    )
+    sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_label_rows"))
+    nrel = (
+        lab.filter(F.col("vec_id") % 100 == 0)
+        .join(F.broadcast(sizes), "label")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "label",
+            (F.col("n_label_rows") - 1).cast("bigint").alias("n_rel_corpus"),
+        )
+    )
+    p_sql = f"(n_rel_top * 1000000 div {TOP_K})"
+    r_sql = "(n_rel_top * 1000000 div greatest(n_rel_corpus, 1))"
+    return nrel.join(hits, "query_id").select(
+        "query_id",
+        "label",
+        "n_rel_corpus",
+        "n_rel_top",
+        F.expr(f"cast({p_sql} as bigint)").alias("precision_ppm"),
+        F.expr(f"cast({r_sql} as bigint)").alias("recall_ppm"),
+        F.expr(
+            f"cast(CASE WHEN {p_sql} + {r_sql} > 0"
+            f" THEN (2 * {p_sql} * {r_sql}) div ({p_sql} + {r_sql})"
+            " ELSE 0 END as bigint)"
+        ).alias("f1_ppm"),
+    )

@@ -1155,3 +1155,266 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" <= {_BOT_MAX_MEAN_GAP_S} as int)"
         ).alias("bot_flag"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_bounce_rate — session-size histogram + bounce share (round 7 w5)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    ),
+    sz AS (SELECT user_id, session_seq, count(*) AS n_ev
+           FROM seq GROUP BY user_id, session_seq),
+    tot AS (SELECT count(*) AS n_total FROM sz)
+    SELECT least(n_ev, 5) AS events_in_session,
+           count(*) AS n_sessions,
+           CAST(count(*) * 1000000 // tot.n_total AS BIGINT) AS share_ppm
+    FROM sz CROSS JOIN tot
+    GROUP BY least(n_ev, 5), tot.n_total
+    """,
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-size histogram with exact-ppm shares, sizes capped at 5+
+    (``events_in_session = 5`` is the open bucket). Bucket 1's share IS
+    the bounce rate — the single-event-session fraction every engagement
+    dashboard reports; the other buckets give the depth distribution that
+    decides whether sessionized state (the streaming session_window twin)
+    is worth its shuffle. Reuses ``sessionize_events``' microsecond-exact
+    30-min-gap contract (relational.py).
+
+    Scale: one user-partitioned window pass (key-bounded, no global
+    sort), a (user, session) count that reuses the same hash partitioning,
+    a 5-row histogram aggregate, and a broadcast 1-row total."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    flagged = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.when(
+                (us - F.lag(us).over(w) > 1_800_000_000)
+                | F.lag("ts").over(w).isNull(),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_session"),
+        )
+        .select(
+            "user_id",
+            F.sum("new_session").over(wsum).alias("session_seq"),
+        )
+    )
+    sz = flagged.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_ev")
+    )
+    tot = sz.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        sz.select(F.least(F.col("n_ev"), F.lit(5).cast("long")).alias("events_in_session"))
+        .groupBy("events_in_session")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "events_in_session",
+            "n_sessions",
+            F.expr("cast(n_sessions * 1000000 div n_total as bigint)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events_autocorr_daily — lag-1 / lag-7 autocorrelation of daily volume
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_autocorr_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    st AS (
+      SELECT event_type, count(*) AS n_days, CAST(sum(cnt) AS BIGINT) AS total
+      FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, s.n_days,
+             s.n_days * d.cnt - s.total AS dv,
+             lag(s.n_days * d.cnt - s.total, 1)
+               OVER (PARTITION BY d.event_type ORDER BY d.day) AS dv1,
+             lag(s.n_days * d.cnt - s.total, 7)
+               OVER (PARTITION BY d.event_type ORDER BY d.day) AS dv7
+      FROM daily d JOIN st s USING (event_type)
+    )
+    SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+           CASE WHEN sum(dv * dv) > 0
+                THEN round(sum(CASE WHEN dv1 IS NULL THEN 0 ELSE dv * dv1 END)
+                           * 1.0 / sum(dv * dv), 6) + 0.0 END AS r_lag1,
+           CASE WHEN sum(dv * dv) > 0
+                THEN round(sum(CASE WHEN dv7 IS NULL THEN 0 ELSE dv * dv7 END)
+                           * 1.0 / sum(dv * dv), 6) + 0.0 END AS r_lag7
+    FROM dev GROUP BY event_type
+    """,
+)
+def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 / lag-7 autocorrelation of each event type's daily volume
+    over its observed-day sequence — the seasonality fingerprint (weekly
+    cycle shows as r_lag7 >> r_lag1) that decides forecast model shape
+    before anyone fits one. Exact-integer core: deviations are computed as
+    ``n*x_t - S`` (multiply-through by n, so the mean never becomes a
+    float), numerator and denominator are exact BIGINT sums, and only the
+    final ratio is a double (rounded 6 dp; ``+ 0.0`` normalizes -0.0).
+    NULL when the series is constant (zero variance).
+
+    Scale: daily pre-aggregation shrinks the fact table to (type × day)
+    rows; the per-type stats broadcast back; one type-partitioned window
+    pass over the bounded daily frame; per-term products stay inside
+    BIGINT up to ~3e9 events/day/type (document the decimal fallback past
+    that)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cnt").cast("bigint").alias("total"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    dv = F.col("n_days") * F.col("cnt") - F.col("total")
+    dev = daily.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "n_days",
+        dv.alias("dv"),
+        F.lag(dv, 1).over(w).alias("dv1"),
+        F.lag(dv, 7).over(w).alias("dv7"),
+    )
+    den = F.sum(F.col("dv") * F.col("dv"))
+    num1 = F.sum(F.coalesce(F.col("dv") * F.col("dv1"), F.lit(0).cast("long")))
+    num7 = F.sum(F.coalesce(F.col("dv") * F.col("dv7"), F.lit(0).cast("long")))
+    return dev.groupBy("event_type").agg(
+        F.max("n_days").cast("bigint").alias("n_days"),
+        (
+            F.when(den > 0, F.round(num1 * 1.0 / den, 6) + 0.0)
+        ).alias("r_lag1"),
+        (
+            F.when(den > 0, F.round(num7 * 1.0 / den, 6) + 0.0)
+        ).alias("r_lag7"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_value_drawdown — largest sustained excursion of daily value
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_value_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    st AS (
+      SELECT event_type, count(*) AS n_days,
+             CAST(sum(v_milli) AS BIGINT) AS total
+      FROM daily GROUP BY event_type
+    ),
+    cum AS (
+      SELECT d.event_type, s.n_days, d.day,
+             sum(s.n_days * d.v_milli - s.total)
+               OVER (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING) AS c
+      FROM daily d JOIN st s USING (event_type)
+    ),
+    exc AS (
+      SELECT event_type, n_days,
+             c - min(c) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS up,
+             max(c) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) - c AS down
+      FROM cum
+    )
+    SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+           CAST(max(up) // max(n_days) AS BIGINT) AS max_upswing_milli,
+           CAST(max(down) // max(n_days) AS BIGINT) AS max_drawdown_milli
+    FROM exc GROUP BY event_type
+    """,
+)
+def events_value_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest sustained excursion (up-swing and drawdown) of each event
+    type's cumulative daily-value deviation from its own mean — the
+    magnitude a change-point detector would flag, computed exactly:
+    C_t = Σ(n·x_i − S) over the day sequence, max_t(C_t − min_{s≤t} C_s)
+    and max_t(max_{s≤t} C_s − C_t), reported in value-milli units (÷n).
+    Per-event values are rounded to milli BEFORE summing, so every daily
+    sum — and hence the whole excursion algebra — is exact BIGINT; no
+    float ever enters. The recursive one-sided CUSUM is deliberately
+    reshaped into running-extrema-of-prefix-sums, which IS
+    window-expressible (a recursive max is not).
+
+    Scale: daily pre-aggregation, broadcast per-type stats, one
+    type-partitioned window pass over the bounded daily frame; the
+    nonnegative excursions divide by n with truncation (identical on
+    both engines for nonnegative operands)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("cast(round(value * 1000) as bigint)"))
+            .cast("bigint")
+            .alias("v_milli")
+        )
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("v_milli").cast("bigint").alias("total"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "n_days",
+        "day",
+        F.sum(F.col("n_days") * F.col("v_milli") - F.col("total"))
+        .over(wrun)
+        .alias("c"),
+    )
+    exc = cum.select(
+        "event_type",
+        "n_days",
+        (F.col("c") - F.min("c").over(wrun)).alias("up"),
+        (F.max("c").over(wrun) - F.col("c")).alias("down"),
+    )
+    return exc.groupBy("event_type").agg(
+        F.max("n_days").cast("bigint").alias("n_days"),
+        F.expr("cast(max(up) div max(n_days) as bigint)").alias(
+            "max_upswing_milli"
+        ),
+        F.expr("cast(max(down) div max(n_days) as bigint)").alias(
+            "max_drawdown_milli"
+        ),
+    )

@@ -1340,3 +1340,136 @@ def agg_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("mn.neg_n")).cast("long").alias("modal_n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# round-7 wave 5: bitwise scalar surface, FILTER-clause aggregates,
+# multiset (ALL) set operations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT l_orderkey * 16 + l_linenumber AS key_id,
+           (l_orderkey * 16 + l_linenumber) & 255 AS band,
+           (l_orderkey * 16 + l_linenumber) | 4096 AS bor,
+           xor(l_orderkey * 16 + l_linenumber, 1365) AS bxor,
+           ((l_orderkey * 16 + l_linenumber) & 1023) << 3 AS shl,
+           (l_orderkey * 16 + l_linenumber) >> 2 AS shr,
+           CAST(bit_count(CAST(l_orderkey * 16 + l_linenumber AS BIGINT))
+                AS BIGINT) AS bcount
+    FROM lineitem
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar library: AND/OR/XOR, shifts, popcount — the ops
+    every hash/bucket/bloom implementation in this repo leans on, here
+    surfaced as first-class scalars (Spark ``& | ^ shiftleft shiftright
+    bit_count`` ≡ DuckDB ``& | xor() << >> bit_count``). Pure per-row
+    codegen over a 2-column projection; no shuffle at any scale."""
+    k = "l_orderkey * 16 + l_linenumber"
+    return load_table(spark, sf_dir, "lineitem").select(
+        F.expr(f"{k}").alias("key_id"),
+        F.expr(f"({k}) & 255").alias("band"),
+        F.expr(f"({k}) | 4096").alias("bor"),
+        F.expr(f"({k}) ^ 1365").alias("bxor"),
+        F.expr(f"shiftleft(({k}) & 1023, 3)").cast("long").alias("shl"),
+        F.expr(f"shiftright({k}, 2)").alias("shr"),
+        F.expr(f"cast(bit_count({k}) as bigint)").alias("bcount"),
+    )
+
+
+@register(
+    "agg_filtered_aggregates",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE l_discount >= 0.05) AS n_highdisc,
+           CAST(coalesce(round(sum(l_quantity)
+                  FILTER (WHERE l_shipdate < TIMESTAMP '1995-01-01')), 0)
+                AS BIGINT) AS qty_early,
+           CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  FILTER (WHERE l_discount >= 0.05), 0)
+                AS BIGINT) AS rev_cents_highdisc,
+           CAST(count(DISTINCT l_partkey)
+                  FILTER (WHERE l_quantity >= 40) AS BIGINT) AS n_parts_bulk
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates: per-aggregate predicates inside ONE
+    grouped pass (count / sum / distinct-count each with its own WHERE) —
+    the SQL:2003 surface that otherwise forces N scans or N conditional
+    CASE pyramids. Sums use the repo's exact contracts (integral-valued
+    quantities rounded after the sum; prices per-term-rounded to cents
+    before it); empty filter groups coalesce to 0 on both engines.
+
+    Scale: a single map-side-combined hash aggregate over a 6-column
+    projection — the per-aggregate filters evaluate row-side before the
+    combine, so the shuffle carries only the 4-group partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("count(1) FILTER (WHERE l_discount >= 0.05D)").alias(
+            "n_highdisc"
+        ),
+        F.expr(
+            "cast(coalesce(round(sum(l_quantity)"
+            " FILTER (WHERE l_shipdate < TIMESTAMP '1995-01-01')), 0)"
+            " as bigint)"
+        ).alias("qty_early"),
+        F.expr(
+            "cast(coalesce(sum(cast(round(l_extendedprice * 100) as bigint))"
+            " FILTER (WHERE l_discount >= 0.05D), 0) as bigint)"
+        ).alias("rev_cents_highdisc"),
+        F.expr(
+            "cast(count(DISTINCT l_partkey) FILTER (WHERE l_quantity >= 40D)"
+            " as bigint)"
+        ).alias("n_parts_bulk"),
+    )
+
+
+@register(
+    "set_ops_all",
+    oracle="""
+    WITH a AS (
+      SELECT l_partkey, l_suppkey FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1995-06-01'
+    ),
+    b AS (
+      SELECT l_partkey, l_suppkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+    )
+    SELECT 'intersect_all' AS op, l_partkey, l_suppkey
+    FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'except_all', l_partkey, l_suppkey
+    FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    """,
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations — INTERSECT ALL / EXCEPT ALL preserve
+    multiplicity (a (part, supp) pair shipped 3× early and 2× late
+    intersects twice and excepts once), the bag semantics the DISTINCT
+    variants (``set_intersect`` / ``set_except``) deliberately erase.
+    Split point is a fixed calendar date so both legs are partition-
+    prunable scans.
+
+    Scale: Spark plans both as a single hash aggregate per side (count
+    per key, then min/diff of multiplicities) — one shuffle each on the
+    pair key, no sort; the two legs union without a barrier."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate"
+    )
+    cut = F.to_timestamp(F.lit("1995-06-01"))
+    a = li.filter(F.col("l_shipdate") < cut).drop("l_shipdate")
+    b = li.filter(F.col("l_shipdate") >= cut).drop("l_shipdate")
+    inter = a.intersectAll(b).select(
+        F.lit("intersect_all").alias("op"), "l_partkey", "l_suppkey"
+    )
+    exc = a.exceptAll(b).select(
+        F.lit("except_all").alias("op"), "l_partkey", "l_suppkey"
+    )
+    return inter.unionAll(exc)

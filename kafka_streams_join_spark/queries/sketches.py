@@ -970,3 +970,79 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sketch_linear_counting — bitmap distinct estimator with an EXACT merge law
+# --------------------------------------------------------------------------
+
+_LC_M = 65536  # bitmap width; load factor stays <1 up to ~50k distinct/group
+
+_LC_BUCKET_SPARK = (
+    "cast(conv(substring(md5(cast(user_id as string)), 1, 10), 16, 10)"
+    f" % {_LC_M} as bigint)"
+)
+_LC_BUCKET_SQL = (
+    "CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10)"
+    f" AS BIGINT) % {_LC_M} AS BIGINT)"
+)
+
+
+@register(
+    "sketch_linear_counting",
+    oracle=f"""
+    SELECT CASE WHEN grouping(event_type) = 1 THEN '__all__'
+                ELSE event_type END AS scope,
+           CAST(count(DISTINCT {_LC_BUCKET_SQL}) AS BIGINT) AS n_bits_set,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           CAST(round({_LC_M}.0 * ln({_LC_M}.0 /
+                ({_LC_M}.0 - count(DISTINCT {_LC_BUCKET_SQL}))) * 1000)
+                AS BIGINT) AS est_milli
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), ())
+    """,
+)
+def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct-user sketch per event type plus the
+    merged ``__all__`` scope: the sketch is the SET OF SET BITS (40-bit
+    md5-prefix hash mod m={_LC_M}), the estimator is m·ln(m/(m−b)), and —
+    unlike probabilistic accuracy — the MERGE LAW IS EXACT: the union
+    scope's bit set is precisely the union of the per-type bit sets
+    (distinct-of-union ≡ union-of-distincts), which is what makes this a
+    mergeable sketch a combiner can hold. ``exact_distinct`` rides along
+    so the report shows the estimator's error against truth. Single ln()
+    call rounded to milli; D-suffix-free because the DataFrame-side
+    literal is a Python float, and the oracle writes {_LC_M}.0.
+
+    Scale: one Expand (grouping-sets) pass + a distinct-aggregate shuffle
+    keyed on (scope, bucket) — bucket cardinality caps the per-scope
+    state at m bits regardless of row count; that cap IS the sketch's
+    memory contract. Saturated bitmaps (b = m) would need the wider-m
+    rung, enforced loudly by the ln() domain."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(_LC_BUCKET_SPARK).alias("bucket"),
+        "user_id",
+    )
+    m = float(_LC_M)
+    return (
+        ev.cube("event_type")
+        .agg(
+            F.grouping("event_type").alias("__g"),
+            F.countDistinct("bucket").alias("n_bits_set"),
+            F.countDistinct("user_id").alias("exact_distinct"),
+        )
+        .select(
+            F.when(F.col("__g") == 1, F.lit("__all__"))
+            .otherwise(F.col("event_type"))
+            .alias("scope"),
+            F.col("n_bits_set").cast("bigint").alias("n_bits_set"),
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            F.round(
+                F.lit(m) * F.log(F.lit(m) / (F.lit(m) - F.col("n_bits_set")))
+                * 1000
+            )
+            .cast("bigint")
+            .alias("est_milli"),
+        )
+    )

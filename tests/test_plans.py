@@ -1408,3 +1408,97 @@ def test_kfold_split_is_one_scan(spark):
     plan = explain_str(df, "simple")
     assert plan.count("FileScan parquet") <= 2, plan[:1500]
     assert_read_schema_pruned(df, max_columns=2)
+
+
+# --------------------------------------------------------------------------
+# round-7 wave 5: concentration/cadence analytics, SQL surface, sketches
+# --------------------------------------------------------------------------
+
+_W5_NAMES = (
+    "events_bounce_rate",
+    "events_autocorr_daily",
+    "events_value_drawdown",
+    "orders_pareto_share",
+    "orders_churn_risk",
+    "orders_mom_growth",
+    "dq_iqr_outliers",
+    "scalar_bitwise_funcs",
+    "agg_filtered_aggregates",
+    "set_ops_all",
+    "sketch_linear_counting",
+    "retrieval_pr_at_k",
+    "dedup_passage_containment",
+)
+
+
+def test_round7_wave5_no_cartesians(spark):
+    """Blanket gate for the wave: no data-sized cartesian anywhere (1-row
+    broadcast stat frames plan as BNLJ, which the gate allows)."""
+    for name in _W5_NAMES:
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert "CartesianProduct" not in explain_str(df), name
+
+
+def test_bitwise_scan_prunes_to_two_columns(spark):
+    """Pure scalar query: the parquet scan must read exactly the two key
+    columns, everything else codegen."""
+    df = QUERIES["scalar_bitwise_funcs"](spark, SF_SMOKE)
+    assert_read_schema_pruned(df, max_columns=2)
+    assert_wholestage_codegen(df)
+
+
+def test_filtered_aggregates_single_scan(spark):
+    """FILTER-clause aggregates must stay ONE grouped pass over one scan —
+    the entire point of the clause vs N filtered scans."""
+    df = QUERIES["agg_filtered_aggregates"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan[:1500]
+
+
+def test_set_ops_all_pushes_split_predicate(spark):
+    """Both legs must push the shipdate split to the parquet scan."""
+    df = QUERIES["set_ops_all"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_churn_and_mom_windows_are_bounded(spark):
+    """orders_churn_risk is window-free; orders_mom_growth's lone
+    unpartitioned window runs on the post-aggregate month frame (bounded
+    by the calendar), which the single-partition meta-gate exempts only
+    because the aggregate precedes it — assert that shape (an Aggregate
+    below the Window in the optimized plan)."""
+    churn = QUERIES["orders_churn_risk"](spark, SF_SMOKE)
+    assert "Window" not in explain_str(churn, "simple")
+    mom = QUERIES["orders_mom_growth"](spark, SF_SMOKE)
+    opt = mom._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.index("Window") < opt.index("Aggregate")
+
+
+def test_pareto_rank_has_no_global_sort_of_customers(spark):
+    """The customer frame must reach its rank via two_phase_rank's
+    level-offset join, never a rangepartitioning Exchange."""
+    df = QUERIES["orders_pareto_share"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "rangepartitioning" not in plan.lower().replace(" ", ""), plan[:2000]
+
+
+def test_linear_counting_single_scan_grouping_sets(spark):
+    """Per-type and merged scopes must come from ONE scan (Expand), not a
+    union of two aggregates."""
+    df = QUERIES["sketch_linear_counting"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan[:1500]
+    assert "Expand" in plan
+
+
+def test_passage_containment_text_never_shuffles(spark):
+    """The wide text column must die in the map stage: no Exchange row
+    carries `text` (the window-hash frame is (doc_id, whash) only)."""
+    df = QUERIES["dedup_passage_containment"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
