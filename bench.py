@@ -189,6 +189,32 @@ RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest
 RUNS_COVERAGE = 2  # coverage tier: one warm-up + one timed run
 
 
+def prev_round_baseline(
+    lines: list[dict], sf_val: float, cur_round: int
+) -> tuple[int | None, dict[str, float]]:
+    """Canary baseline: per-query MIN across ALL of the newest previous
+    round's history lines at the same sf — not just the last line. A single
+    noisy run used to poison the baseline both ways (round-7 observed two
+    same-round sf0.1 runs where bursty co-tenant load inflated DISJOINT
+    query subsets 2-5x each); min-over-runs is the same best-of policy the
+    headline metric already uses, so the canary compares like with like."""
+    prev_round: int | None = None
+    for rec in lines:
+        if rec.get("sf") == sf_val and rec.get("round", 0) < cur_round:
+            rnd = rec["round"]
+            if prev_round is None or rnd > prev_round:
+                prev_round = rnd
+    if prev_round is None:
+        return None, {}
+    prev_q: dict[str, float] = {}
+    for rec in lines:
+        if rec.get("sf") == sf_val and rec.get("round") == prev_round:
+            for name, secs in rec.get("queries", {}).items():
+                if name not in prev_q or secs < prev_q[name]:
+                    prev_q[name] = secs
+    return prev_round, prev_q
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -327,23 +353,21 @@ def main() -> int:
 
     # Quadratic-blowup canary (round 7, VERDICT r6 task 4): the sf0.1-only
     # bench hid graph_common_neighbors' Σdeg² wedge stage until a COVERAGE
-    # run surfaced it. Diff against the previous round's last history line
-    # at the SAME sf: print the top-5 slowest queries this run, and a
-    # fail-loud WARNING line for any query regressing >2x round-over-round.
-    prev_q: dict[str, float] = {}
-    prev_round = None
+    # run surfaced it. Diff against the previous round's best-of-runs
+    # baseline at the SAME sf (prev_round_baseline): print the top-5
+    # slowest queries this run, and a fail-loud WARNING line for any query
+    # regressing >2x round-over-round.
+    records: list[dict] = []
     try:
         with open(os.path.join(here, "BENCH_HISTORY.jsonl")) as f:
             for line in f:
                 try:
-                    rec = json.loads(line)
+                    records.append(json.loads(line))
                 except ValueError:
                     continue
-                if rec.get("sf") == sf_val and rec.get("round", 0) < cur_round:
-                    if prev_round is None or rec["round"] >= prev_round:
-                        prev_round, prev_q = rec["round"], rec.get("queries", {})
     except OSError:
         pass
+    prev_round, prev_q = prev_round_baseline(records, sf_val, cur_round)
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     for name, secs in slowest:
         prev = prev_q.get(name)
