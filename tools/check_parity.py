@@ -21,6 +21,17 @@ from kafka_streams_join_spark.session import get_spark
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     filters = sys.argv[2:]
+    if filters:
+        # Filters are SUBSTRINGS, one per argv. A single "a|b|c" arg is not a
+        # regex and matches nothing — which used to print a vacuous ALL PASS.
+        # Fail loudly instead: every filter must select at least one query.
+        dead = [f for f in filters if not any(f in n for n in QUERIES)]
+        if dead:
+            print(f"ERROR: name filter(s) match no registered query: {dead}")
+            print("(filters are plain substrings, one per argument — not regex)")
+            return 2
+        n_sel = sum(1 for n in QUERIES if any(f in n for f in filters))
+        print(f"# filters select {n_sel}/{len(QUERIES)} queries")
     spark = get_spark("check_parity")
     con = duckdb_connection(sf_dir)
     failures = 0
