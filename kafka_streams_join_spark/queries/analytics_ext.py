@@ -403,8 +403,8 @@ def dedup_common_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT priority, count(*) AS n_lines,
            CAST(min(days) AS BIGINT) AS min_days,
-           round(quantile_cont(days, 0.5) + 0.0, 4) AS p50_days,
-           round(quantile_cont(days, 0.9) + 0.0, 4) AS p90_days,
+           round(quantile_cont(days, 0.5), 4) + 0.0 AS p50_days,
+           round(quantile_cont(days, 0.9), 4) + 0.0 AS p90_days,
            CAST(max(days) AS BIGINT) AS max_days
     FROM lat GROUP BY priority
     """,
@@ -433,8 +433,8 @@ def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lat.groupBy("priority").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.min("days").cast("bigint").alias("min_days"),
-        F.expr("round(percentile(days, 0.5) + 0.0, 4)").alias("p50_days"),
-        F.expr("round(percentile(days, 0.9) + 0.0, 4)").alias("p90_days"),
+        F.expr("round(percentile(days, 0.5), 4) + 0.0").alias("p50_days"),
+        F.expr("round(percentile(days, 0.9), 4) + 0.0").alias("p90_days"),
         F.max("days").cast("bigint").alias("max_days"),
     )
 
@@ -512,8 +512,8 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND t_purchase >= t_click
     )
     SELECT transition, count(*) AS n_users,
-           round(quantile_cont(delta_s, 0.5) + 0.0, 4) AS p50_s,
-           round(quantile_cont(delta_s, 0.9) + 0.0, 4) AS p90_s
+           round(quantile_cont(delta_s, 0.5), 4) + 0.0 AS p50_s,
+           round(quantile_cont(delta_s, 0.9), 4) + 0.0 AS p90_s
     FROM deltas GROUP BY transition
     """,
 )
@@ -566,8 +566,8 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return vc.unionByName(cp).groupBy("transition").agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.expr("round(percentile(delta_s, 0.5) + 0.0, 4)").alias("p50_s"),
-        F.expr("round(percentile(delta_s, 0.9) + 0.0, 4)").alias("p90_s"),
+        F.expr("round(percentile(delta_s, 0.5), 4) + 0.0").alias("p50_s"),
+        F.expr("round(percentile(delta_s, 0.9), 4) + 0.0").alias("p90_s"),
     )
 
 
@@ -581,8 +581,9 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH computed AS (
       SELECT l_orderkey AS okey,
-             CAST(round(sum(l_extendedprice * (1 - l_discount)
-                            * (1 + l_tax)) * 100) AS BIGINT) AS calc_cents
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 100) AS BIGINT))
+                  AS BIGINT) AS calc_cents
       FROM lineitem GROUP BY l_orderkey
     ),
     joined AS (
@@ -615,8 +616,13 @@ def dq_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit every warehouse runs between a fact table and its rollup
     header (on this synthetic corpus the generator draws totals
     independently, and the audit SAYS so loudly — that is the finding).
-    Cents via round(·100) on the 2-dp money values; thresholds compare
-    integers cross-multiplied, so classification is exact BIGINT.
+    Cents via PER-LINE round(·100) → BIGINT, THEN an integer sum (the
+    repo's per-term-rounding contract, as in ``orders_mom_growth``):
+    rounding after a double sum would make a half-cent-boundary order's
+    cent value depend on float summation order — Spark's partial-agg
+    order vs DuckDB's sequential order, or even Spark run-to-run.
+    Thresholds compare integers cross-multiplied, so classification is
+    exact BIGINT.
 
     Scale: one per-order aggregate + one key equi-join + a 4-bucket
     aggregate; the 1-row total broadcasts."""
@@ -625,8 +631,8 @@ def dq_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_orderkey").alias("okey"))
         .agg(
             F.expr(
-                "cast(round(sum(l_extendedprice * (1 - l_discount)"
-                " * (1 + l_tax)) * 100) as bigint)"
+                "cast(sum(cast(round(l_extendedprice * (1 - l_discount)"
+                " * (1 + l_tax) * 100) as bigint)) as bigint)"
             ).alias("calc_cents")
         )
     )
@@ -908,9 +914,16 @@ def orders_churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     than 2 mean gaps silent. All epoch-day BIGINT arithmetic; nonnegative
     operands so truncating division agrees across engines.
 
-    Scale: one orders aggregate (shuffle on custkey) + a broadcast 1-row
-    corpus max; no windows, no self-joins."""
-    per = (
+    Scale: one staged orders aggregate (shuffle on custkey, consumed by
+    both the corpus max and the output) + a broadcast 1-row corpus max;
+    no windows, no self-joins."""
+    from ..operators.staging import staged as _staged
+
+    # corpus_max is the max last-order day over ALL customers (the oracle's
+    # mx CTE is computed before its WHERE n_orders >= 2) — filtering repeat
+    # customers first would anchor "days since last" to a stale day whenever
+    # the corpus's latest order belongs only to one-time customers.
+    per_all = _staged(
         load_table(spark, sf_dir, "orders")
         .select(
             "o_custkey",
@@ -924,9 +937,9 @@ def orders_churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("day").alias("first_day"),
             F.max("day").alias("last_day"),
         )
-        .filter(F.col("n_orders") >= 2)
     )
-    mx = per.agg(F.max("last_day").alias("corpus_max"))
+    mx = per_all.agg(F.max("last_day").alias("corpus_max"))
+    per = per_all.filter(F.col("n_orders") >= 2)
     return per.crossJoin(F.broadcast(mx)).select(
         "o_custkey",
         "n_orders",

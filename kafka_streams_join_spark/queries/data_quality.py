@@ -454,11 +454,11 @@ def dq_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM stacked GROUP BY col_name
     )
     SELECT s.col_name,
-           round(q.q1 + 0.0, 4) AS q1,
-           round(q.q3 + 0.0, 4) AS q3,
-           round(q.q3 - q.q1 + 0.0, 4) AS iqr,
-           round(q.q1 - 1.5 * (q.q3 - q.q1) + 0.0, 4) AS lo_fence,
-           round(q.q3 + 1.5 * (q.q3 - q.q1) + 0.0, 4) AS hi_fence,
+           round(q.q1, 6) + 0.0 AS q1,
+           round(q.q3, 6) + 0.0 AS q3,
+           round(q.q3 - q.q1, 6) + 0.0 AS iqr,
+           round(q.q1 - 1.5 * (q.q3 - q.q1), 6) + 0.0 AS lo_fence,
+           round(q.q3 + 1.5 * (q.q3 - q.q1), 6) + 0.0 AS hi_fence,
            CAST(sum(CASE WHEN s.v < q.q1 - 1.5 * (q.q3 - q.q1)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
            CAST(sum(CASE WHEN s.v > q.q3 + 1.5 * (q.q3 - q.q1)
@@ -506,11 +506,20 @@ def dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_above"),
     ).select(
         "col_name",
-        F.round(F.col("q1") + 0.0, 4).alias("q1"),
-        F.round(F.col("q3") + 0.0, 4).alias("q3"),
-        F.round(F.col("q3") - F.col("q1") + 0.0, 4).alias("iqr"),
-        F.round(lo + 0.0, 4).alias("lo_fence"),
-        F.round(hi + 0.0, 4).alias("hi_fence"),
+        # 6 dp, NOT 4: the 2-dp money columns put q1/q3 on an exact
+        # quarter-cent lattice (linear interpolation at p=.25/.75) and the
+        # 1.5x fences on an eighth-cent lattice — 5-dp decimals whose 4-dp
+        # round is an exact .5 half-way case where the engines disagree
+        # (Spark BigDecimal HALF_UP vs DuckDB's scaled-double rounding;
+        # observed at sf0.1: lo_fence -51094.37125 -> .3713 vs .3712).
+        # At 6 dp the lattice never sits on a boundary. + 0.0 AFTER the
+        # round (the repo's -0.0 contract): round() itself can produce
+        # -0.0 from a tiny negative fence.
+        (F.round(F.col("q1"), 6) + 0.0).alias("q1"),
+        (F.round(F.col("q3"), 6) + 0.0).alias("q3"),
+        (F.round(F.col("q3") - F.col("q1"), 6) + 0.0).alias("iqr"),
+        (F.round(lo, 6) + 0.0).alias("lo_fence"),
+        (F.round(hi, 6) + 0.0).alias("hi_fence"),
         "n_below",
         "n_above",
     )

@@ -658,9 +658,14 @@ def retrieval_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_label_rows"))
+    # Queries whose label is unique in the corpus (n_rel_corpus = 0) are not
+    # evaluable: the oracle's inner self-join (lo.label = lq.label AND
+    # lo.vec_id != lq.vec_id) drops them, and keeping them here would both
+    # mismatch row counts and divide ap_num by least(k, 0) = 0 → NaN.
     nrel = (
         lab.filter(F.col("vec_id") % 100 == 0)
         .join(F.broadcast(sizes), "label")
+        .filter(F.col("n_label_rows") >= 2)
         .select(
             F.col("vec_id").alias("query_id"),
             "label",
@@ -757,9 +762,12 @@ def retrieval_pr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_label_rows"))
+    # Unique-label queries (n_rel_corpus = 0) are dropped to match the
+    # oracle's inner self-join — see retrieval_map_eval's nrel note.
     nrel = (
         lab.filter(F.col("vec_id") % 100 == 0)
         .join(F.broadcast(sizes), "label")
+        .filter(F.col("n_label_rows") >= 2)
         .select(
             F.col("vec_id").alias("query_id"),
             "label",

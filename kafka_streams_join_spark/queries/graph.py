@@ -734,7 +734,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a, b = basket.alias("a"), basket.alias("b")
-    wpairs = (
+    # staged: both branches of the sym union consume it — unstaged, the
+    # basket self-join + groupBy would execute twice (the exact recompute
+    # graph_common_neighbors' round-7 rework fixed, graph.py:399-401)
+    wpairs = _staged(
         a.join(
             b,
             (F.col("a.okey") == F.col("b.okey"))
@@ -971,9 +974,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-number skew diagnostic for every per-node join in this family.
 
     Determinism: all five sums are exact BIGINTs (degrees are bounded
-    ints); only the final Pearson ratio touches doubles — numerator and
-    both variance terms enter as exact integers, each variance square-
-    rooted separately so nothing overflows, one round at milli scale.
+    ints); the m·Σx² − (Σx)² cross terms are exact DECIMAL(38,0) — BIGINT
+    would overflow at sf ≳ 1 where DuckDB's sum() silently widens to
+    INT128 — and only the final Pearson ratio touches doubles, each
+    variance square-rooted separately, one round at milli scale.
 
     Scale: one degree aggregate, two node-keyed equi-joins to annotate
     edge endpoints (narrow int rows), one global 6-sum aggregate."""
@@ -999,14 +1003,23 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("x * x")).alias("sxx"),
         F.sum(F.expr("y * y")).alias("syy"),
     )
+    # The m·sxx / sx·sx products exceed BIGINT once m ≳ 10^7 with hub
+    # degrees ~10^3-10^4 (sf ≳ 1), and ANSI mode throws where DuckDB's
+    # sum() has already widened to HUGEINT (INT128) — so the cross terms
+    # are computed in DECIMAL(38,0) (exact, bounded by 10^38) and only the
+    # final Pearson ratio drops to double, matching the oracle's
+    # INT128-exact-then-double path bit for bit.
+    dec = "cast({} as decimal(38,0))".format
+    varx = f"({dec('m')} * {dec('sxx')} - {dec('sx')} * {dec('sx')})"
+    vary = f"({dec('m')} * {dec('syy')} - {dec('sy')} * {dec('sy')})"
+    num = f"({dec('m')} * {dec('sxy')} - {dec('sx')} * {dec('sy')})"
     return sums.select(
         F.col("m").cast("bigint").alias("n_edges_directed"),
         F.expr(
-            "cast(CASE WHEN (m * sxx - sx * sx) = 0"
-            " OR (m * syy - sy * sy) = 0 THEN 0"
-            " ELSE round(1000.0D * (m * sxy - sx * sy)"
-            " / (sqrt(cast(m * sxx - sx * sx as double))"
-            " * sqrt(cast(m * syy - sy * sy as double))))"
+            f"cast(CASE WHEN {varx} = 0 OR {vary} = 0 THEN 0"
+            f" ELSE round(1000.0D * cast({num} as double)"
+            f" / (sqrt(cast({varx} as double))"
+            f" * sqrt(cast({vary} as double))))"
             " END as bigint)"
         ).alias("assortativity_milli"),
     )
@@ -1238,14 +1251,19 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(d_c * 1000000 div (2 * m_und)) * d_c div (2 * m_und)"
         ).alias("expect_ppm"),
     )
-    return terms.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
-    ).crossJoin(F.broadcast(m.select(F.col("m_und").cast("bigint").alias("m_edges")))).crossJoin(
-        F.broadcast(
-            terms.agg(
-                F.expr(
-                    "cast(sum(cover_ppm) - sum(expect_ppm) as bigint)"
-                ).alias("q_ppm")
+    # ONE aggregation pass over terms: a separate count + sum pair would
+    # re-execute the edges⋈labels⋈labels annotation chain per aggregate
+    return (
+        terms.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+            F.expr(
+                "cast(sum(cover_ppm) - sum(expect_ppm) as bigint)"
+            ).alias("q_ppm"),
+        )
+        .crossJoin(
+            F.broadcast(
+                m.select(F.col("m_und").cast("bigint").alias("m_edges"))
             )
         )
+        .select("n_communities", "m_edges", "q_ppm")
     )

@@ -300,9 +300,16 @@ def _ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     replays it: bit_k = chunk_sum_k * n_bytes > total_sum * chunk_len_k
     (cross-multiplied means, no floats)."""
     for pdf in batches:
+        ids = []
         hashes = []
-        for b in pdf["payload"]:
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
             n = len(b)
+            # Zero-byte blobs are unhashable (a real decoder would reject
+            # them); the oracle's generate_series(1, 0) produces no byte
+            # rows for them, so emitting ahash=0 here would pair every
+            # empty blob with every other as a hamming-0 "near-dup".
+            if n == 0:
+                continue
             vals = list(b)
             total = sum(vals)
             sums = [0] * _PH_BITS
@@ -315,8 +322,10 @@ def _ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for k in range(_PH_BITS):
                 if sums[k] * n > total * cnts[k]:
                     h |= 1 << k
+            ids.append(doc_id)
             hashes.append(h)
-        yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": hashes})
+        yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                            "ahash": pd.Series(hashes, dtype="int64")})
 
 
 @register(
@@ -490,9 +499,9 @@ def mm_dedup_exact_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT modality, count(*) AS n_assets,
            CAST(min(nb) AS BIGINT) AS min_bytes,
-           round(quantile_cont(nb, 0.5) + 0.0, 4) AS p50_bytes,
-           round(quantile_cont(nb, 0.9) + 0.0, 4) AS p90_bytes,
-           round(quantile_cont(nb, 0.99) + 0.0, 4) AS p99_bytes,
+           round(quantile_cont(nb, 0.5), 4) + 0.0 AS p50_bytes,
+           round(quantile_cont(nb, 0.9), 4) + 0.0 AS p90_bytes,
+           round(quantile_cont(nb, 0.99), 4) + 0.0 AS p99_bytes,
            CAST(max(nb) AS BIGINT) AS max_bytes,
            CAST(sum(nb) AS BIGINT) AS total_bytes
     FROM t GROUP BY modality
@@ -517,9 +526,9 @@ def mm_size_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("modality").agg(
         F.count(F.lit(1)).alias("n_assets"),
         F.min("nb").cast("bigint").alias("min_bytes"),
-        F.expr("round(percentile(nb, 0.5) + 0.0, 4)").alias("p50_bytes"),
-        F.expr("round(percentile(nb, 0.9) + 0.0, 4)").alias("p90_bytes"),
-        F.expr("round(percentile(nb, 0.99) + 0.0, 4)").alias("p99_bytes"),
+        F.expr("round(percentile(nb, 0.5), 4) + 0.0").alias("p50_bytes"),
+        F.expr("round(percentile(nb, 0.9), 4) + 0.0").alias("p90_bytes"),
+        F.expr("round(percentile(nb, 0.99), 4) + 0.0").alias("p99_bytes"),
         F.max("nb").cast("bigint").alias("max_bytes"),
         F.sum("nb").cast("bigint").alias("total_bytes"),
     )

@@ -694,11 +694,11 @@ _HSQ_H_SQL = (
                 * {_HSQ_RATE} AS BIGINT)             AS est_total,
            CAST(abs(sum(CASE WHEN smp THEN 1 ELSE 0 END) * {_HSQ_RATE}
                     - count(*)) * 1000000 // count(*) AS BIGINT) AS err_ppm,
-           round(quantile_cont(CASE WHEN smp THEN price END, 0.5) + 0.0, 4)
+           round(quantile_cont(CASE WHEN smp THEN price END, 0.5), 4) + 0.0
              AS q50,
-           round(quantile_cont(CASE WHEN smp THEN price END, 0.9) + 0.0, 4)
+           round(quantile_cont(CASE WHEN smp THEN price END, 0.9), 4) + 0.0
              AS q90,
-           round(quantile_cont(CASE WHEN smp THEN price END, 0.99) + 0.0, 4)
+           round(quantile_cont(CASE WHEN smp THEN price END, 0.99), 4) + 0.0
              AS q99
     FROM t
     GROUP BY returnflag
@@ -739,9 +739,9 @@ def sketch_hash_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(abs(sum(CASE WHEN smp THEN 1 ELSE 0 END) * {_HSQ_RATE}"
             " - count(1)) * 1000000 div count(1) as bigint)"
         ).alias("err_ppm"),
-        F.expr(f"round(percentile({spr}, 0.5) + 0.0, 4)").alias("q50"),
-        F.expr(f"round(percentile({spr}, 0.9) + 0.0, 4)").alias("q90"),
-        F.expr(f"round(percentile({spr}, 0.99) + 0.0, 4)").alias("q99"),
+        F.expr(f"round(percentile({spr}, 0.5), 4) + 0.0").alias("q50"),
+        F.expr(f"round(percentile({spr}, 0.9), 4) + 0.0").alias("q90"),
+        F.expr(f"round(percentile({spr}, 0.99), 4) + 0.0").alias("q99"),
     )
 
 
