@@ -115,6 +115,9 @@ _RECERTIFY_FROM_ROUND = {
     # round-7 reworks
     "graph_common_neighbors": 7,  # staged wpairs/adj + top-_CN_CAP recall contract
     "graph_kcore_peel": 7,  # staging trimmed to the per-round edge frame
+    # round-7 end-of-round fixes for sf0.1-only parity divergences
+    "pipeline_importance_resample": 7,  # iw gains the +0.0 -0.0 contract
+    "emb_silhouette_by_label": 7,  # integer-micro sils + floor-at-micro mean
 }
 
 

@@ -111,12 +111,14 @@ def emb_pca_project_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT vec_id, own_label,
-             round((b - a) / greatest(a, b), 6) AS sil
+             CAST(round(1000000.0 * (b - a) / greatest(a, b)) AS BIGINT)
+               AS sil_micro
       FROM ab
     )
     SELECT own_label AS label, count(*) AS n,
-           round(avg(sil), 6) AS mean_silhouette,
-           CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           floor(sum(sil_micro) * 1.0 / count(*)) / 1000000.0 + 0.0
+             AS mean_silhouette,
+           CAST(sum(CASE WHEN sil_micro < 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_misfit
     FROM s GROUP BY own_label
     """,
@@ -132,8 +134,14 @@ def emb_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     distances (O(n²)); this needs one centroid table.
 
     Determinism: distances are 6-dp rounded BEFORE the min/compare (the
-    k-means contract), so a/b/s and the s<0 boundary decide identically
-    in both engines.
+    k-means contract); per-row silhouettes are EXACT INTEGER micro-units
+    (round-to-integer of a shared double is engine-consistent — there is
+    no second decimal scaling for the engines to disagree on, unlike
+    round(x, 6)); and the label mean is floor(Σmicro/n) at micro scale —
+    round(avg(sil), 6) hit an exact half-way quotient at sf0.1
+    (Σmicro/n = −8383.5 → Spark −0.008383 vs DuckDB −0.008384), while
+    floor is flat between integers and IEEE division is correctly
+    rounded when the true quotient IS an integer, so no boundary exists.
 
     Scale: label-cardinality centroid aggregate (posexplode + map-side
     combine) broadcasts into a one-scan scoring pass; per-vector work is
@@ -169,14 +177,18 @@ def emb_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = ab.select(
         "own_label",
-        F.round(
-            (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")), 6
-        ).alias("sil"),
+        F.expr(
+            "cast(round(1000000.0D * (b - a) / greatest(a, b)) as bigint)"
+        ).alias("sil_micro"),
     )
     return s.groupBy(F.col("own_label").alias("label")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("sil"), 6).alias("mean_silhouette"),
-        F.sum(F.when(F.col("sil") < 0, 1).otherwise(0))
+        (
+            F.expr("floor(sum(sil_micro) * 1.0D / count(1))")
+            / F.lit(1000000.0)
+            + F.lit(0.0)
+        ).alias("mean_silhouette"),
+        F.sum(F.when(F.col("sil_micro") < 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_misfit"),
     )

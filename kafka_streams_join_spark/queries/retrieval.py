@@ -396,7 +396,7 @@ _DSIR_BUCKET_SQL = (
     w AS (
       SELECT feat.doc_id,
              count(*) AS n_toks,
-             round(avg(lam.lam), 4) AS iw
+             round(avg(lam.lam), 4) + 0.0 AS iw
       FROM feat JOIN lam USING (bucket)
       GROUP BY feat.doc_id
     ),
@@ -472,7 +472,12 @@ def pipeline_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_toks"),
-            F.round(F.avg("lam"), 4).alias("iw"),
+            # + 0.0 after the round (the -0.0 contract): a doc whose mean
+            # log-likelihood-ratio is a tiny negative rounds to -0.0 in
+            # DuckDB's double rounding but +0.0 through Spark's BigDecimal
+            # path (observed at sf0.1); -0.0 == 0.0 in both engines' sorts,
+            # so normalizing is rank-preserving.
+            (F.round(F.avg("lam"), 4) + 0.0).alias("iw"),
         )
     )
     weights = _staged(weights)
