@@ -96,6 +96,40 @@ def test_assortativity_cross_terms_survive_decimal_path(spark):
     assert -1000 <= row["assortativity_milli"] <= 1000
 
 
+def test_importance_weight_never_minus_zero(spark):
+    """iw carries the trailing + 0.0 normalization: a doc whose mean
+    log-likelihood ratio rounds to zero must surface as +0.0 (DuckDB's
+    double rounding yields -0.0 there; Spark's BigDecimal path never
+    does — the sf0.1 divergence this pins)."""
+    import math
+
+    rows = QUERIES["pipeline_importance_resample"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r["iw"] == 0.0:
+            assert math.copysign(1.0, r["iw"]) == 1.0
+
+
+def test_silhouette_mean_is_partition_order_free(spark):
+    """mean_silhouette is floor(sum of exact integer micro-units / n):
+    re-running under a different shuffle-partition count (different
+    partial-aggregation order) must give identical output — the property
+    round(avg(double)) lacked."""
+    q = QUERIES["emb_silhouette_by_label"]
+    baseline = sorted(map(tuple, q(spark, SF).collect()))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        again = sorted(map(tuple, q(spark, SF).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert baseline == again
+    # and the mean sits on the 1e-6 lattice the floor contract guarantees
+    for row in baseline:
+        v = row[2] * 1_000_000
+        assert abs(v - round(v)) < 1e-6
+
+
 def test_iqr_fences_six_dp_lattice(spark):
     """Fences of 2-dp money columns live on an eighth-cent lattice: every
     reported fence times 800 must be integral (within double slack) — the
