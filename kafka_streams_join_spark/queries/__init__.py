@@ -118,6 +118,10 @@ _RECERTIFY_FROM_ROUND = {
     # round-7 end-of-round fixes for sf0.1-only parity divergences
     "pipeline_importance_resample": 7,  # iw gains the +0.0 -0.0 contract
     "emb_silhouette_by_label": 7,  # integer-micro sils + floor-at-micro mean
+    # round-7 scale-robustness fixes (BIGINT lift numerators overflow under
+    # ANSI at sf >= 100 — the graph_assortativity INT128 class)
+    "orders_copurchase_lift": 7,
+    "orders_association_rules": 7,
 }
 
 

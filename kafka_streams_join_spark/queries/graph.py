@@ -272,7 +272,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     IN; a plain u-centric wedge join would square the hub instead. All
     joins are equi-joins on node keys over narrow integer rows; the
     closing check is a semi-join-shaped equi-join against the oriented
-    edge list."""
+    edge list.
+
+    Overflow headroom: the 3·n_triangles·10⁶ ppm numerator stays inside
+    BIGINT up to ~3×10¹² triangles (sf ≳ 10⁴ on this graph family) —
+    three orders of magnitude past the 100-TB target, so unlike the
+    per-pair lift numerators (DECIMAL(38,0), see orders_copurchase_lift)
+    this 1-row computation deliberately stays BIGINT."""
     edges = _edges(spark, sf_dir)
     und = _staged(edges.filter(F.col("src") < F.col("dst")))
     deg = _staged(

@@ -633,7 +633,8 @@ _LIFT_TOPN = 50
     freq AS (SELECT pkey, count(*) AS c FROM basket GROUP BY pkey),
     tot AS (SELECT count(DISTINCT okey) AS n_orders FROM basket)
     SELECT p.part_a, p.part_b, p.co,
-           CAST(p.co * tot.n_orders * 1000000 // (fa.c * fb.c) AS BIGINT)
+           CAST(CAST(p.co AS HUGEINT) * tot.n_orders * 1000000
+                // (CAST(fa.c AS HUGEINT) * fb.c) AS BIGINT)
              AS lift_ppm
     FROM pairs p
     JOIN freq fa ON fa.pkey = p.part_a
@@ -686,7 +687,14 @@ def orders_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_a",
             "part_b",
             "co",
-            F.expr("co * n_orders * 1000000 div (ca * cb)").alias("lift_ppm"),
+            # DECIMAL(38,0) numerator: co·N·1e6 exceeds BIGINT once
+            # co ~ 1e5 with N ~ 1.5e8 (sf ≳ 100) and ANSI mode throws —
+            # the graph_assortativity INT128 contract; the oracle widens
+            # to HUGEINT. Nonneg operands: div ≡ // exactly.
+            F.expr(
+                "cast(cast(co as decimal(38,0)) * n_orders * 1000000"
+                " div (cast(ca as decimal(38,0)) * cb) as bigint)"
+            ).alias("lift_ppm"),
         )
         .orderBy(F.col("co").desc(), "part_a", "part_b")
         .limit(_LIFT_TOPN)
@@ -724,7 +732,8 @@ _RULE_TOPN = 25
       SELECT r.antecedent, r.consequent, r.co,
              CAST(r.co * 1000000 // fa.c AS BIGINT) AS confidence_ppm,
              CAST(r.co * 1000000 // tot.n_orders AS BIGINT) AS support_ppm,
-             CAST(r.co * tot.n_orders * 1000000 // (fa.c * fc.c) AS BIGINT)
+             CAST(CAST(r.co AS HUGEINT) * tot.n_orders * 1000000
+                  // (CAST(fa.c AS HUGEINT) * fc.c) AS BIGINT)
                AS lift_ppm
       FROM rules r
       JOIN freq fa ON fa.pkey = r.antecedent
@@ -800,7 +809,11 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "co",
             F.expr("co * 1000000 div fa").alias("confidence_ppm"),
             F.expr("co * 1000000 div n_orders").alias("support_ppm"),
-            F.expr("co * n_orders * 1000000 div (fa * fc)").alias("lift_ppm"),
+            # DECIMAL(38,0) numerator — see orders_copurchase_lift's note
+            F.expr(
+                "cast(cast(co as decimal(38,0)) * n_orders * 1000000"
+                " div (cast(fa as decimal(38,0)) * fc) as bigint)"
+            ).alias("lift_ppm"),
         )
         .orderBy(F.col("confidence_ppm").desc(), "antecedent", "consequent")
         .limit(_RULE_TOPN)
