@@ -122,6 +122,7 @@ _RECERTIFY_FROM_ROUND = {
     # ANSI at sf >= 100 — the graph_assortativity INT128 class)
     "orders_copurchase_lift": 7,
     "orders_association_rules": 7,
+    "pipeline_token_budget_plan": 7,  # budget·weight·1e6 → DECIMAL(38,0)
 }
 
 

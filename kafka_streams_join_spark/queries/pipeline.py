@@ -514,12 +514,14 @@ _PLAN_W_TAIL = 1
            CAST(budget * weight // w_total AS BIGINT) AS target_tokens,
            CAST(CASE WHEN total_tokens = 0 THEN 0
                 ELSE least(1000000,
-                     budget * weight * 1000000 // (w_total * total_tokens)) END
+                     CAST(budget AS HUGEINT) * weight * 1000000
+                     // (CAST(w_total AS HUGEINT) * total_tokens)) END
                 AS BIGINT) AS rate_ppm,
            CAST(CASE WHEN total_tokens = 0 THEN 0
-                ELSE total_tokens
+                ELSE CAST(total_tokens AS HUGEINT)
                 * least(1000000,
-                        budget * weight * 1000000 // (w_total * total_tokens))
+                        CAST(budget AS HUGEINT) * weight * 1000000
+                        // (CAST(w_total AS HUGEINT) * total_tokens))
                 // 1000000 END AS BIGINT) AS planned_tokens
     FROM per_src, corpus
     """,
@@ -567,17 +569,24 @@ def pipeline_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("budget * weight div w_total").alias("target_tokens"),
         # total_tokens = 0 (a source of only empty docs) must plan rate 0,
         # not divide by zero: DuckDB errors on // 0 while Spark div yields
-        # NULL — either way a parity split without the guard
+        # NULL — either way a parity split without the guard.
+        # DECIMAL(38,0) numerators: budget·weight·1e6 exceeds BIGINT once
+        # the corpus holds ~1e13 tokens (the 100-TB target) and ANSI
+        # throws; the oracle widens to HUGEINT. All operands nonneg.
         F.expr(
             "CASE WHEN total_tokens = 0 THEN 0L"
-            " ELSE least(1000000L,"
-            "   budget * weight * 1000000L div (w_total * total_tokens)) END"
+            " ELSE cast(least(cast(1000000 as decimal(38,0)),"
+            "   cast(budget as decimal(38,0)) * weight * 1000000"
+            "   div (cast(w_total as decimal(38,0)) * total_tokens))"
+            "   as bigint) END"
         ).alias("rate_ppm"),
         F.expr(
             "CASE WHEN total_tokens = 0 THEN 0L"
-            " ELSE total_tokens * least(1000000L,"
-            "   budget * weight * 1000000L div (w_total * total_tokens))"
-            "   div 1000000L END"
+            " ELSE cast(cast(total_tokens as decimal(38,0))"
+            "   * least(cast(1000000 as decimal(38,0)),"
+            "   cast(budget as decimal(38,0)) * weight * 1000000"
+            "   div (cast(w_total as decimal(38,0)) * total_tokens))"
+            "   div 1000000 as bigint) END"
         ).alias("planned_tokens"),
     )
 

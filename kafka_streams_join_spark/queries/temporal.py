@@ -1,4 +1,20 @@
-"""Temporal / event-time analytics beyond windows (round 6, wave 4).
+"""Temporal / event-time analytics beyond windows — STAGED ROUND-8 WAVE.
+
+STATUS: deliberately NOT imported by ``queries/__init__.py`` and therefore
+not in the registry. This module was drafted at the end of round 6 (it
+landed in that round's end-of-turns snapshot, unregistered and unswept);
+round 7's certification sweep is at its 50-slot capacity (45 new queries
++ 5 re-queued reworks), so registering these four would push queries past
+what the driver can certify this round. They are kept here — compiling,
+overflow-hardened (``events_trend_ols``'s OLS arithmetic was widened to
+DECIMAL(38,0)/HUGEINT in the round-7 scale audit), and next in line —
+for round 8's wave, where registering them costs four of a fresh sweep.
+One overlap note: ``events_cusum_changepoint``'s statistic was
+independently delivered in round 7 as the registered
+``events_value_drawdown`` (the window-expressible running-extrema
+reshape); before registering, fold or differentiate the two.
+
+Temporal / event-time analytics beyond windows (round 6, wave 4).
 
 Four operators every time-series-over-events engine grows sooner or
 later, each expressed as narrow-row DataFrame pipelines with integer
@@ -339,15 +355,21 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fit AS (
       SELECT event_type, n,
-             ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
-               AS slope_micro,
+             CAST(((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                   * 1000000)
+                  // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+               AS BIGINT) AS slope_micro,
              sx, sy, maxx
       FROM s
     )
     SELECT event_type, n AS n_days, slope_micro,
-           (sy * 1000000 - slope_micro * sx) // n AS intercept_micro,
-           (sy * 1000000 - slope_micro * sx) // n
-             + slope_micro * (maxx + 1) AS forecast_next_micro
+           CAST((CAST(sy AS HUGEINT) * 1000000
+                 - CAST(slope_micro AS HUGEINT) * sx) // n AS BIGINT)
+             AS intercept_micro,
+           CAST((CAST(sy AS HUGEINT) * 1000000
+                 - CAST(slope_micro AS HUGEINT) * sx) // n
+                + CAST(slope_micro AS HUGEINT) * (maxx + 1) AS BIGINT)
+             AS forecast_next_micro
     FROM fit
     """,
 )
@@ -391,19 +413,32 @@ def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
         F.max("xi").alias("maxx"),
     )
+    # DECIMAL(38,0) OLS arithmetic: n·sxy·1e6 exceeds BIGINT once daily
+    # actives reach ~1e8 over a multi-year span and ANSI throws — the
+    # graph_assortativity INT128 class; the oracle widens to HUGEINT.
+    # Spark's div truncates toward zero identically on DECIMAL and BIGINT,
+    # so negative (downward-trend) slopes keep their verified semantics.
+    dec = "cast({} as decimal(38,0))".format
     fit = s.withColumn(
         "slope_micro",
-        F.expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"),
+        F.expr(
+            f"cast((({dec('n')} * sxy - {dec('sx')} * sy) * 1000000)"
+            f" div ({dec('n')} * sxx - {dec('sx')} * sx) as bigint)"
+        ),
     ).withColumn(
         "intercept_micro",
-        F.expr("(sy * 1000000 - slope_micro * sx) div n"),
+        F.expr(
+            f"cast(({dec('sy')} * 1000000 - {dec('slope_micro')} * sx)"
+            " div n as bigint)"
+        ),
     )
     return fit.select(
         "event_type",
         F.col("n").alias("n_days"),
         "slope_micro",
         "intercept_micro",
-        (
-            F.col("intercept_micro") + F.col("slope_micro") * (F.col("maxx") + 1)
+        F.expr(
+            f"cast({dec('intercept_micro')}"
+            f" + {dec('slope_micro')} * (maxx + 1) as bigint)"
         ).alias("forecast_next_micro"),
     )

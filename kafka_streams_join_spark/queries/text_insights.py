@@ -305,9 +305,14 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token",
             F.col("df").cast("bigint").alias("df"),
             F.col("cf").cast("bigint").alias("cf"),
+            # DECIMAL(38,0): cf² exceeds BIGINT once a term's collection
+            # frequency reaches ~3e9 (any function word at 100-TB scale)
+            # and ANSI throws; DuckDB's sum() is already HUGEINT. The
+            # numerator is N·Σx² − cf² = N²·Var ≥ 0, so div ≡ floor.
             F.expr(
-                "cast((1000 * (n_docs * sx2 - cf * cf))"
-                " div (n_docs * cf) as bigint)"
+                "cast((1000 * (cast(n_docs as decimal(38,0)) * sx2"
+                " - cast(cf as decimal(38,0)) * cf))"
+                " div (cast(n_docs as decimal(38,0)) * cf) as bigint)"
             ).alias("fano_milli"),
         )
         .orderBy(F.col("fano_milli").desc(), F.col("token"))
