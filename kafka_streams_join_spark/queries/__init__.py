@@ -66,6 +66,8 @@ from . import tier_report  # noqa: E402,F401
 # round-7 additions
 from . import text_insights  # noqa: E402,F401
 from . import analytics_ext  # noqa: E402,F401
+# round-8 additions (temporal was drafted r6, staged r7, registered r8)
+from . import temporal  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1374,7 +1374,9 @@ def events_value_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum — and hence the whole excursion algebra — is exact BIGINT; no
     float ever enters. The recursive one-sided CUSUM is deliberately
     reshaped into running-extrema-of-prefix-sums, which IS
-    window-expressible (a recursive max is not).
+    window-expressible (a recursive max is not). Contract split vs
+    ``events_cusum_changepoint`` (temporal.py): same CUSUM path, but this
+    query reports excursion MAGNITUDE, that one the shift LOCATION.
 
     Scale: daily pre-aggregation, broadcast per-type stats, one
     type-partitioned window pass over the bounded daily frame; the

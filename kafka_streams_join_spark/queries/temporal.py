@@ -1,20 +1,17 @@
-"""Temporal / event-time analytics beyond windows — STAGED ROUND-8 WAVE.
+"""Temporal / event-time analytics beyond windows (registered round 8).
 
-STATUS: deliberately NOT imported by ``queries/__init__.py`` and therefore
-not in the registry. This module was drafted at the end of round 6 (it
-landed in that round's end-of-turns snapshot, unregistered and unswept);
-round 7's certification sweep is at its 50-slot capacity (45 new queries
-+ 5 re-queued reworks), so registering these four would push queries past
-what the driver can certify this round. They are kept here — compiling,
-overflow-hardened (``events_trend_ols``'s OLS arithmetic was widened to
-DECIMAL(38,0)/HUGEINT in the round-7 scale audit), and next in line —
-for round 8's wave, where registering them costs four of a fresh sweep.
-One overlap note: ``events_cusum_changepoint``'s statistic was
-independently delivered in round 7 as the registered
-``events_value_drawdown`` (the window-expressible running-extrema
-reshape); before registering, fold or differentiate the two.
+Drafted at the end of round 6, staged through round 7 (whose sweep was at
+its 50-slot capacity), registered in round 8. ``events_trend_ols``'s OLS
+arithmetic was widened to DECIMAL(38,0)/HUGEINT in the round-7 scale
+audit before its first sweep.
 
-Temporal / event-time analytics beyond windows (round 6, wave 4).
+Overlap note: ``events_cusum_changepoint`` and the round-7
+``events_value_drawdown`` share the CUSUM prefix-deviation path C_i but
+deliver DIFFERENT contracts over it — drawdown reports the excursion
+MAGNITUDES (max upswing / max drawdown of the path, in milli-units),
+changepoint reports the LOCATION (the argmax hour of |n·S_i − i·S_n|
+with its score). A monitoring stack wants both: "how big was the shift"
+vs "when did it happen". Kept as two queries with cross-references.
 
 Four operators every time-series-over-events engine grows sooner or
 later, each expressed as narrow-row DataFrame pipelines with integer
@@ -282,6 +279,12 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     |n*S_i - i*S_n| so the argmax is an exact BIGINT comparison — ties
     break on the earlier hour. Output: (event_type, n_hours, cp_hour,
     score) with score in the scaled integer units.
+
+    Contract split vs ``events_value_drawdown``: both walk the CUSUM
+    prefix-deviation path, but drawdown answers "how big was the largest
+    sustained excursion" (magnitudes over daily totals) while this query
+    answers "WHEN did the level shift" (the argmax hour + its score over
+    hourly totals) — location vs magnitude, complementary outputs.
 
     Scale: the corpus aggregates to (type, hour) rows FIRST (map-side
     combined hash aggregate); every window after that runs over the
