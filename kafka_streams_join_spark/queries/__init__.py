@@ -111,20 +111,15 @@ def _driver_green() -> set[str]:
 # certified tail with no manual cleanup (entries become dead weight, never
 # wrong, and can be pruned at leisure).
 _RECERTIFY_FROM_ROUND = {
-    # (rounds 4-6 entries pruned after their round-6 re-certification —
-    # every listed query had a fresh hash-green row in CORRECTNESS_r06;
-    # see git history for the retired list)
-    # round-7 reworks
-    "graph_common_neighbors": 7,  # staged wpairs/adj + top-_CN_CAP recall contract
-    "graph_kcore_peel": 7,  # staging trimmed to the per-round edge frame
-    # round-7 end-of-round fixes for sf0.1-only parity divergences
-    "pipeline_importance_resample": 7,  # iw gains the +0.0 -0.0 contract
-    "emb_silhouette_by_label": 7,  # integer-micro sils + floor-at-micro mean
-    # round-7 scale-robustness fixes (BIGINT lift numerators overflow under
-    # ANSI at sf >= 100 — the graph_assortativity INT128 class)
-    "orders_copurchase_lift": 7,
-    "orders_association_rules": 7,
-    "pipeline_token_budget_plan": 7,  # budget·weight·1e6 → DECIMAL(38,0)
+    # (rounds 4-7 entries pruned after their re-certification — every
+    # retired query had a fresh hash-green row in CORRECTNESS_r06/r07;
+    # see git history for the lists)
+    # round-8 ADVICE fixes: 100-TB overflow / saturation / determinism
+    "orders_pareto_share": 8,  # Gini Σi·x + ppm scale-ups → DECIMAL(38,0)
+    "graph_label_propagation": 8,  # argmax packing → DECIMAL(38,0)/HUGEINT
+    "graph_modularity": 8,  # same packing (shared LPA rounds)
+    "sketch_linear_counting": 8,  # least(b, m-1) saturation clamp
+    "retrieval_map_eval": 8,  # per-term micro-round before BIGINT sum
 }
 
 

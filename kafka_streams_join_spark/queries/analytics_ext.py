@@ -763,7 +763,8 @@ def pipeline_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rev
     ),
     gini AS (
-      SELECT CAST((2 * sum((s.n_cust - r.rnk + 1) * r.dollars) // s.n_cust)
+      SELECT CAST((2 * sum(CAST(s.n_cust - r.rnk + 1 AS HUGEINT) * r.dollars)
+                     // s.n_cust)
                   * 1000000 // greatest(s.total, 1)
                   - ((s.n_cust + 1) * 1000000) // s.n_cust AS BIGINT) AS gini_ppm
       FROM rk r CROSS JOIN stats s
@@ -777,8 +778,8 @@ def pipeline_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY (r.rnk - 1) * 10 // s.n_cust + 1
     )
     SELECT d.decile, d.n_customers, d.decile_dollars,
-           CAST(sum(d.decile_dollars)
-                  OVER (ORDER BY d.decile ROWS UNBOUNDED PRECEDING)
+           CAST(CAST(sum(d.decile_dollars)
+                  OVER (ORDER BY d.decile ROWS UNBOUNDED PRECEDING) AS HUGEINT)
                 * 1000000 // greatest(s.total, 1) AS BIGINT) AS cum_share_ppm,
            g.gini_ppm
     FROM dec d CROSS JOIN stats s CROSS JOIN gini g
@@ -790,10 +791,13 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-cardinality), cut into exact rank-deciles, and report each
     decile's customer count, revenue, and cumulative Lorenz share in
     exact ppm, plus the Gini coefficient from the rank formula
-    G = 2·Σi·x_i/(n·Σx) − (n+1)/n evaluated entirely in BIGINT (the Σi·x
-    term divides by n BEFORE the ppm scale-up so nothing overflows; past
-    ~2^53-dollar corpora swap in decimal(38)). The who-pays-for-everything
-    curve behind every account-tiering decision.
+    G = 2·Σi·x_i/(n·Σx) − (n+1)/n. The Σi·x term and both ppm scale-ups
+    run in DECIMAL(38,0) (oracle: HUGEINT) since round 8 — n·Σx/2 passes
+    2^63 around sf 25, far below the 100-TB target, and ANSI Spark would
+    throw where DuckDB silently widens. The one BIGINT intermediate left
+    is the pre-ppm quotient 2·Σi·x/n ≤ 2·Σx, safe while total revenue
+    < 4.6e18 whole dollars (~200× the 100-TB corpus). The
+    who-pays-for-everything curve behind every account-tiering decision.
 
     Scale: one orders aggregate (shuffle on custkey); the global rank is
     ``two_phase_rank`` — per-level offsets over the BOUNDED distinct-dollar
@@ -826,13 +830,14 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         rk.crossJoin(F.broadcast(stats))
         .groupBy("n_cust", "total")
         .agg(
-            F.sum((F.col("n_cust") - F.col("rnk") + 1) * F.col("dollars")).alias(
-                "__six"
-            )
+            F.sum(
+                F.expr("cast(n_cust - rnk + 1 as decimal(38,0)) * dollars")
+            ).alias("__six")
         )
         .select(
             F.expr(
-                "cast((2 * __six div n_cust) * 1000000 div greatest(total, 1)"
+                "cast(cast(2 * __six div n_cust as decimal(38,0)) * 1000000"
+                " div greatest(total, 1)"
                 " - ((n_cust + 1) * 1000000) div n_cust as bigint)"
             ).alias("gini_ppm")
         )
@@ -866,7 +871,8 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             "decile_dollars",
             F.expr(
-                "cast(__cum * 1000000 div greatest(total, 1) as bigint)"
+                "cast(cast(__cum as decimal(38,0)) * 1000000"
+                " div greatest(total, 1) as bigint)"
             ).alias("cum_share_ppm"),
             "gini_ppm",
         )

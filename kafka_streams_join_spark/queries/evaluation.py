@@ -588,9 +588,9 @@ def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ap AS (
       SELECT query_id,
              CAST(sum(rel) AS BIGINT) AS n_rel_top,
-             round(sum(CASE WHEN rel = 1
-                            THEN CAST(cum_rel AS DOUBLE) / rnk
-                            ELSE 0 END), 6) AS ap_num
+             CAST(sum(CASE WHEN rel = 1
+                           THEN CAST(round(1e6 * cum_rel / rnk) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS ap_num
       FROM cum GROUP BY query_id
     ),
     nrel AS (
@@ -602,7 +602,8 @@ def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT n.query_id, n.label, n.n_rel_corpus, a.n_rel_top,
-           round(a.ap_num / least({TOP_K}, n.n_rel_corpus), 6) AS ap
+           CAST(a.ap_num // least({TOP_K}, n.n_rel_corpus) AS DOUBLE) / 1e6
+             AS ap
     FROM nrel n JOIN ap a ON a.query_id = n.query_id
     """,
 )
@@ -614,6 +615,12 @@ def retrieval_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard eval triple (MAP is the macro mean of this column; reported
     per query so the oracle certifies every ranking position, not one
     scalar). Composes ``sim_topk_bruteforce``'s REGISTERED oracle.
+    Determinism contract (round 8): each P@i term is rounded to integer
+    MICRO-units BEFORE the BIGINT sum (the ``text_bigram_lm_score``
+    recipe — a double sum rounded after the fact is summation-order
+    nondeterministic), and the min(k,R) normalizer is a truncating
+    integer div of nonneg micro-units, so ``ap`` is bit-stable in any
+    engine at any scale.
 
     Scale: the ranking is the already-gated blocked-GEMM plan; P@i needs
     only a cumulative sum over each query's k-row ranked list (window
@@ -646,15 +653,14 @@ def retrieval_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(
             F.sum("rel").cast("bigint").alias("n_rel_top"),
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("rel") == 1,
-                        F.col("cum_rel").cast("double") / F.col("rnk"),
-                    ).otherwise(0.0)
-                ),
-                6,
-            ).alias("ap_num"),
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    F.expr("cast(round(1e6 * cum_rel / rnk) as bigint)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("ap_num"),
         )
     )
     sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_label_rows"))
@@ -677,9 +683,9 @@ def retrieval_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "n_rel_corpus",
         "n_rel_top",
-        F.round(
-            F.col("ap_num") / F.least(F.lit(TOP_K), F.col("n_rel_corpus")),
-            6,
+        (
+            F.expr(f"ap_num div least({TOP_K}, n_rel_corpus)").cast("double")
+            / F.lit(1000000.0)
         ).alias("ap"),
     )
 

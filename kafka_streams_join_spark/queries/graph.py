@@ -562,9 +562,11 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LP_ROUNDS = 3
 _LP_TOPN = 20
 # label/count packing space for the deterministic argmax: labels are part
-# keys (< 2^40 at any TPC-H scale), counts are bounded by max degree, so
-# enc = cnt * 2^40 + (2^40 - 1 - label) fits BIGINT and max(enc) IS
-# "highest count, smallest label" — the same single-BIGINT argmax contract
+# keys (< 2^40 at any TPC-H scale); enc = cnt * 2^40 + (2^40 - 1 - label)
+# is computed in DECIMAL(38,0) (oracle: HUGEINT) since round 8 so a hub
+# node with > 2^23 same-label neighbors — plausible at the 100-TB target —
+# cannot overflow the packing (ANSI BIGINT would throw). max(enc) IS
+# "highest count, smallest label" — the same single-integer argmax contract
 # the k-means assignment uses (min-struct there, max-pack here, both exact)
 _LP_SPACE = 1 << 40
 _LP_LBL_MAX = _LP_SPACE - 1
@@ -580,7 +582,7 @@ def _lp_oracle() -> str:
     ),
     labels{r} AS (
       SELECT node,
-             CAST({_LP_LBL_MAX} - (max(c * {_LP_SPACE}
+             CAST({_LP_LBL_MAX} - (max(CAST(c AS HUGEINT) * {_LP_SPACE}
                   + ({_LP_LBL_MAX} - lbl)) % {_LP_SPACE}) AS BIGINT) AS lbl
       FROM cnt{r} GROUP BY node
     )"""
@@ -616,9 +618,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     node adopts the most common label among its neighbors, ties broken
     toward the SMALLEST label — the community twin of
     ``graph_pagerank_parts``, reporting the top-{_LP_TOPN} communities by
-    size. Determinism contract: the per-node argmax is a single-BIGINT
-    max over ``cnt·2^40 + (2^40−1−label)`` (see ``_LP_SPACE``), so both
-    engines pick bit-identical labels every round — float-free, order-free.
+    size. Determinism contract: the per-node argmax is a single-integer
+    max over ``cnt·2^40 + (2^40−1−label)`` (see ``_LP_SPACE``), computed
+    in DECIMAL(38,0)/HUGEINT so hub degrees past 2^23 can't overflow the
+    packing; both engines pick bit-identical labels every round —
+    float-free, order-free.
 
     Scale: each round is one edges ⋈ labels equi-join (narrow int rows)
     plus two map-side-combinable aggregates; labels frames are node-count
@@ -636,7 +640,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(
                 F.max(
-                    F.col("c") * F.lit(_LP_SPACE)
+                    F.col("c").cast("decimal(38,0)") * F.lit(_LP_SPACE)
                     + (F.lit(_LP_LBL_MAX) - F.col("lbl"))
                 ).alias("enc")
             )
@@ -1141,7 +1145,7 @@ def _lp_rounds_sql() -> str:
     ),
     labels{r} AS (
       SELECT node,
-             CAST({_LP_LBL_MAX} - (max(c * {_LP_SPACE}
+             CAST({_LP_LBL_MAX} - (max(CAST(c AS HUGEINT) * {_LP_SPACE}
                   + ({_LP_LBL_MAX} - lbl)) % {_LP_SPACE}) AS BIGINT) AS lbl
       FROM cnt{r} GROUP BY node
     )"""
@@ -1215,7 +1219,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(
                 F.max(
-                    F.col("c") * F.lit(_LP_SPACE)
+                    F.col("c").cast("decimal(38,0)") * F.lit(_LP_SPACE)
                     + (F.lit(_LP_LBL_MAX) - F.col("lbl"))
                 ).alias("enc")
             )

@@ -996,7 +996,8 @@ _LC_BUCKET_SQL = (
            CAST(count(DISTINCT {_LC_BUCKET_SQL}) AS BIGINT) AS n_bits_set,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
            CAST(round({_LC_M}.0 * ln({_LC_M}.0 /
-                ({_LC_M}.0 - count(DISTINCT {_LC_BUCKET_SQL}))) * 1000)
+                ({_LC_M}.0 - least(count(DISTINCT {_LC_BUCKET_SQL}),
+                                   {_LC_M - 1}))) * 1000)
                 AS BIGINT) AS est_milli
     FROM events
     GROUP BY GROUPING SETS ((event_type), ())
@@ -1017,8 +1018,11 @@ def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one Expand (grouping-sets) pass + a distinct-aggregate shuffle
     keyed on (scope, bucket) — bucket cardinality caps the per-scope
     state at m bits regardless of row count; that cap IS the sketch's
-    memory contract. Saturated bitmaps (b = m) would need the wider-m
-    rung, enforced loudly by the ln() domain."""
+    memory contract. Saturated bitmaps clamp to b = m−1 on BOTH sides
+    (round 8): est_milli saturates at m·ln(m)·1000 ≈ 727.6M instead of
+    ln(inf) aborting the whole sweep under ANSI — the saturation is
+    visible as n_bits_set = m next to the ceilinged estimate, which is
+    the cue to move to the wider-m rung."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.expr(_LC_BUCKET_SPARK).alias("bucket"),
@@ -1039,7 +1043,14 @@ def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bits_set").cast("bigint").alias("n_bits_set"),
             F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
             F.round(
-                F.lit(m) * F.log(F.lit(m) / (F.lit(m) - F.col("n_bits_set")))
+                F.lit(m)
+                * F.log(
+                    F.lit(m)
+                    / (
+                        F.lit(m)
+                        - F.least(F.col("n_bits_set"), F.lit(_LC_M - 1))
+                    )
+                )
                 * 1000
             )
             .cast("bigint")

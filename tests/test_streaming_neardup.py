@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from kafka_streams_join_spark.streaming.harness import (
     FileStream,
+    drain_until_ingested,
     read_until,
     start_memory_sink,
 )
@@ -94,7 +95,7 @@ def test_stream_neardup_emission_and_eviction(spark, tmpdir):
                 {"key": "d2", "value": B, "ts": "2024-01-01T00:00:01"},
             ]
         )
-        q.processAllAvailable()
+        drain_until_ingested(q, total_rows=2)
         got = read_until(spark, sink, expect=16, wait_s=60.0)
         assert len(got) == 16
 
@@ -106,7 +107,7 @@ def test_stream_neardup_emission_and_eviction(spark, tmpdir):
                 {"key": "d4", "value": A_EDIT, "ts": "2024-01-01T00:00:03"},
             ]
         )
-        q.processAllAvailable()
+        drain_until_ingested(q, total_rows=4)
         got = read_until(spark, sink, expect=16 + (n_bands - shared), wait_s=60.0)
         by_key: dict[str, int] = {}
         for r in got:
@@ -120,11 +121,11 @@ def test_stream_neardup_emission_and_eviction(spark, tmpdir):
         # batch 3: advance the watermark far past batch 1's expiry with an
         # unrelated doc (watermark moves at batch END, evicting state)
         docs.add_batch([{"key": "d5", "value": E, "ts": "2024-01-01T01:00:00"}])
-        q.processAllAvailable()
+        drain_until_ingested(q, total_rows=5)
         # batch 4: the same text as d1 re-arrives AFTER eviction -> fully
         # re-emitted (within-delay dedup is the contract, not forever)
         docs.add_batch([{"key": "d6", "value": A, "ts": "2024-01-01T01:00:05"}])
-        q.processAllAvailable()
+        drain_until_ingested(q, total_rows=6)
         got = read_until(
             spark, sink, expect=len(got) + n_bands + n_bands, wait_s=60.0
         )
@@ -163,7 +164,7 @@ def test_stream_novelty_counts_chains_two_stateful_ops(spark, tmpdir):
         )
         # advance the watermark far past the window end to finalize it
         docs.add_batch([{"key": "w", "value": E, "ts": "2024-01-01T02:00:00"}])
-        q.processAllAvailable()
+        drain_until_ingested(q, total_rows=4)
         got = {
             r["key"]: r["novel_bands"]
             for r in read_until(spark, sink, expect=2, wait_s=60.0)
