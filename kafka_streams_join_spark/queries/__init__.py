@@ -68,6 +68,12 @@ from . import text_insights  # noqa: E402,F401
 from . import analytics_ext  # noqa: E402,F401
 # round-8 additions (temporal was drafted r6, staged r7, registered r8)
 from . import temporal  # noqa: E402,F401
+from . import seasonal  # noqa: E402,F401
+from . import jl_projection  # noqa: E402,F401
+from . import sampling_ext  # noqa: E402,F401
+from . import cluster_stats  # noqa: E402,F401
+from . import cdc_chunking  # noqa: E402,F401
+from . import matryoshka  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

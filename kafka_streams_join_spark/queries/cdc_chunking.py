@@ -1,0 +1,248 @@
+"""Content-defined chunking (CDC) dedup (round 8 — the VERDICT-r7 "CDC
+content-defined chunking dedup" wave item).
+
+Fixed-size chunking breaks the moment one byte is inserted — every
+later chunk shifts. CDC (the rsync/LBFS/FastCDC family) instead cuts
+where the CONTENT says so: a boundary falls after position p whenever
+the hash of the trailing _W-char window hits a fixed residue class mod
+_D, so chunk edges travel with the text and an edited document still
+shares every untouched chunk with its original. Expected chunk length
+is _D chars, geometric — the classic CDC length law.
+
+Determinism contract: the window hash is the repo's 60-bit md5-prefix
+(Spark ``conv(substr(md5(..),1,15),16,10)`` ≡ DuckDB
+``CAST('0x'||substr(md5(..),1,15) AS BIGINT)``), positions are 1-based
+character indices in BOTH engines (``substr`` is char-addressed in
+Spark and DuckDB alike, so zh/multibyte text indexes identically), and
+every reported ratio is an exact ppm with a DECIMAL(38,0)/HUGEINT
+numerator (total chars ~1e14 at 100 TB × 1e6 passes BIGINT).
+
+Production note: a true Rabin/Gear ROLLING hash updates in O(1) per
+position; this spelling recomputes an _W-char md5 per position —
+O(_W·len) per doc but fully row-local JVM work inside one codegen'd
+higher-order-function chain, which distributes perfectly (no shuffle
+sees the text). A 100-TB deployment would swap the boundary predicate
+for a Gear-table ``mapInPandas`` kernel (the ``mm_decode_features``
+pattern) without touching anything downstream of the chunk frame.
+
+Two queries ride the shared chunk frame:
+- ``dedup_cdc_chunks`` — per-source chunk-level dup mass (the "how much
+  would chunk-store dedup save" report);
+- ``dedup_cdc_cross_source`` — which source PAIRS share content, by
+  shared distinct chunks and chars (provenance / contamination audit —
+  the chunk-level sibling of ``dedup_source_affinity``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .registry import register
+
+_W = 8  # boundary window, chars
+_D = 32  # boundary modulus -> expected chunk length 32 chars
+
+_BPOS_SPARK = f"""
+concat(
+  array(0),
+  case when length(text) > {_W}
+       then filter(sequence({_W}, length(text) - 1),
+              p -> cast(conv(substr(md5(substr(text, p - {_W - 1}, {_W})),
+                             1, 15), 16, 10) as bigint) % {_D} = 0)
+       else cast(array() as array<int>)
+  end,
+  array(length(text)))
+"""
+
+_BPOS_SQL = f"""
+[0] || (CASE WHEN length(text) > {_W}
+        THEN list_filter(generate_series({_W}, length(text) - 1),
+               p -> CAST(('0x' || substr(md5(substr(text, p - {_W - 1},
+                          {_W})), 1, 15)) AS BIGINT) % {_D} = 0)
+        ELSE [] END) || [length(text)]
+"""
+
+# the shared chunk CTE: (doc_id, source, h = 64-bit chunk fingerprint,
+# clen = chunk length in chars)
+_CHUNK_CTE = f"""
+    b AS (
+      SELECT doc_id, source, text, {_BPOS_SQL} AS bpos
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    chunk AS (
+      SELECT doc_id, source,
+             substr(md5(substr(text, bpos[i] + 1, bpos[i + 1] - bpos[i])),
+                    1, 16) AS h,
+             CAST(bpos[i + 1] - bpos[i] AS BIGINT) AS clen
+      FROM b, unnest(generate_series(1, len(bpos) - 1)) AS t(i)
+    )
+"""
+
+
+def _chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, h, clen) — one row per content-defined chunk.
+    Boundary scan and chunk fingerprinting are row-local (text never
+    survives past this projection, so nothing wide can enter a later
+    Exchange)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter("text is not null and length(text) > 0")
+    )
+    b = docs.select(
+        "doc_id", "source", "text", F.expr(_BPOS_SPARK).alias("bpos")
+    )
+    return b.select(
+        "doc_id",
+        "source",
+        "text",
+        "bpos",
+        F.explode(F.expr("sequence(1, size(bpos) - 1)")).alias("i"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "substr(md5(substr(text, element_at(bpos, i) + 1,"
+            " element_at(bpos, i + 1) - element_at(bpos, i))), 1, 16)"
+        ).alias("h"),
+        F.expr(
+            "cast(element_at(bpos, i + 1) - element_at(bpos, i) as bigint)"
+        ).alias("clen"),
+    )
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH {_CHUNK_CTE},
+    g1 AS (
+      SELECT source, h, count(*) AS cnt, max(clen) AS clen
+      FROM chunk GROUP BY source, h
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           count(*) AS n_uniq_chunks,
+           CAST(sum(cnt * clen) AS BIGINT) AS total_chars,
+           CAST(sum(clen) AS BIGINT) AS uniq_chars,
+           CAST(CAST(sum(cnt * clen) - sum(clen) AS HUGEINT) * 1000000
+                // greatest(sum(cnt * clen), 1) AS BIGINT) AS dup_chars_ppm
+    FROM g1 GROUP BY source
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source CDC dedup report: total vs distinct chunk counts and
+    chars, and the exact-ppm share of chars a chunk-store would NOT
+    have to keep twice. The module docstring carries the boundary
+    contract; expected chunk length is 32 chars, so dup_chars_ppm is
+    sensitive to duplicated passages well below whole-doc size — the
+    gap CDC fills between exact dedup and shingle near-dup.
+
+    Scale: boundary scan is row-local; the only shuffles group narrow
+    (source, h) rows — 16-hex fingerprints, never text."""
+    g1 = _chunk_frame(spark, sf_dir).groupBy("source", "h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("clen").alias("clen")
+    )
+    return (
+        g1.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_uniq_chunks"),
+            F.sum(F.col("cnt") * F.col("clen"))
+            .cast("bigint")
+            .alias("total_chars"),
+            F.sum("clen").cast("bigint").alias("uniq_chars"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_uniq_chunks",
+            "total_chars",
+            "uniq_chars",
+            F.expr(
+                "cast(cast(total_chars - uniq_chars as decimal(38,0))"
+                " * 1000000 div greatest(total_chars, 1) as bigint)"
+            ).alias("dup_chars_ppm"),
+        )
+    )
+
+
+@register(
+    "dedup_cdc_cross_source",
+    oracle=f"""
+    WITH {_CHUNK_CTE},
+    d AS (
+      SELECT source, h, max(clen) AS clen FROM chunk GROUP BY source, h
+    ),
+    u AS (
+      SELECT source, CAST(sum(clen) AS BIGINT) AS uniq_chars
+      FROM d GROUP BY source
+    ),
+    p AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared_chunks,
+             CAST(sum(a.clen) AS BIGINT) AS shared_chars
+      FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.n_shared_chunks, p.shared_chars,
+           CAST(CAST(p.shared_chars AS HUGEINT) * 1000000
+                // least(ua.uniq_chars, ub.uniq_chars) AS BIGINT)
+             AS containment_ppm
+    FROM p
+    JOIN u ua ON ua.source = p.source_a
+    JOIN u ub ON ub.source = p.source_b
+    """,
+)
+def dedup_cdc_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content overlap at chunk granularity: for every
+    source pair, the distinct chunks and chars they share, and the
+    containment ppm against the SMALLER side's distinct mass (1e6 =
+    one source's content is wholly inside the other). This is the
+    provenance question dedup_source_affinity answers at whole-doc
+    level, re-asked where it actually bites — partial copies, quoted
+    passages, mirrored subsets.
+
+    Scale: the pair join is keyed on the chunk fingerprint (an
+    equi-join over narrow rows — the LSH-band shape, no pair
+    enumeration over docs); per-source totals are a tiny aggregate
+    joined back by source."""
+    d = _chunk_frame(spark, sf_dir).groupBy("source", "h").agg(
+        F.max("clen").alias("clen")
+    )
+    u = d.groupBy("source").agg(
+        F.sum("clen").cast("bigint").alias("uniq_chars")
+    )
+    p = (
+        d.alias("a")
+        .join(d.alias("b"), F.expr("a.h = b.h and a.source < b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_chunks"),
+            F.sum("a.clen").cast("bigint").alias("shared_chars"),
+        )
+    )
+    ua = u.select(
+        F.col("source").alias("source_a"), F.col("uniq_chars").alias("ua")
+    )
+    ub = u.select(
+        F.col("source").alias("source_b"), F.col("uniq_chars").alias("ub")
+    )
+    return (
+        p.join(F.broadcast(ua), "source_a")
+        .join(F.broadcast(ub), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_chunks",
+            "shared_chars",
+            F.expr(
+                "cast(cast(shared_chars as decimal(38,0)) * 1000000"
+                " div least(ua, ub) as bigint)"
+            ).alias("containment_ppm"),
+        )
+    )
