@@ -74,6 +74,10 @@ from . import sampling_ext  # noqa: E402,F401
 from . import cluster_stats  # noqa: E402,F401
 from . import cdc_chunking  # noqa: E402,F401
 from . import matryoshka  # noqa: E402,F401
+from . import sketches_ext  # noqa: E402,F401
+from . import survival  # noqa: E402,F401
+from . import stats_ext  # noqa: E402,F401
+from . import multimodal_ext  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
