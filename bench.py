@@ -258,18 +258,34 @@ def main() -> int:
         return round(min(runs), 3)
 
     timings: dict[str, float] = {}
+    # Per-query failure isolation (round 9, VERDICT r8 task 2): round 8's
+    # single broken registration aborted the whole bench mid-COVERAGE and
+    # lost even the already-measured headline timings. One red entry in the
+    # output is fail-loud; no output at all is fail-silent. Each failure
+    # records its first exception line and the run exits nonzero at the end,
+    # but BOTH JSON lines always emit.
+    errors: dict[str, str] = {}
+
+    def run_safe(name: str, make_df, n_runs: int = RUNS_PER_QUERY) -> None:
+        try:
+            timings[name] = run_best(name, make_df, n_runs=n_runs)
+        except Exception as exc:  # noqa: BLE001 — isolate ANY query failure
+            first = str(exc).strip().splitlines()[0][:300] if str(exc) else (
+                type(exc).__name__
+            )
+            errors[name] = first
+            print(f"# ERROR {name}: {first}")
+
     for name in HEADLINE + EXTRA:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        timings[name] = run_best(name, lambda: fn(spark, sf_dir))
+        run_safe(name, lambda: fn(spark, sf_dir))
     for name in COVERAGE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        timings[name] = run_best(
-            name, lambda: fn(spark, sf_dir), n_runs=RUNS_COVERAGE
-        )
+        run_safe(name, lambda: fn(spark, sf_dir), n_runs=RUNS_COVERAGE)
 
     # Skew micro-bench (reported, not summed): events funneled onto one hot
     # key (~90% of rows), joined to a per-key dim — salted_join spreads the
@@ -288,7 +304,7 @@ def main() -> int:
         .select("event_id", "hot_key", "value")
     )
     dim = skewed.groupBy("hot_key").agg(F.count(F.lit(1)).alias("n"))
-    timings["skew_salted_join"] = run_best(
+    run_safe(
         "skew_salted_join",
         lambda: salted_join(skewed, dim, on="hot_key", buckets=16),
     )
@@ -304,7 +320,14 @@ def main() -> int:
     # SPARK_GRAFT_BENCH_STREAMING=0.
     streaming: dict[str, dict[str, float]] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
-        streaming = run_streaming_bench(spark, sf_dir)
+        try:
+            streaming = run_streaming_bench(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — same isolation contract
+            first = str(exc).strip().splitlines()[0][:300] if str(exc) else (
+                type(exc).__name__
+            )
+            errors["_streaming"] = first
+            print(f"# ERROR _streaming: {first}")
         for name, m in streaming.items():
             print(f"# STREAMING {name}: {m['rows_in']} rows in "
                   f"{m['sec']}s = {m['rps']} rows/s")
@@ -327,6 +350,8 @@ def main() -> int:
         "sf": sf_val,
         "n_queries": len(timings),
     }
+    if errors:
+        compact["n_errors"] = len(errors)
     print(json.dumps(compact))
     # Append to the checked-in history (round 6): round-over-round
     # comparison becomes a file diff instead of a judge re-run. The round
@@ -385,18 +410,22 @@ def main() -> int:
             )
 
     history = dict(compact, round=cur_round, queries=timings, spread=spread,
-                   streaming=streaming)
-    try:
-        with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
-            f.write(json.dumps(history) + "\n")
-    except OSError:
-        pass  # read-only checkout: the printed lines remain the contract
+                   streaming=streaming, errors=errors)
+    # Tests exercise main() on trimmed registries; their runs must not
+    # append bogus rounds to the checked-in ledger.
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_HISTORY", "0") != "1":
+        try:
+            with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
+                f.write(json.dumps(history) + "\n")
+        except OSError:
+            pass  # read-only checkout: the printed lines remain the contract
     print(
         json.dumps(
             {
                 "queries": timings,
                 "streaming": streaming,
                 "spread": spread,
+                "errors": errors,
                 "metric": "headline_total",
                 "value": round(baseline_total, 3),
                 "unit": "sec",
@@ -404,7 +433,7 @@ def main() -> int:
             }
         )
     )
-    return 0
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":

@@ -121,15 +121,14 @@ def _driver_green() -> set[str]:
 # certified tail with no manual cleanup (entries become dead weight, never
 # wrong, and can be pruned at leisure).
 _RECERTIFY_FROM_ROUND = {
-    # (rounds 4-7 entries pruned after their re-certification — every
-    # retired query had a fresh hash-green row in CORRECTNESS_r06/r07;
+    # (rounds 4-8 entries pruned after their re-certification — every
+    # retired query had a fresh hash-green row in CORRECTNESS_r06/r07/r08;
     # see git history for the lists)
-    # round-8 ADVICE fixes: 100-TB overflow / saturation / determinism
-    "orders_pareto_share": 8,  # Gini Σi·x + ppm scale-ups → DECIMAL(38,0)
-    "graph_label_propagation": 8,  # argmax packing → DECIMAL(38,0)/HUGEINT
-    "graph_modularity": 8,  # same packing (shared LPA rounds)
-    "sketch_linear_counting": 8,  # least(b, m-1) saturation clamp
-    "retrieval_map_eval": 8,  # per-term micro-round before BIGINT sum
+    # round-9 fix: l_shipmode does not exist in the corpus — replaced with
+    # the tpch_ext Q12 derived-mode hash (l_suppkey % 3) on both engines.
+    # The lone r8 row for this query is an AnalysisException, so this entry
+    # forces a fresh hash-certified driver row for the fixed plan.
+    "orders_weighted_median_price": 9,
 }
 
 

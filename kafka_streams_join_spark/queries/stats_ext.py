@@ -314,25 +314,26 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_weighted_median_price",
     oracle="""
     WITH lvl AS (
-      SELECT l_shipmode,
+      SELECT CASE l_suppkey % 3 WHEN 0 THEN 'AIR' WHEN 1 THEN 'RAIL'
+             ELSE 'SHIP' END AS shipmode,
              CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS price_d,
              CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
       FROM lineitem GROUP BY 1, 2
     ),
     tot AS (
-      SELECT l_shipmode, CAST(sum(w) AS BIGINT) AS total_w,
+      SELECT shipmode, CAST(sum(w) AS BIGINT) AS total_w,
              count(*) AS n_levels
       FROM lvl GROUP BY 1
     ),
     cum AS (
-      SELECT l.l_shipmode, l.price_d, t.total_w, t.n_levels,
-             CAST(sum(l.w) OVER (PARTITION BY l.l_shipmode
+      SELECT l.shipmode, l.price_d, t.total_w, t.n_levels,
+             CAST(sum(l.w) OVER (PARTITION BY l.shipmode
                                  ORDER BY l.price_d
                                  ROWS UNBOUNDED PRECEDING)
                   AS BIGINT) AS cw
-      FROM lvl l JOIN tot t USING (l_shipmode)
+      FROM lvl l JOIN tot t USING (shipmode)
     )
-    SELECT l_shipmode,
+    SELECT shipmode,
            max(total_w) AS total_weight,
            max(n_levels) AS n_levels,
            min(CASE WHEN 4 * cw >= total_w THEN price_d END) AS wq25_price_d,
@@ -340,7 +341,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS median_price_d,
            min(CASE WHEN 4 * cw >= 3 * total_w THEN price_d END)
              AS wq75_price_d
-    FROM cum GROUP BY l_shipmode
+    FROM cum GROUP BY shipmode
     """,
 )
 def orders_weighted_median_price(
@@ -352,6 +353,9 @@ def orders_weighted_median_price(
     docstring has the bounded-level scale argument). Weighted quantiles
     are what "typical price of a shipped unit" actually means; the
     unweighted median answers a different question about order LINES.
+    The corpus has no l_shipmode, so the tpch_ext.py Q12 idiom applies:
+    a deterministic supplier hash (l_suppkey % 3 -> AIR/RAIL/SHIP) plays
+    the mode identically on both engines.
 
     Scale: the corpus collapses to (mode, dollar-level) rows first —
     bounded by the price domain, not row count — and the cumulative
@@ -360,30 +364,33 @@ def orders_weighted_median_price(
     lvl = (
         load_table(spark, sf_dir, "lineitem")
         .select(
-            "l_shipmode",
+            F.expr(
+                "CASE l_suppkey % 3 WHEN 0 THEN 'AIR' WHEN 1 THEN 'RAIL'"
+                " ELSE 'SHIP' END"
+            ).alias("shipmode"),
             F.expr(
                 "cast(round(l_extendedprice * 100) as bigint) div 100"
             ).alias("price_d"),
             F.expr("cast(round(l_quantity) as bigint)").alias("q"),
         )
-        .groupBy("l_shipmode", "price_d")
+        .groupBy("shipmode", "price_d")
         .agg(F.sum("q").cast("bigint").alias("w"))
     )
-    tot = lvl.groupBy("l_shipmode").agg(
+    tot = lvl.groupBy("shipmode").agg(
         F.sum("w").cast("bigint").alias("total_w"),
         F.count(F.lit(1)).alias("n_levels"),
     )
-    w_cum = Window.partitionBy("l_shipmode").orderBy("price_d").rowsBetween(
+    w_cum = Window.partitionBy("shipmode").orderBy("price_d").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = lvl.join(tot, "l_shipmode").select(
-        "l_shipmode",
+    cum = lvl.join(tot, "shipmode").select(
+        "shipmode",
         "price_d",
         "total_w",
         "n_levels",
         F.sum("w").over(w_cum).cast("bigint").alias("cw"),
     )
-    return cum.groupBy("l_shipmode").agg(
+    return cum.groupBy("shipmode").agg(
         F.max("total_w").alias("total_weight"),
         F.max("n_levels").alias("n_levels"),
         F.min(F.expr("case when 4 * cw >= total_w then price_d end")).alias(

@@ -53,3 +53,42 @@ def test_queries_missing_from_one_line_still_covered():
     rnd, base = prev_round_baseline(lines, 0.1, cur_round=7)
     assert rnd == 6
     assert base == {"a": 1.0, "b": 2.0}
+
+
+def test_broken_registration_does_not_abort_bench(monkeypatch, capsys):
+    """Round-8 regression: one AnalysisException registration aborted the
+    whole driver bench after the headline was measured but before any JSON
+    was emitted, losing the round's entire bench evidence. The contract is
+    fail-LOUD: a red ``errors`` entry, both JSON lines still emitted, and a
+    nonzero exit — never silence."""
+    import json
+
+    import bench
+    from kafka_streams_join_spark.queries import QUERIES
+
+    def broken(spark, sf_dir):
+        from kafka_streams_join_spark.sources.parquet import load_table
+
+        return load_table(spark, sf_dir, "lineitem").select("no_such_column")
+
+    monkeypatch.setitem(QUERIES, "zz_broken_canary", broken)
+    monkeypatch.setattr(bench, "HEADLINE", ["j1_interval_join_inner"])
+    monkeypatch.setattr(bench, "EXTRA", [])
+    monkeypatch.setattr(bench, "COVERAGE", ["zz_broken_canary", "dedup_exact"])
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_STREAMING", "0")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_NO_HISTORY", "1")
+
+    rc = bench.main()
+    out = capsys.readouterr().out
+    json_lines = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+
+    assert rc != 0
+    assert len(json_lines) == 2  # compact summary + full contract line
+    compact, full = json_lines
+    assert compact["n_errors"] == 1
+    assert "UNRESOLVED_COLUMN" in full["errors"]["zz_broken_canary"]
+    # the healthy queries were still measured and reported
+    assert "j1_interval_join_inner" in full["queries"]
+    assert "dedup_exact" in full["queries"]
+    assert "zz_broken_canary" not in full["queries"]
