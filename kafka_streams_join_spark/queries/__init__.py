@@ -129,6 +129,10 @@ _RECERTIFY_FROM_ROUND = {
     # The lone r8 row for this query is an AnalysisException, so this entry
     # forces a fresh hash-certified driver row for the fixed plan.
     "orders_weighted_median_price": 9,
+    # round-9 fix: day/14-day churn gap was vacuous on this corpus (zero
+    # deaths at every SF — both engines emitted 0 rows); reworked to hour
+    # granularity with a 24-hour gap so the KM logic actually executes.
+    "events_survival_curve": 9,
 }
 
 

@@ -5,10 +5,19 @@ still-active users as immortal; KM counts them as censored at the
 observation horizon, which is the entire point of the estimator).
 
 Subjects are users; a user whose last event is more than
-``_CHURN_GAP_DAYS`` before the corpus horizon is a DEATH at duration
-(last − first) days, anyone else is CENSORED at (horizon − first). The
+``_CHURN_GAP_HOURS`` before the corpus horizon is a DEATH at duration
+(last − first) hours, anyone else is CENSORED at (horizon − first). The
 KM curve S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) multiplies one factor per
-distinct death day.
+distinct death hour.
+
+Granularity is HOURS (round-9 rework): the r8 version used days with a
+14-day gap, but the corpus packs every user's events densely across its
+~30-day span — the max (horizon − last-event) gap is 1-2 DAYS at every
+SF, so the day/14 rule produced zero deaths and the query certified
+vacuously (both engines emitting 0 rows proves nothing). Measured on
+the corpus, a 24-HOUR silence gap yields ~9% deaths at every test SF
+(1/15, 14/150, 141/1500 users), so the at-risk/log-space/clamp logic
+actually executes everywhere it is tested.
 
 Determinism contract: products of floats are the summation-order trap
 in disguise, so the curve is carried in LOG space with the
@@ -38,25 +47,25 @@ from pyspark.sql import functions as F
 from ..sources.parquet import load_table
 from .registry import register
 
-_CHURN_GAP_DAYS = 14
+_CHURN_GAP_HOURS = 24
 
 
 @register(
     "events_survival_curve",
     oracle=f"""
-    WITH days AS (
+    WITH hrs AS (
       SELECT user_id,
-             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr
       FROM events
     ),
     per AS (
-      SELECT user_id, min(day) AS fd, max(day) AS ld FROM days GROUP BY 1
+      SELECT user_id, min(hr) AS fd, max(hr) AS ld FROM hrs GROUP BY 1
     ),
     mx AS (SELECT max(ld) AS cmax FROM per),
     subj AS (
-      SELECT CASE WHEN m.cmax - p.ld > {_CHURN_GAP_DAYS}
+      SELECT CASE WHEN m.cmax - p.ld > {_CHURN_GAP_HOURS}
                   THEN p.ld - p.fd ELSE m.cmax - p.fd END AS dur,
-             CASE WHEN m.cmax - p.ld > {_CHURN_GAP_DAYS}
+             CASE WHEN m.cmax - p.ld > {_CHURN_GAP_HOURS}
                   THEN 1 ELSE 0 END AS death
       FROM per p CROSS JOIN mx m
     ),
@@ -81,7 +90,7 @@ _CHURN_GAP_DAYS = 14
                     1e-6))) AS BIGINT) AS step_log_micro
       FROM ar WHERE n_deaths > 0
     )
-    SELECT dur AS dur_days, n_at_risk, n_deaths,
+    SELECT dur AS dur_hours, n_at_risk, n_deaths,
            CAST(sum(step_log_micro) OVER (
                   ORDER BY dur ROWS UNBOUNDED PRECEDING)
                 AS BIGINT) AS cum_log_micro,
@@ -101,20 +110,20 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: corpus → users → durations is two map-side-combinable
     aggregates; both windows run on the calendar-bounded duration
     frame."""
-    days = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("day")
+    hrs = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_timestamp(ts) div 3600").alias("hr")
     )
-    per = days.groupBy("user_id").agg(
-        F.min("day").alias("fd"), F.max("day").alias("ld")
+    per = hrs.groupBy("user_id").agg(
+        F.min("hr").alias("fd"), F.max("hr").alias("ld")
     )
     mx = per.agg(F.max("ld").alias("cmax"))
     subj = per.crossJoin(F.broadcast(mx)).select(
         F.expr(
-            f"case when cmax - ld > {_CHURN_GAP_DAYS} then ld - fd"
+            f"case when cmax - ld > {_CHURN_GAP_HOURS} then ld - fd"
             " else cmax - fd end"
         ).alias("dur"),
         F.expr(
-            f"case when cmax - ld > {_CHURN_GAP_DAYS} then 1 else 0 end"
+            f"case when cmax - ld > {_CHURN_GAP_HOURS} then 1 else 0 end"
         ).alias("death"),
     )
     durs = subj.groupBy("dur").agg(
@@ -149,14 +158,14 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     return step.select(
-        F.col("dur").alias("dur_days"),
+        F.col("dur").alias("dur_hours"),
         "n_at_risk",
         "n_deaths",
         F.sum("step_log_micro").over(w_cum).cast("bigint").alias(
             "cum_log_micro"
         ),
     ).select(
-        "dur_days",
+        "dur_hours",
         "n_at_risk",
         "n_deaths",
         "cum_log_micro",

@@ -112,12 +112,23 @@ def drain_until_ingested(
     input-row ledger reaches the expected total removes the race without
     sleeps in the happy path."""
     deadline = time.time() + wait_s
+    # Cumulative ledger keyed by batchId: ``recentProgress`` is a ring
+    # buffer capped at spark.sql.streaming.numRecentProgressUpdates
+    # (default 100) entries, so re-summing the buffer each poll silently
+    # undercounts any query that exceeds 100 batches (ADVICE r8). Folding
+    # every batch seen across polls into a dict counts each batch exactly
+    # once and survives the ring buffer evicting old entries — a batch
+    # only needs to be OBSERVED once, and the poll loop runs far faster
+    # than batches complete.
+    ingested_by_batch: dict[int, int] = {}
     while True:
         query.processAllAvailable()
-        ingested = sum(
-            int(_progress_dict(p).get("numInputRows") or 0)
-            for p in query.recentProgress
-        )
+        for p in query.recentProgress:
+            d = _progress_dict(p)
+            ingested_by_batch[int(d.get("batchId", -1))] = int(
+                d.get("numInputRows") or 0
+            )
+        ingested = sum(ingested_by_batch.values())
         if ingested >= total_rows:
             return
         if time.time() >= deadline:
