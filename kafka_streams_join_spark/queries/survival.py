@@ -174,3 +174,149 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / 1000000.0D)) as bigint)"
         ).alias("survival_ppm"),
     )
+
+
+@register(
+    "events_survival_by_type",
+    oracle=f"""
+    WITH hrs AS (
+      SELECT event_type, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr
+      FROM events
+    ),
+    per AS (
+      SELECT event_type, user_id, min(hr) AS fd, max(hr) AS ld
+      FROM hrs GROUP BY 1, 2
+    ),
+    mx AS (SELECT event_type, max(ld) AS cmax FROM per GROUP BY 1),
+    subj AS (
+      SELECT p.event_type,
+             CASE WHEN m.cmax - p.ld > {_CHURN_GAP_HOURS}
+                  THEN p.ld - p.fd ELSE m.cmax - p.fd END AS dur,
+             CASE WHEN m.cmax - p.ld > {_CHURN_GAP_HOURS}
+                  THEN 1 ELSE 0 END AS death
+      FROM per p JOIN mx m ON m.event_type = p.event_type
+    ),
+    durs AS (
+      SELECT event_type, dur, CAST(sum(death) AS BIGINT) AS n_deaths,
+             count(*) AS n_total
+      FROM subj GROUP BY 1, 2
+    ),
+    n AS (SELECT event_type, count(*) AS n_users FROM subj GROUP BY 1),
+    ar AS (
+      SELECT d.event_type, d.dur, d.n_deaths,
+             CAST(n.n_users - coalesce(sum(d.n_total) OVER (
+                    PARTITION BY d.event_type ORDER BY d.dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_at_risk
+      FROM durs d JOIN n ON n.event_type = d.event_type
+    ),
+    step AS (
+      SELECT event_type, dur, n_at_risk, n_deaths,
+             CAST(round(1e6 * ln(greatest(
+                    CAST(n_at_risk - n_deaths AS DOUBLE) / n_at_risk,
+                    1e-6))) AS BIGINT) AS step_log_micro
+      FROM ar WHERE n_deaths > 0
+    )
+    SELECT event_type, dur AS dur_hours, n_at_risk, n_deaths,
+           CAST(sum(step_log_micro) OVER (
+                  PARTITION BY event_type
+                  ORDER BY dur ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_log_micro,
+           CAST(round(1e6 * exp(CAST(sum(step_log_micro) OVER (
+                  PARTITION BY event_type
+                  ORDER BY dur ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) / 1e6)) AS BIGINT) AS survival_ppm
+    FROM step
+    """,
+)
+def events_survival_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED Kaplan–Meier (round 9): one survival curve per event
+    type, each stratum observed to ITS OWN horizon (max last-activity
+    hour within the type) — the comparison view that turns the single
+    certified KM curve into an actual analysis ("does churn differ by
+    activity kind?"). Subjects are (type, user) pairs: a user's clock
+    runs independently per activity stream. Same hour-granularity
+    censoring rule, log-space integer contract, and nᵢ=dᵢ clamp as
+    ``events_survival_curve`` (module docstring).
+
+    Scale: identical shape to the unstratified query, but BOTH windows
+    partition by event_type — the per-stratum duration frames are
+    calendar-bounded and no single-partition Exchange exists at all."""
+    hrs = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.expr("unix_timestamp(ts) div 3600").alias("hr"),
+    )
+    per = hrs.groupBy("event_type", "user_id").agg(
+        F.min("hr").alias("fd"), F.max("hr").alias("ld")
+    )
+    mx = per.groupBy("event_type").agg(F.max("ld").alias("cmax"))
+    subj = per.join(F.broadcast(mx), "event_type").select(
+        "event_type",
+        F.expr(
+            f"case when cmax - ld > {_CHURN_GAP_HOURS} then ld - fd"
+            " else cmax - fd end"
+        ).alias("dur"),
+        F.expr(
+            f"case when cmax - ld > {_CHURN_GAP_HOURS} then 1 else 0 end"
+        ).alias("death"),
+    )
+    durs = subj.groupBy("event_type", "dur").agg(
+        F.sum("death").cast("bigint").alias("n_deaths"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    n = subj.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ar = durs.join(F.broadcast(n), "event_type").select(
+        "event_type",
+        "dur",
+        "n_deaths",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("n_total").over(w_prev), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    step = ar.filter(F.col("n_deaths") > 0).select(
+        "event_type",
+        "dur",
+        "n_at_risk",
+        "n_deaths",
+        F.expr(
+            "cast(round(1000000.0D * ln(greatest("
+            "cast(n_at_risk - n_deaths as double) / n_at_risk,"
+            " 1e-6))) as bigint)"
+        ).alias("step_log_micro"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return step.select(
+        "event_type",
+        F.col("dur").alias("dur_hours"),
+        "n_at_risk",
+        "n_deaths",
+        F.sum("step_log_micro").over(w_cum).cast("bigint").alias(
+            "cum_log_micro"
+        ),
+    ).select(
+        "event_type",
+        "dur_hours",
+        "n_at_risk",
+        "n_deaths",
+        "cum_log_micro",
+        F.expr(
+            "cast(round(1000000.0D * exp(cast(cum_log_micro as double)"
+            " / 1000000.0D)) as bigint)"
+        ).alias("survival_ppm"),
+    )

@@ -1,0 +1,81 @@
+"""Streaming content-defined chunk fingerprints (round 9 — the
+VERDICT-r8 "streaming twin for CDC chunk fingerprints" wave item).
+
+The batch CDC machinery (queries/cdc_chunking.py) is already a
+PER-RECORD projection — boundary scan, chunk split, fingerprint are all
+row-local and the text never survives the chunk frame — so, exactly
+like the MinHash-band twin (neardup.py), it composes with
+``dropDuplicatesWithinWatermark`` unchanged: the same ``_BPOS_SPARK``
+boundary expression and the same 64-bit chunk fingerprint, certified
+equal to the batch pipeline's on identical rows by the tests.
+
+Semantics — chunk-granular first-wins: each record explodes into its
+content-defined chunks, and a chunk row is EMITTED iff its fingerprint
+was not seen within the watermark delay. This is the streaming shape of
+a chunk store's ingest path: an edited re-upload shares every untouched
+chunk with the original, so only the chunks the edit actually changed
+are emitted (CDC's shift-resistance, observable per batch). Emission is
+immediate (append mode); the watermark drives STATE EVICTION only, so
+state is one entry per distinct fingerprint inside the delay window —
+bounded by throughput × delay, never corpus size. After eviction a
+re-arriving chunk is emitted again: within-delay dedup is the contract
+(full historical chunk dedup is ``dedup_cdc_chunks``' batch job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..queries.cdc_chunking import _BPOS_SPARK
+
+
+def cdc_chunk_rows(
+    df: DataFrame, text_col: str = "value", carry: list[str] | None = None
+) -> DataFrame:
+    """(carry..., h, clen) — one row per content-defined chunk, all
+    row-local (projection + explode, stream-safe). Same boundary window,
+    modulus, and fingerprint as the certified batch chunk frame. Empty
+    or NULL text yields no rows (a chunk store has nothing to ingest).
+    ``carry`` columns pass through (default: key and ts); ``text`` is a
+    reserved internal name."""
+    carry = carry if carry is not None else ["key", "ts"]
+    b = (
+        df.filter(f"{text_col} is not null and length({text_col}) > 0")
+        .withColumnRenamed(text_col, "text")
+        .select(*carry, "text", F.expr(_BPOS_SPARK).alias("bpos"))
+    )
+    return b.select(
+        *carry,
+        "text",
+        "bpos",
+        F.explode(F.expr("sequence(1, size(bpos) - 1)")).alias("i"),
+    ).select(
+        *carry,
+        F.expr(
+            "substr(md5(substr(text, element_at(bpos, i) + 1,"
+            " element_at(bpos, i + 1) - element_at(bpos, i))), 1, 16)"
+        ).alias("h"),
+        F.expr(
+            "cast(element_at(bpos, i + 1) - element_at(bpos, i) as bigint)"
+        ).alias("clen"),
+    )
+
+
+def stream_dedup_cdc_chunks(
+    df: DataFrame,
+    text_col: str = "value",
+    ts: str = "ts",
+    watermark_delay: str = "1 minute",
+    key: str = "key",
+) -> DataFrame:
+    """Streaming chunk-store ingest: content-defined chunk rows surviving
+    first-seen filtering within the watermark — the streaming sibling of
+    ``dedup_cdc_chunks`` the way ``stream_dedup_minhash`` is
+    ``dedup_minhash_lsh``'s. State keyed on the chunk fingerprint,
+    evicted by the watermark."""
+    carry = list(dict.fromkeys([key, ts]))
+    chunks = cdc_chunk_rows(df, text_col, carry=carry)
+    return chunks.withWatermark(ts, watermark_delay).dropDuplicatesWithinWatermark(
+        ["h"]
+    )
