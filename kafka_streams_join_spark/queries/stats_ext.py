@@ -403,3 +403,97 @@ def orders_weighted_median_price(
             F.expr("case when 4 * cw >= 3 * total_w then price_d end")
         ).alias("wq75_price_d"),
     )
+
+
+# --------------------------------------------------------------------------
+# orders_price_elasticity — log-log OLS slope (round 9, wave 2)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_price_elasticity",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(round(1e6 * ln(CAST(round(l_extendedprice * 100)
+                                      AS BIGINT))) AS BIGINT)
+               - 10000000 AS xm,
+             CAST(round(1e6 * ln(greatest(CAST(round(l_quantity) AS BIGINT),
+                                          1))) AS BIGINT) AS ym
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag, count(*) AS n,
+             sum(CAST(xm AS HUGEINT)) AS sx, sum(CAST(ym AS HUGEINT)) AS sy,
+             sum(CAST(xm AS HUGEINT) * xm) AS sxx,
+             sum(CAST(ym AS HUGEINT) * ym) AS syy,
+             sum(CAST(xm AS HUGEINT) * ym) AS sxy
+      FROM v GROUP BY 1
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN n * sxx - sx * sx <= 0 THEN 0
+                ELSE CAST(round(1000000 * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+           END AS elasticity_ppm,
+           CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+                THEN 0
+                ELSE CAST(round(1000000 * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)))
+                     AS BIGINT)
+           END AS r_ppm
+    FROM m
+    """,
+)
+def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of quantity per return flag: the OLS slope of
+    ln(quantity) on ln(price cents), plus the log-log Pearson r — the
+    econometric readout ("a 1% price increase moves volume by
+    elasticity%"). Log coordinates are integer MICRO-NATS per row (the
+    surprisal idiom: round(1e6·ln(exact int)) — ln is the engine-shared
+    libm call), so the five OLS moments are exact DECIMAL(38,0)/HUGEINT
+    sums. The x coordinate is SHIFTED by a fixed 10 micro-nats
+    (≈ e^10 cents ≈ $220): OLS slope and r are exactly shift-invariant,
+    and the shift keeps n·Σx² ≤ ~5e37 inside DECIMAL(38,0) at a
+    trillion rows, where unshifted log-price moments would overflow.
+    TPC-H draws quantity independent of price, so ≈0 is the expected
+    reading — the machinery is the deliverable, exactly as with the
+    registered Pearson and A/A tests.
+
+    Scale: ONE map-side-combinable aggregate; constant-time arithmetic
+    on 3 rows after."""
+    v = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr(
+            "cast(round(1000000.0D * ln(cast(round(l_extendedprice * 100)"
+            " as bigint))) as bigint) - 10000000"
+        ).alias("xm"),
+        F.expr(
+            "cast(round(1000000.0D * ln(greatest(cast(round(l_quantity)"
+            " as bigint), 1))) as bigint)"
+        ).alias("ym"),
+    )
+    m = v.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(cast(xm as decimal(38,0)))").alias("sx"),
+        F.expr("sum(cast(ym as decimal(38,0)))").alias("sy"),
+        F.expr("sum(cast(xm as decimal(38,0)) * xm)").alias("sxx"),
+        F.expr("sum(cast(ym as decimal(38,0)) * ym)").alias("syy"),
+        F.expr("sum(cast(xm as decimal(38,0)) * ym)").alias("sxy"),
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(
+            "case when n * sxx - sx * sx <= 0 then cast(0 as bigint)"
+            " else cast(round(1000000 * cast(n * sxy - sx * sy as double)"
+            " / cast(n * sxx - sx * sx as double)) as bigint) end"
+        ).alias("elasticity_ppm"),
+        F.expr(
+            "case when n * sxx - sx * sx <= 0 or n * syy - sy * sy <= 0"
+            " then cast(0 as bigint)"
+            " else cast(round(1000000 * cast(n * sxy - sx * sy as double)"
+            " / sqrt(cast(n * sxx - sx * sx as double)"
+            "        * cast(n * syy - sy * sy as double))) as bigint) end"
+        ).alias("r_ppm"),
+    )
