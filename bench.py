@@ -270,9 +270,8 @@ def main() -> int:
         try:
             timings[name] = run_best(name, make_df, n_runs=n_runs)
         except Exception as exc:  # noqa: BLE001 — isolate ANY query failure
-            first = str(exc).strip().splitlines()[0][:300] if str(exc) else (
-                type(exc).__name__
-            )
+            msg = str(exc).strip()
+            first = msg.splitlines()[0][:300] if msg else type(exc).__name__
             errors[name] = first
             print(f"# ERROR {name}: {first}")
 
@@ -323,9 +322,8 @@ def main() -> int:
         try:
             streaming = run_streaming_bench(spark, sf_dir)
         except Exception as exc:  # noqa: BLE001 — same isolation contract
-            first = str(exc).strip().splitlines()[0][:300] if str(exc) else (
-                type(exc).__name__
-            )
+            msg = str(exc).strip()
+            first = msg.splitlines()[0][:300] if msg else type(exc).__name__
             errors["_streaming"] = first
             print(f"# ERROR _streaming: {first}")
         for name, m in streaming.items():

@@ -81,28 +81,30 @@ _CHUNK_CTE = f"""
 """
 
 
-def _chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, h, clen) — one row per content-defined chunk.
-    Boundary scan and chunk fingerprinting are row-local (text never
-    survives past this projection, so nothing wide can enter a later
-    Exchange)."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "source", "text")
-        .filter("text is not null and length(text) > 0")
-    )
-    b = docs.select(
-        "doc_id", "source", "text", F.expr(_BPOS_SPARK).alias("bpos")
+def chunk_rows(
+    df: DataFrame, text_col: str = "text", carry: list[str] | None = None
+) -> DataFrame:
+    """(carry..., h, clen) — one row per content-defined chunk of any
+    frame with a text column: the ONE implementation of the boundary
+    scan + chunk fingerprint, shared by the batch queries below and the
+    streaming twin (``streaming/cdc.py``), so the chunking contract can
+    never fork. Boundary scan and fingerprinting are row-local (text
+    never survives past this projection, so nothing wide can enter a
+    later Exchange). Empty/NULL text yields no rows. ``text`` is a
+    reserved internal column name."""
+    carry = carry if carry is not None else ["doc_id", "source"]
+    b = (
+        df.filter(f"{text_col} is not null and length({text_col}) > 0")
+        .withColumnRenamed(text_col, "text")
+        .select(*carry, "text", F.expr(_BPOS_SPARK).alias("bpos"))
     )
     return b.select(
-        "doc_id",
-        "source",
+        *carry,
         "text",
         "bpos",
         F.explode(F.expr("sequence(1, size(bpos) - 1)")).alias("i"),
     ).select(
-        "doc_id",
-        "source",
+        *carry,
         F.expr(
             "substr(md5(substr(text, element_at(bpos, i) + 1,"
             " element_at(bpos, i + 1) - element_at(bpos, i))), 1, 16)"
@@ -110,6 +112,18 @@ def _chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "cast(element_at(bpos, i + 1) - element_at(bpos, i) as bigint)"
         ).alias("clen"),
+    )
+
+
+def _chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, h, clen) over the documents table — the batch
+    queries' view of :func:`chunk_rows`."""
+    return chunk_rows(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        ),
+        "text",
+        carry=["doc_id", "source"],
     )
 
 

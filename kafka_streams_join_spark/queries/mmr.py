@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import ORACLES as _ORACLES
 from .registry import register
@@ -142,7 +143,12 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     all windows partition by query_id; the candidate stage scales as
     its own registered query does."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ce = (
+    # staged: ce fans out to the pairwise self-join, s1, and both greedy
+    # steps — left lazy, every consumer would re-execute the full-corpus
+    # candidate GEMM (the multi-consumer trap operators/staging.py
+    # documents); staged, the GEMM runs once and the re-rank reads the
+    # tiny K-rows-per-query frame
+    ce = _staged(
         sim_topk_bruteforce(spark, sf_dir)
         .join(emb, F.col("neighbor_id") == F.col("vec_id"))
         .select(
@@ -167,6 +173,8 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / sqrt({_n2_spark('a')} * {_n2_spark('b')}))) as bigint)"
         ).alias("ps_m"),
     )
+    # ps is consumed twice by the symmetrization and once per greedy step
+    ps = _staged(ps)
     psym = ps.unionByName(
         ps.select("query_id", F.col("y").alias("x"), F.col("x").alias("y"), "ps_m")
     )

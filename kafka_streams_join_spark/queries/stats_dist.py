@@ -165,20 +165,22 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
       SELECT c.event_type,
-             CAST(round(1000000
+             CASE WHEN t.ta <= 0 OR c.oa + c.ob <= 0 THEN 0
+             ELSE CAST(round(1000000
                * CAST(CAST(c.oa AS HUGEINT) * t.n
                       - CAST(c.oa + c.ob AS HUGEINT) * t.ta AS DOUBLE)
                * CAST(CAST(c.oa AS HUGEINT) * t.n
                       - CAST(c.oa + c.ob AS HUGEINT) * t.ta AS DOUBLE)
                / CAST(CAST(t.n AS HUGEINT) * (c.oa + c.ob) * t.ta AS DOUBLE))
-               AS BIGINT)
-             + CAST(round(1000000
+               AS BIGINT) END
+             + CASE WHEN t.tb <= 0 OR c.oa + c.ob <= 0 THEN 0
+             ELSE CAST(round(1000000
                * CAST(CAST(c.ob AS HUGEINT) * t.n
                       - CAST(c.oa + c.ob AS HUGEINT) * t.tb AS DOUBLE)
                * CAST(CAST(c.ob AS HUGEINT) * t.n
                       - CAST(c.oa + c.ob AS HUGEINT) * t.tb AS DOUBLE)
                / CAST(CAST(t.n AS HUGEINT) * (c.oa + c.ob) * t.tb AS DOUBLE))
-               AS BIGINT) AS t_micro
+               AS BIGINT) END AS t_micro
       FROM cells c CROSS JOIN tot t
     )
     SELECT CAST(count(*) AS BIGINT) AS n_types,
@@ -215,12 +217,19 @@ def events_chi2_type_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _term(obs: str, col_tot: str) -> str:
+        # guard the degenerate one-sided split (an empty column margin):
+        # the expected count is 0 there and the cell contributes nothing —
+        # without the guard Spark rounds Infinity to null while DuckDB's
+        # BIGINT cast throws, a certain parity break
         num = (
             f"cast(cast({obs} as decimal(38,0)) * n"
             f" - cast(oa + ob as decimal(38,0)) * {col_tot} as double)"
         )
         den = f"cast(cast(n as decimal(38,0)) * (oa + ob) * {col_tot} as double)"
-        return f"cast(round(1000000 * {num} * {num} / {den}) as bigint)"
+        return (
+            f"case when {col_tot} <= 0 or oa + ob <= 0 then cast(0 as bigint)"
+            f" else cast(round(1000000 * {num} * {num} / {den}) as bigint) end"
+        )
 
     terms = cells.crossJoin(F.broadcast(tot)).select(
         "event_type",

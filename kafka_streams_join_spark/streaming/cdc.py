@@ -25,41 +25,20 @@ re-arriving chunk is emitted again: within-delay dedup is the contract
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
-from ..queries.cdc_chunking import _BPOS_SPARK
+from ..queries.cdc_chunking import chunk_rows
 
 
 def cdc_chunk_rows(
     df: DataFrame, text_col: str = "value", carry: list[str] | None = None
 ) -> DataFrame:
     """(carry..., h, clen) — one row per content-defined chunk, all
-    row-local (projection + explode, stream-safe). Same boundary window,
-    modulus, and fingerprint as the certified batch chunk frame. Empty
-    or NULL text yields no rows (a chunk store has nothing to ingest).
-    ``carry`` columns pass through (default: key and ts); ``text`` is a
-    reserved internal name."""
-    carry = carry if carry is not None else ["key", "ts"]
-    b = (
-        df.filter(f"{text_col} is not null and length({text_col}) > 0")
-        .withColumnRenamed(text_col, "text")
-        .select(*carry, "text", F.expr(_BPOS_SPARK).alias("bpos"))
-    )
-    return b.select(
-        *carry,
-        "text",
-        "bpos",
-        F.explode(F.expr("sequence(1, size(bpos) - 1)")).alias("i"),
-    ).select(
-        *carry,
-        F.expr(
-            "substr(md5(substr(text, element_at(bpos, i) + 1,"
-            " element_at(bpos, i + 1) - element_at(bpos, i))), 1, 16)"
-        ).alias("h"),
-        F.expr(
-            "cast(element_at(bpos, i + 1) - element_at(bpos, i) as bigint)"
-        ).alias("clen"),
-    )
+    row-local (projection + explode, stream-safe). DELEGATES to the
+    batch pipeline's :func:`~..queries.cdc_chunking.chunk_rows` — one
+    implementation, so the boundary/fingerprint contract cannot fork
+    between the batch queries and this streaming twin. ``carry`` columns
+    pass through (default: key and ts)."""
+    return chunk_rows(df, text_col, carry or ["key", "ts"])
 
 
 def stream_dedup_cdc_chunks(

@@ -116,18 +116,26 @@ def drain_until_ingested(
     # buffer capped at spark.sql.streaming.numRecentProgressUpdates
     # (default 100) entries, so re-summing the buffer each poll silently
     # undercounts any query that exceeds 100 batches (ADVICE r8). Folding
-    # every batch seen across polls into a dict counts each batch exactly
-    # once and survives the ring buffer evicting old entries — a batch
-    # only needs to be OBSERVED once, and the poll loop runs far faster
-    # than batches complete.
-    ingested_by_batch: dict[int, int] = {}
+    # every batch seen into a dict counts each batch exactly once and
+    # survives the ring buffer evicting old entries — a batch only needs
+    # to be OBSERVED once, and the poll loop runs far faster than batches
+    # complete. The ledger lives ON the query handle, not in this call:
+    # callers drain repeatedly with CUMULATIVE totals (batch 2, 4, 5, …),
+    # and a per-call dict would re-lose every batch evicted between calls
+    # — the same bug one level up. Entries without a batchId (version-
+    # dependent progress shapes) key on their timestamp, else their full
+    # JSON, so distinct batches never collapse onto one key.
+    ledger_attr = "_spark_graft_ingest_ledger"
+    ingested_by_batch: dict = getattr(query, ledger_attr, None) or {}
+    setattr(query, ledger_attr, ingested_by_batch)
     while True:
         query.processAllAvailable()
         for p in query.recentProgress:
             d = _progress_dict(p)
-            ingested_by_batch[int(d.get("batchId", -1))] = int(
-                d.get("numInputRows") or 0
-            )
+            key = d.get("batchId")
+            if key is None:
+                key = d.get("timestamp") or json.dumps(d, sort_keys=True)
+            ingested_by_batch[key] = int(d.get("numInputRows") or 0)
         ingested = sum(ingested_by_batch.values())
         if ingested >= total_rows:
             return

@@ -39,8 +39,11 @@ def _mmr_bruteforce(spark):
         cand_cos = cos[qi][mask]
         order = np.lexsort((cand_ids, -cand_cos))[:5]
         cids = [int(cand_ids[i]) for i in order]
+        # the engines round HALF_UP at both stages (3-dp cos, then milli);
+        # Python's round() is banker's, so mirror with the half-up helper
+        # (one-stage: the second rounding acts on an exact milli integer)
         rel = {
-            int(cand_ids[i]): _round_half_up(round(cand_cos[i], 3) * 1000)
+            int(cand_ids[i]): _round_half_up(cand_cos[i] * 1000)
             for i in order
         }
         idx = {int(v): k for k, v in enumerate(ids)}
