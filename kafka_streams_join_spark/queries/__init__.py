@@ -80,6 +80,7 @@ from . import forecast  # noqa: E402,F401
 from . import mmr  # noqa: E402,F401
 from . import tokenizer_eval  # noqa: E402,F401
 from . import wavelet  # noqa: E402,F401
+from . import stylometry  # noqa: E402,F401
 from . import matryoshka  # noqa: E402,F401
 from . import sketches_ext  # noqa: E402,F401
 from . import survival  # noqa: E402,F401
