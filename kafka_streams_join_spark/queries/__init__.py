@@ -81,6 +81,7 @@ from . import mmr  # noqa: E402,F401
 from . import tokenizer_eval  # noqa: E402,F401
 from . import wavelet  # noqa: E402,F401
 from . import stylometry  # noqa: E402,F401
+from . import dq_privacy  # noqa: E402,F401
 from . import matryoshka  # noqa: E402,F401
 from . import sketches_ext  # noqa: E402,F401
 from . import survival  # noqa: E402,F401
