@@ -130,18 +130,16 @@ def _driver_green() -> set[str]:
 # certified tail with no manual cleanup (entries become dead weight, never
 # wrong, and can be pruned at leisure).
 _RECERTIFY_FROM_ROUND = {
-    # (rounds 4-8 entries pruned after their re-certification — every
-    # retired query had a fresh hash-green row in CORRECTNESS_r06/r07/r08;
+    # (rounds 4-9 entries pruned after their re-certification — every
+    # retired query had a fresh hash-green row in CORRECTNESS_r06..r09;
     # see git history for the lists)
-    # round-9 fix: l_shipmode does not exist in the corpus — replaced with
-    # the tpch_ext Q12 derived-mode hash (l_suppkey % 3) on both engines.
-    # The lone r8 row for this query is an AnalysisException, so this entry
-    # forces a fresh hash-certified driver row for the fixed plan.
-    "orders_weighted_median_price": 9,
-    # round-9 fix: day/14-day churn gap was vacuous on this corpus (zero
-    # deaths at every SF — both engines emitted 0 rows); reworked to hour
-    # granularity with a 24-hour gap so the KM logic actually executes.
-    "events_survival_curve": 9,
+    # round-10 fix: the DuckDB oracle's 5-level chained list-lambda CTE
+    # pyramid was nondeterministic on DuckDB 1.0.0 (13 wrong + 3 INT128-
+    # overflow crashes per 100 runs — the r9 board's one red row, with the
+    # Spark side provably correct). Rewritten relationally (unnest + GROUP
+    # BY per Haar level), 100/100 stress-stable; this entry forces a fresh
+    # hash-certified driver row against the stable oracle.
+    "events_wavelet_energy": 10,
 }
 
 

@@ -221,10 +221,14 @@ def _pca_model(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     return means, comps
 
 
-@register("emb_pca_project")  # rows-only: eigendecomposition has no SQL
-# twin in DuckDB — the distributed core is oracle-certified as
-# emb_covariance; the projection itself is certified by the invariant +
-# differential-vs-numpy tests in tests/test_extensions.py.
+# DEREGISTERED round 10 (was the registry's lone rows-only entry since r4):
+# its contract is fully oracle-certified by the pair that superseded it —
+# emb_covariance (the distributed Gramian core, hash-green) +
+# emb_pca_project_fixed (emb_ext.py, the frozen-eigenbasis projection,
+# hash-green since r6). The function stays: the fit/project machinery is
+# exercised by the invariant + numpy-differential tests
+# (tests/test_extensions.py) and the frozen-vs-fitted consistency check
+# (tests/test_round6.py), and pca_frozen.py documents its provenance.
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of every embedding onto the top PCA_K=8 principal
     components — the dimensionality-reduction / whitening front end of

@@ -61,20 +61,27 @@ def _spark_level_exprs() -> tuple[list[str], list[str]]:
 
 
 def _sql_level_ctes() -> str:
+    """Relational Haar levels: each level folds the previous level's
+    (event_type, idx, c) ROWS with a plain ``GROUP BY (idx + 1) // 2`` —
+    the pair's sum is the next smooth coefficient, the signed sum its
+    detail difference. NO list lambdas: the original oracle chained five
+    ``list_transform(generate_series(...), i -> prev[2i-1] ± prev[2i])``
+    CTEs and DuckDB 1.0.0 evaluated that pyramid NONDETERMINISTICALLY
+    (measured 13 wrong results + 3 spurious INT128-overflow crashes per
+    100 runs on one connection — operands ~1e38 that cannot arise from
+    daily counts, i.e. garbage reads). Plain unnested aggregates are
+    stable (r10 stress: 100/100 clean). ``(idx + 1) // 2`` is safe here:
+    DuckDB integer ``//`` truncates toward zero, which equals floor for
+    the positive idx domain."""
     parts = []
     for k in range(1, _LEVELS + 1):
-        m = _N >> k
-        prev = f"l{k - 1}"
         parts.append(
             f"lv{k} AS (\n"
-            f"  SELECT event_type, n_days,\n"
-            f"    list_transform(generate_series(1, {m}), i ->\n"
-            f"      {prev}[2 * i - 1] + {prev}[2 * i]) AS l{k},\n"
-            f"    list_sum(list_transform(generate_series(1, {m}), i ->\n"
-            f"      CAST({prev}[2 * i - 1] - {prev}[2 * i] AS HUGEINT)\n"
-            f"      * ({prev}[2 * i - 1] - {prev}[2 * i]))) AS e{k}"
-            + ("".join(f", e{j}" for j in range(1, k)))
-            + f"\n  FROM lv{k - 1}\n)"
+            f"  SELECT event_type, n_days, (idx + 1) // 2 AS idx,\n"
+            f"    CAST(sum(c) AS BIGINT) AS c,\n"
+            f"    CAST(sum(CASE WHEN idx % 2 = 1 THEN c ELSE -c END)\n"
+            f"         AS HUGEINT) AS diff\n"
+            f"  FROM lv{k - 1} GROUP BY 1, 2, 3\n)"
         )
     return ",\n".join(parts)
 
@@ -87,30 +94,44 @@ def _sql_level_ctes() -> str:
              CAST(count(*) AS BIGINT) AS n
       FROM events GROUP BY 1, 2
     ),
-    lv0 AS (
-      SELECT event_type,
-             CAST(count(*) AS BIGINT) AS n_days,
-             list_resize(list(n ORDER BY d), {_N}, 0) AS l0
+    nd AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
       FROM daily GROUP BY event_type
     ),
+    ranked AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS idx,
+             n
+      FROM daily
+    ),
+    lv0 AS (
+      -- zero-padded/truncated {_N}-slot dyadic grid as ROWS: the grid
+      -- cross join pads short series with COALESCE-0, and drops ranked
+      -- rows past slot {_N} (the list_resize truncation convention)
+      SELECT nd.event_type, nd.n_days, g.idx,
+             COALESCE(r.n, CAST(0 AS BIGINT)) AS c
+      FROM nd
+      CROSS JOIN generate_series(1, {_N}) AS g(idx)
+      LEFT JOIN ranked r
+        ON r.event_type = nd.event_type AND r.idx = g.idx
+    ),
     {_sql_level_ctes()},
+    energies AS (
+      {" UNION ALL ".join(
+          f'''SELECT event_type, n_days, {k} AS level,
+              sum(diff * diff) AS e FROM lv{k} GROUP BY 1, 2'''
+          for k in range(1, _LEVELS + 1)
+      )}
+    ),
     tot AS (
-      SELECT event_type, n_days,
-             {" + ".join(f"e{k}" for k in range(1, _LEVELS + 1))} AS te,
-             {", ".join(f"e{k}" for k in range(1, _LEVELS + 1))}
-      FROM lv{_LEVELS}
+      SELECT event_type, n_days, sum(e) AS te
+      FROM energies GROUP BY 1, 2
     )
-    SELECT event_type, n_days, level,
-           CAST(CAST(e AS HUGEINT) * 1000000
-                // greatest(te, 1) AS BIGINT) AS energy_share_ppm
-    FROM (
-      SELECT event_type, n_days, te, lv.lvl AS level,
-             CASE lv.lvl
-               {" ".join(f"WHEN {k} THEN e{k}" for k in range(1, _LEVELS + 1))}
-             END AS e
-      FROM tot, (VALUES {", ".join(f"({k})" for k in range(1, _LEVELS + 1))})
-           AS lv(lvl)
-    )
+    SELECT en.event_type, en.n_days, en.level,
+           CAST(en.e * 1000000
+                // greatest(t.te, 1) AS BIGINT) AS energy_share_ppm
+    FROM energies en
+    JOIN tot t USING (event_type, n_days)
     """,
 )
 def events_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -257,11 +257,13 @@ def test_pca_projection_invariants_and_numpy_differential(spark):
     (emb_covariance); this certifies the eigen/projection half."""
     import numpy as np
 
-    from kafka_streams_join_spark.queries.embedding_ops import PCA_K
-    from kafka_streams_join_spark.queries import QUERIES
+    from kafka_streams_join_spark.queries.embedding_ops import (
+        PCA_K,
+        emb_pca_project,
+    )
     from kafka_streams_join_spark.sources.parquet import load_table
 
-    rows = QUERIES["emb_pca_project"](spark, SF_SMOKE).collect()
+    rows = emb_pca_project(spark, SF_SMOKE).collect()
     assert len(rows) == 500
     P = np.array(
         [[r[f"p{k}"] for k in range(PCA_K)] for r in sorted(rows, key=lambda r: r["vec_id"])]
