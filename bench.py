@@ -335,8 +335,16 @@ def main() -> int:
     # (ADVICE r9). The sum is only meaningful when every HEADLINE query
     # timed; otherwise the headline value is null and headline_complete
     # says why.
+    # The `n in QUERIES` exemption exists ONLY for trimmed-registry test
+    # runs (which set SPARK_GRAFT_BENCH_NO_HISTORY=1). In a production run
+    # a HEADLINE name absent from the registry is itself an incompleteness
+    # — a renamed/retired headline query silently dropped from the sum
+    # would recreate the deflated-headline misread (ADVICE r10).
+    _trimmed_run = os.environ.get("SPARK_GRAFT_BENCH_NO_HISTORY", "0") == "1"
     headline_missing = [
-        n for n in HEADLINE if n in QUERIES and n not in timings
+        n
+        for n in HEADLINE
+        if (n in QUERIES or not _trimmed_run) and n not in timings
     ]
     headline_complete = not headline_missing
     baseline_total = (
@@ -439,6 +447,12 @@ def main() -> int:
                 f"round-over-round ({prev:.2f}s -> {secs:.2f}s at sf={sf_val})"
             )
 
+    # Make an inferred (untagged) round attribution visible in the
+    # transcript so a misattributed run is catchable (ADVICE r10: nothing
+    # enforces the builder-always-tags assumption).
+    if round_source != "env":
+        print(f"# ROUND inferred as r{cur_round} (source={round_source}; "
+              f"set SPARK_GRAFT_BENCH_ROUND to tag explicitly)")
     history = dict(compact, round=cur_round, round_source=round_source,
                    queries=timings, spread=spread,
                    streaming=streaming, errors=errors)

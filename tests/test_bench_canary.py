@@ -92,3 +92,15 @@ def test_broken_registration_does_not_abort_bench(monkeypatch, capsys):
     assert "j1_interval_join_inner" in full["queries"]
     assert "dedup_exact" in full["queries"]
     assert "zz_broken_canary" not in full["queries"]
+
+
+def test_headline_is_subset_of_registry():
+    """A HEADLINE name absent from the registry means a headline query was
+    renamed or retired without updating bench.py — in a production run the
+    sum would be silently deflated and a file diff would misread the drop
+    as a speedup (ADVICE r10). Fail loudly at test time instead."""
+    import bench
+    from kafka_streams_join_spark.queries import QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"HEADLINE names not in registry: {missing}"

@@ -39,8 +39,16 @@ def main() -> int:
         i = args.index("--reps")
         reps = int(args[i + 1])
         del args[i : i + 2]
-    sf_dir = args[0] if args else "/root/testdata/sf0.001"
-    filters = args[1:]
+    # Only consume args[0] as the data dir when it LOOKS like a path —
+    # `stress_oracles.py wavelet` must mean "filter: wavelet", not "read
+    # parquet from ./wavelet" (which would error every oracle and report
+    # the whole registry UNSTABLE for the wrong reason; ADVICE r10).
+    if args and (os.path.isdir(args[0]) or "/" in args[0]):
+        sf_dir = args[0]
+        filters = args[1:]
+    else:
+        sf_dir = "/root/testdata/sf0.001"
+        filters = args
     if filters:
         dead = [f for f in filters if not any(f in n for n in ORACLES)]
         if dead:
@@ -70,13 +78,28 @@ def main() -> int:
             elif not baseline.equals(got):
                 diverged += 1
                 if not first_detail:
-                    neq = (baseline != got).any(axis=1)
-                    idx = neq[neq].index[:1].tolist()
-                    first_detail = "; ".join(
-                        f"row {i}: run1={baseline.loc[i].to_dict()}"
-                        f" later={got.loc[i].to_dict()}"
-                        for i in idx
-                    )
+                    # A nondeterministic oracle may change its ROW COUNT
+                    # across reps — the exact class this tool hunts — and
+                    # elementwise != raises on differently-shaped frames,
+                    # which would crash the audit instead of reporting
+                    # UNSTABLE (ADVICE r10). Mirror oracle.check_parity's
+                    # shape check before comparing values.
+                    if (
+                        baseline.shape != got.shape
+                        or not baseline.index.equals(got.index)
+                        or not baseline.columns.equals(got.columns)
+                    ):
+                        first_detail = (
+                            f"shape run1={baseline.shape} later={got.shape}"
+                        )
+                    else:
+                        neq = (baseline != got).any(axis=1)
+                        idx = neq[neq].index[:1].tolist()
+                        first_detail = "; ".join(
+                            f"row {i}: run1={baseline.loc[i].to_dict()}"
+                            f" later={got.loc[i].to_dict()}"
+                            for i in idx
+                        )
         dt = time.time() - t0
         if diverged or errors or baseline is None:
             unstable += 1
