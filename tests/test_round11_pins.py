@@ -1,0 +1,127 @@
+"""Round-11 semantic pins: independent pure-Python reimplementations on
+the sf0.001 corpus (arbitrary-precision ints / plain sequential float64,
+no Spark SQL, no DuckDB), plus the new queries' plan gates. The oracle
+hash certifies ENGINE PARITY; these certify the SEMANTICS, so a shared
+misreading between the Spark plan and its oracle SQL cannot slip
+through (the §5.2 checklist's pin step)."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow.parquet as pq
+
+from kafka_streams_join_spark.plans import explain_str
+from kafka_streams_join_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def _embeddings():
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pydict()
+    return list(zip(t["vec_id"], t["embedding"]))
+
+
+def _sign_words(vec):
+    lo = hi = 0
+    for d, v in enumerate(vec):
+        if v >= 0:
+            if d < 32:
+                lo |= 1 << d
+            else:
+                hi |= 1 << (d - 32)
+    return lo, hi
+
+
+# --------------------------------------------------------------------------
+# sim_binary_hamming_topk
+# --------------------------------------------------------------------------
+
+
+def test_binary_hamming_topk_matches_bruteforce(spark):
+    emb = _embeddings()
+    packed = {vid: _sign_words(vec) for vid, vec in emb}
+    expected = {}
+    for qid in packed:
+        if qid % 100 != 0:
+            continue
+        cands = []
+        for nid, (lo, hi) in packed.items():
+            if nid == qid:
+                continue
+            qlo, qhi = packed[qid]
+            ham = bin(qlo ^ lo).count("1") + bin(qhi ^ hi).count("1")
+            cands.append((ham, nid))
+        cands.sort()
+        for rnk, (ham, nid) in enumerate(cands[:5], start=1):
+            expected[(qid, nid)] = (rnk, ham)
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["rnk"], r["hamming"])
+        for r in QUERIES["sim_binary_hamming_topk"](spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == expected
+
+
+def test_binary_hamming_topk_plan(spark):
+    """The packed-corpus scan must broadcast the query side and cut
+    candidates map-side: Partial+Final WindowGroupLimit, broadcast join,
+    and a ReadSchema pruned to (vec_id, embedding)."""
+    df = QUERIES["sim_binary_hamming_topk"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan[:2000]
+    )
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+# --------------------------------------------------------------------------
+# sim_hamming_recall
+# --------------------------------------------------------------------------
+
+
+def test_hamming_recall_matches_bruteforce(spark):
+    emb = _embeddings()
+    packed = {vid: _sign_words(vec) for vid, vec in emb}
+
+    def _cos(a, b):
+        # sequential float64 fold, mirroring both engines' left-to-right
+        # accumulation order
+        num = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            num += float(x) * float(y)
+        for x in a:
+            na += float(x) * float(x)
+        for x in b:
+            nb += float(x) * float(x)
+        return num / math.sqrt(na * nb)
+
+    vecs = dict(emb)
+    expected = {}
+    for qid in vecs:
+        if qid % 100 != 0:
+            continue
+        exact = sorted(
+            ((-_cos(vecs[qid], v), nid) for nid, v in vecs.items() if nid != qid)
+        )[:5]
+        qlo, qhi = packed[qid]
+        ham = sorted(
+            (
+                (
+                    bin(qlo ^ lo).count("1") + bin(qhi ^ hi).count("1"),
+                    nid,
+                )
+                for nid, (lo, hi) in packed.items()
+                if nid != qid
+            )
+        )[:5]
+        ham_ids = {nid for _, nid in ham}
+        n_hits = sum(1 for _, nid in exact if nid in ham_ids)
+        expected[qid] = (n_hits, n_hits * 1_000_000 // 5)
+    got = {
+        r["query_id"]: (r["n_hits"], r["recall_ppm"])
+        for r in QUERIES["sim_hamming_recall"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
