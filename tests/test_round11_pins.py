@@ -125,3 +125,92 @@ def test_hamming_recall_matches_bruteforce(spark):
         for r in QUERIES["sim_hamming_recall"](spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# orders_gini_revenue / orders_hhi_concentration
+# --------------------------------------------------------------------------
+
+
+def _round_half_up(x: float) -> int:
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def test_gini_revenue_matches_bruteforce(spark):
+    o = pq.read_table(f"{SF_SMOKE}/orders.parquet").to_pydict()
+    c = pq.read_table(f"{SF_SMOKE}/customer.parquet").to_pydict()
+    seg_of = dict(zip(c["c_custkey"], c["c_mktsegment"]))
+    rev: dict = {}
+    for ck, price in zip(o["o_custkey"], o["o_totalprice"]):
+        key = (seg_of[ck], ck)
+        rev[key] = rev.get(key, 0) + _round_half_up(price * 100)
+    by_seg: dict = {}
+    for (seg, _ck), x in rev.items():
+        by_seg.setdefault(seg, []).append(x)
+    expected = {}
+    for seg, xs in by_seg.items():
+        xs.sort()
+        n = len(xs)
+        sx = sum(xs)
+        s2rx = sum(2 * (i + 1) * x for i, x in enumerate(xs))
+        gini = (
+            0
+            if n < 2 or sx == 0
+            else (1_000_000 * (s2rx - (n + 1) * sx)) // (n * sx)
+        )
+        expected[seg] = (n, sx, gini)
+    got = {
+        r["c_mktsegment"]: (r["n_customers"], r["revenue_cents"], r["gini_ppm"])
+        for r in QUERIES["orders_gini_revenue"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_hhi_concentration_matches_bruteforce(spark):
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet").to_pydict()
+    s = pq.read_table(f"{SF_SMOKE}/supplier.parquet").to_pydict()
+    n = pq.read_table(f"{SF_SMOKE}/nation.parquet").to_pydict()
+    nat_of_supp = dict(zip(s["s_suppkey"], s["s_nationkey"]))
+    name_of_nat = dict(zip(n["n_nationkey"], n["n_name"]))
+    rev: dict = {}
+    for sk, price in zip(li["l_suppkey"], li["l_extendedprice"]):
+        key = (name_of_nat[nat_of_supp[sk]], sk)
+        rev[key] = rev.get(key, 0) + _round_half_up(price * 100)
+    by_nat: dict = {}
+    for (nat, _sk), r in rev.items():
+        by_nat.setdefault(nat, []).append(r)
+    expected = {}
+    for nat, rs in by_nat.items():
+        tot = sum(rs)
+        sumsq = sum(r * r for r in rs)
+        hhi = (
+            0
+            if tot == 0
+            else _round_half_up(1_000_000 * float(sumsq) / (float(tot) * float(tot)))
+        )
+        top = 0 if tot == 0 else (1_000_000 * max(rs)) // tot
+        expected[nat] = (len(rs), tot, hhi, top)
+    got = {
+        r["nation"]: (
+            r["n_suppliers"],
+            r["revenue_cents"],
+            r["hhi_ppm"],
+            r["top_share_ppm"],
+        )
+        for r in QUERIES["orders_hhi_concentration"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_gini_hhi_plans(spark):
+    """Gini: dims broadcast, the rank window runs over the level frame
+    (never a single unpartitioned data-sized window); HHI: both dims
+    broadcast, no shuffle wider than the (nation, supp) aggregate."""
+    g = QUERIES["orders_gini_revenue"](spark, SF_SMOKE)
+    plan = explain_str(g, "simple")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    h = QUERIES["orders_hhi_concentration"](spark, SF_SMOKE)
+    plan_h = explain_str(h, "simple")
+    assert plan_h.count("BroadcastHashJoin") >= 2, plan_h[:2000]
+    assert "CartesianProduct" not in plan_h, plan_h[:2000]
