@@ -214,3 +214,57 @@ def test_gini_hhi_plans(spark):
     plan_h = explain_str(h, "simple")
     assert plan_h.count("BroadcastHashJoin") >= 2, plan_h[:2000]
     assert "CartesianProduct" not in plan_h, plan_h[:2000]
+
+
+# --------------------------------------------------------------------------
+# events_control_rules
+# --------------------------------------------------------------------------
+
+
+def test_control_rules_matches_bruteforce(spark):
+    ev = pq.read_table(
+        f"{SF_SMOKE}/events.parquet", columns=["event_type", "ts"]
+    ).to_pydict()
+    hourly: dict = {}
+    for et, ts in zip(ev["event_type"], ev["ts"]):
+        key = (et, ts.replace(minute=0, second=0, microsecond=0, nanosecond=0)
+               if hasattr(ts, "nanosecond")
+               else ts.replace(minute=0, second=0, microsecond=0))
+        hourly[key] = hourly.get(key, 0) + 1
+    by_type: dict = {}
+    for (et, h), c in sorted(hourly.items()):
+        by_type.setdefault(et, []).append(c)
+    expected = {}
+    any_r1 = any_r4 = 0
+    for et, cs in by_type.items():
+        n = len(cs)
+        s = sum(cs)
+        q = sum(c * c for c in cs)
+        r1 = sum(1 for c in cs if (c * n - s) ** 2 > 9 * (n * q - s * s))
+        sides = [1 if c * n > s else -1 if c * n < s else 0 for c in cs]
+        r4 = sum(
+            1
+            for i in range(7, n)
+            if abs(sum(sides[i - 7 : i + 1])) == 8
+        )
+        expected[et] = (n, r1, r4)
+        any_r1 += r1
+        any_r4 += r4
+    # non-vacuousness: the machinery must actually execute on this corpus
+    # (the r9 survival-curve lesson — a hash match on all-zeros proves
+    # nothing about the rule logic)
+    assert any_r1 > 0 and any_r4 > 0
+    got = {
+        r["event_type"]: (r["n_hours"], r["rule1_violations"], r["rule4_runs"])
+        for r in QUERIES["events_control_rules"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_control_rules_plan(spark):
+    """Moments broadcast back onto the hour frame; the run windows are
+    partitioned by type (never a single-partition data-sized window)."""
+    df = QUERIES["events_control_rules"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
