@@ -268,3 +268,56 @@ def test_control_rules_plan(spark):
     plan = explain_str(df, "simple")
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+# --------------------------------------------------------------------------
+# classifier_auc_roc
+# --------------------------------------------------------------------------
+
+
+def test_auc_roc_matches_bruteforce(spark):
+    import re as _re
+
+    docs = pq.read_table(
+        f"{SF_SMOKE}/documents.parquet", columns=["lang", "text", "source"]
+    ).to_pydict()
+    stop = {"the", "a", "of", "and"}
+    by_lang: dict = {}
+    for lang, text, source in zip(docs["lang"], docs["text"], docs["source"]):
+        toks = _re.sub(r"\s+", " ", text.strip()).split(" ")
+        n_tok = max(len(toks), 1)
+        n_stop = sum(1 for t in toks if t.lower() in stop)
+        score = (2000 * n_stop + n_tok) // (2 * n_tok)
+        y = 1 if source in ("src0", "src1") else 0
+        by_lang.setdefault(lang, []).append((score, y))
+    expected = {}
+    for lang, rows in by_lang.items():
+        pos = [s for s, y in rows if y == 1]
+        neg = [s for s, y in rows if y == 0]
+        np_, nn = len(pos), len(neg)
+        if np_ == 0 or nn == 0:
+            expected[lang] = (np_, nn, 0)
+            continue
+        # direct pairwise Mann-Whitney definition — deliberately NOT the
+        # rank decomposition the query uses
+        wins = sum(
+            2 if p > q else 1 if p == q else 0 for p in pos for q in neg
+        )
+        expected[lang] = (np_, nn, (1_000_000 * wins) // (2 * np_ * nn))
+    got = {
+        r["lang"]: (r["n_pos"], r["n_neg"], r["auc_ppm"])
+        for r in QUERIES["classifier_auc_roc"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # non-degenerate on this corpus: at least one lang ranks away from 0.5
+    assert any(v[2] not in (0, 500_000) for v in got.values())
+
+
+def test_auc_roc_plan(spark):
+    """The corpus collapses to the milli-score lattice before any window;
+    the rank window is partitioned by lang (never single-partition over
+    a data-sized frame)."""
+    df = QUERIES["classifier_auc_roc"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
