@@ -321,3 +321,42 @@ def test_auc_roc_plan(spark):
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+# --------------------------------------------------------------------------
+# orders_trimmed_winsorized
+# --------------------------------------------------------------------------
+
+
+def test_trimmed_winsorized_matches_bruteforce(spark):
+    o = pq.read_table(
+        f"{SF_SMOKE}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).to_pydict()
+    by_pri: dict = {}
+    for pri, price in zip(o["o_orderpriority"], o["o_totalprice"]):
+        by_pri.setdefault(pri, []).append(_round_half_up(price * 100))
+    expected = {}
+    for pri, xs in by_pri.items():
+        xs.sort()
+        n = len(xs)
+        k = n * 5 // 100
+        mid = xs[k : n - k]
+        wins = sum(mid) + k * xs[k] + k * xs[n - k - 1]
+        expected[pri] = (
+            n,
+            k,
+            (1000 * sum(mid)) // (n - 2 * k),
+            (1000 * wins) // n,
+        )
+    got = {
+        r["o_orderpriority"]: (
+            r["n_orders"],
+            r["n_trimmed_each_side"],
+            r["trimmed_mean_milli"],
+            r["winsor_mean_milli"],
+        )
+        for r in QUERIES["orders_trimmed_winsorized"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # non-vacuous: trimming must actually drop rows at this SF
+    assert all(v[1] > 0 for v in got.values())
