@@ -93,6 +93,7 @@ from . import econ_ineq  # noqa: E402,F401
 from . import control_charts  # noqa: E402,F401
 from . import auc_eval  # noqa: E402,F401
 from . import robust_stats  # noqa: E402,F401
+from . import phrase_search  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -360,3 +360,59 @@ def test_trimmed_winsorized_matches_bruteforce(spark):
     assert got == expected
     # non-vacuous: trimming must actually drop rows at this SF
     assert all(v[1] > 0 for v in got.values())
+
+
+# --------------------------------------------------------------------------
+# text_phrase_search
+# --------------------------------------------------------------------------
+
+
+def test_phrase_search_matches_bruteforce(spark):
+    import re as _re
+
+    docs = pq.read_table(
+        f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).to_pydict()
+    totals: dict = {}
+    occs: dict = {}
+    ndocs: dict = {}
+    max_len = 0
+    for _doc, src, text in zip(docs["doc_id"], docs["source"], docs["text"]):
+        toks = _re.sub(r"\s+", " ", text.strip()).split(" ")
+        max_len = max(max_len, len(toks))
+        totals[src] = totals.get(src, 0) + len(toks)
+        n = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == "table" and toks[i + 1] == "hash"
+        )
+        if n:
+            occs[src] = occs.get(src, 0) + n
+            ndocs[src] = ndocs.get(src, 0) + 1
+    # the oracle's generate_series bound must dominate real doc length
+    assert max_len < 400
+    expected = {
+        src: (
+            ndocs.get(src, 0),
+            occs.get(src, 0),
+            occs.get(src, 0) * 1_000_000 // totals[src],
+        )
+        for src in totals
+    }
+    # non-vacuous: the phrase must occur somewhere
+    assert sum(occs.values()) > 0
+    got = {
+        r["source"]: (r["n_docs"], r["n_occurrences"], r["occ_ppm_tokens"])
+        for r in QUERIES["text_phrase_search"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_phrase_search_plan(spark):
+    """The containment prefilter must reach the scan side (filter before
+    the posexplode Generate), and the adjacency join must not be a
+    cartesian."""
+    df = QUERIES["text_phrase_search"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Generate" in plan, plan[:2000]
