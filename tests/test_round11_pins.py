@@ -416,3 +416,56 @@ def test_phrase_search_plan(spark):
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "Generate" in plan, plan[:2000]
+
+
+# --------------------------------------------------------------------------
+# dq_group_fairness
+# --------------------------------------------------------------------------
+
+
+def test_group_fairness_matches_bruteforce(spark):
+    import re as _re
+    from fractions import Fraction
+
+    docs = pq.read_table(
+        f"{SF_SMOKE}/documents.parquet", columns=["lang", "text"]
+    ).to_pydict()
+    stop = {"the", "a", "of", "and"}
+    rates: dict = {}
+    for lang, text in zip(docs["lang"], docs["text"]):
+        toks = _re.sub(r"\s+", " ", text.strip()).split(" ")
+        n_tok = max(len(toks), 1)
+        n_stop = sum(1 for t in toks if t.lower() in stop)
+        score = (2000 * n_stop + n_tok) // (2 * n_tok)
+        n, sel = rates.get(lang, (0, 0))
+        rates[lang] = (n + 1, sel + (1 if score >= 80 else 0))
+    # reference cohort by EXACT fraction, min lang among ties
+    best_lang = min(
+        (lang for lang in rates),
+        key=lambda g: (-Fraction(rates[g][1], rates[g][0]), g),
+    )
+    bn, bsel = rates[best_lang]
+    expected = {}
+    for lang, (n, sel) in rates.items():
+        di = 1_000_000 if bsel == 0 else (1_000_000 * sel * bn) // (n * bsel)
+        expected[lang] = (
+            n,
+            sel,
+            sel * 1_000_000 // n,
+            di,
+            False if bsel == 0 else di < 800_000,
+        )
+    got = {
+        r["lang"]: (
+            r["n_docs"],
+            r["n_selected"],
+            r["rate_ppm"],
+            r["di_ratio_ppm"],
+            r["four_fifths_violation"],
+        )
+        for r in QUERIES["dq_group_fairness"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # non-vacuous: somebody is selected, and the audit finds a violation
+    assert any(v[1] > 0 for v in got.values())
+    assert any(v[4] for v in got.values())
