@@ -95,6 +95,7 @@ from . import auc_eval  # noqa: E402,F401
 from . import robust_stats  # noqa: E402,F401
 from . import phrase_search  # noqa: E402,F401
 from . import fairness  # noqa: E402,F401
+from . import theilsen  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -469,3 +469,54 @@ def test_group_fairness_matches_bruteforce(spark):
     # non-vacuous: somebody is selected, and the audit finds a violation
     assert any(v[1] > 0 for v in got.values())
     assert any(v[4] for v in got.values())
+
+
+# --------------------------------------------------------------------------
+# events_theilsen_slope
+# --------------------------------------------------------------------------
+
+
+def test_theilsen_matches_bruteforce(spark):
+    ev = pq.read_table(
+        f"{SF_SMOKE}/events.parquet", columns=["event_type", "ts"]
+    ).to_pydict()
+    daily: dict = {}
+    for et, ts in zip(ev["event_type"], ev["ts"]):
+        day = (
+            ts.replace(hour=0, minute=0, second=0, microsecond=0)
+            .date()
+            .toordinal()
+        )
+        daily[(et, day)] = daily.get((et, day), 0) + 1
+    by_type: dict = {}
+    for (et, day), c in daily.items():
+        by_type.setdefault(et, []).append((day, c))
+    expected = {}
+    for et, rows in by_type.items():
+        rows.sort()
+        slopes = [
+            (c2 - c1) / (d2 - d1)
+            for i, (d1, c1) in enumerate(rows)
+            for (d2, c2) in rows[i + 1 :]
+        ]
+        slopes.sort()
+        m = len(slopes)
+        med = (
+            slopes[m // 2]
+            if m % 2
+            else (slopes[m // 2 - 1] + slopes[m // 2]) / 2.0
+        )
+        expected[et] = (len(rows), m, _round_half_up(1000 * med))
+    got = {
+        r["event_type"]: (r["n_days"], r["n_pairs"], r["slope_milli"])
+        for r in QUERIES["events_theilsen_slope"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_theilsen_plan(spark):
+    """The pair join must run on the staged day frame, not the corpus;
+    no cartesian (the equi-join keys on event_type)."""
+    df = QUERIES["events_theilsen_slope"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan[:2000]
