@@ -520,3 +520,55 @@ def test_theilsen_plan(spark):
     df = QUERIES["events_theilsen_slope"](spark, SF_SMOKE)
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+# --------------------------------------------------------------------------
+# events_conditional_entropy
+# --------------------------------------------------------------------------
+
+
+def test_conditional_entropy_matches_bruteforce(spark):
+    ev = pq.read_table(
+        f"{SF_SMOKE}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).to_pydict()
+    rows = sorted(
+        zip(ev["user_id"], ev["ts"], ev["event_id"], ev["event_type"])
+    )
+    pairs: dict = {}
+    for (u1, _t1, _e1, a), (u2, _t2, _e2, b) in zip(rows, rows[1:]):
+        if u1 == u2:
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    tot: dict = {}
+    branches: dict = {}
+    for (a, _b), n in pairs.items():
+        tot[a] = tot.get(a, 0) + n
+        branches[a] = branches.get(a, 0) + 1
+    expected = {}
+    for a in tot:
+        h = sum(
+            _round_half_up(
+                1_000_000 * n * math.log(tot[a] / n) / tot[a]
+            )
+            for (x, _b), n in pairs.items()
+            if x == a
+        )
+        expected[a] = (
+            tot[a],
+            branches[a],
+            h,
+            _round_half_up(1000 * math.exp(h / 1_000_000)),
+        )
+    got = {
+        r["event_type"]: (
+            r["n_transitions"],
+            r["n_branches"],
+            r["branch_entropy_micro"],
+            r["perplexity_milli"],
+        )
+        for r in QUERIES["events_conditional_entropy"](spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == expected
+    # non-degenerate: some state must actually branch
+    assert any(v[1] > 1 for v in got.values())
