@@ -572,3 +572,40 @@ def test_conditional_entropy_matches_bruteforce(spark):
     assert got == expected
     # non-degenerate: some state must actually branch
     assert any(v[1] > 1 for v in got.values())
+
+
+# --------------------------------------------------------------------------
+# orders_backlog_aging
+# --------------------------------------------------------------------------
+
+
+def test_backlog_aging_matches_bruteforce(spark):
+    o = pq.read_table(
+        f"{SF_SMOKE}/orders.parquet",
+        columns=["o_orderstatus", "o_orderdate", "o_totalprice"],
+    ).to_pydict()
+    today = max(ts.date() for ts in o["o_orderdate"])
+    agg: dict = {}
+    for st, od, price in zip(
+        o["o_orderstatus"], o["o_orderdate"], o["o_totalprice"]
+    ):
+        if st not in ("O", "P"):
+            continue
+        age = (today - od.date()).days
+        b = (
+            "0-7d"
+            if age <= 7
+            else "8-30d" if age <= 30 else "31-90d" if age <= 90 else "90d+"
+        )
+        n, v = agg.get((st, b), (0, 0))
+        agg[(st, b)] = (n + 1, v + _round_half_up(price * 100))
+    got = {
+        (r["o_orderstatus"], r["age_bucket"]): (
+            r["n_orders"],
+            r["open_value_cents"],
+        )
+        for r in QUERIES["orders_backlog_aging"](spark, SF_SMOKE).collect()
+    }
+    assert got == agg
+    # non-vacuous: more than one bucket must be populated
+    assert len({b for _s, b in got}) > 1
