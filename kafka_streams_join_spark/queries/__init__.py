@@ -98,6 +98,7 @@ from . import fairness  # noqa: E402,F401
 from . import theilsen  # noqa: E402,F401
 from . import info_theory  # noqa: E402,F401
 from . import backlog  # noqa: E402,F401
+from . import isotropy  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
