@@ -99,6 +99,7 @@ from . import theilsen  # noqa: E402,F401
 from . import info_theory  # noqa: E402,F401
 from . import backlog  # noqa: E402,F401
 from . import isotropy  # noqa: E402,F401
+from . import unpivot_ops  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

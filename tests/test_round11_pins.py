@@ -650,3 +650,41 @@ def test_isotropy_matches_bruteforce(spark):
     # isotropic either (otherwise the audit proves nothing here)
     assert 0 < row["var_ratio_ppm"] < 1_000_000
     assert row["effective_dims_milli"] > 1000
+
+
+# --------------------------------------------------------------------------
+# unpivot_lineitem_charges
+# --------------------------------------------------------------------------
+
+
+def test_unpivot_charges_matches_bruteforce(spark):
+    li = pq.read_table(
+        f"{SF_SMOKE}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_discount", "l_tax"],
+    ).to_pydict()
+    agg: dict = {}
+    for fl, ext, disc, tax in zip(
+        li["l_returnflag"], li["l_extendedprice"], li["l_discount"], li["l_tax"]
+    ):
+        for comp, cents in (
+            ("base", _round_half_up(ext * 100)),
+            ("discount", _round_half_up(ext * disc * 100)),
+            ("tax", _round_half_up(ext * (1 - disc) * tax * 100)),
+        ):
+            n, v = agg.get((fl, comp), (0, 0))
+            agg[(fl, comp)] = (n + 1, v + cents)
+    got = {
+        (r["l_returnflag"], r["component"]): (r["n_rows"], r["total_cents"])
+        for r in QUERIES["unpivot_lineitem_charges"](spark, SF_SMOKE).collect()
+    }
+    assert got == agg
+
+
+def test_unpivot_plan_is_generate_no_join(spark):
+    """stack() must plan as a map-side Generate/Expand over ONE scan —
+    an unpivot that joins or unions three scans reads the table three
+    times at 100 TB."""
+    df = QUERIES["unpivot_lineitem_charges"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
