@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -95,7 +96,9 @@ def events_control_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side-combinable collapse to (type, hour), broadcast
     moments, rows-frame windows over the bounded hour series."""
-    daily = (
+    # staged: the hour frame feeds both the moments aggregate and the
+    # deviation join — unstaged, the corpus collapsed twice
+    daily = _staged(
         load_table(spark, sf_dir, "events")
         .select(
             "event_type",

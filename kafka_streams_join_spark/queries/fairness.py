@@ -12,7 +12,9 @@ Exactness discipline — 100 % integer arithmetic:
 - the score and the ≥80-milli gate reuse the AUC module's
   round-half-up integer score, so selection is integer-decided;
 - the BEST cohort is found by exact fraction domination (``sel_b·n_a >
-  sel_a·n_b`` on BIGINTs) — never by comparing truncated rates, which
+  sel_a·n_b``, widened to DECIMAL(38,0)/HUGEINT like every cross
+  product here — count×count exceeds BIGINT once cohorts pass ~3e9
+  docs) — never by comparing truncated rates, which
   can tie where the exact fractions differ and silently pick the wrong
   reference; among exactly-tied maxima the min-lang row is taken, and
   the DI ratio is provably invariant under that choice (equal exact
@@ -31,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .auc_eval import _SCORE, _SCORE_SQL
 from .registry import register
@@ -50,17 +53,20 @@ _SEL_THRESHOLD = 80  # milli-score gate: stopword ratio >= 8 %
     best AS (
       SELECT lang, n, sel FROM rates a
       WHERE NOT EXISTS (
-        SELECT 1 FROM rates b WHERE b.sel * a.n > a.sel * b.n
+        SELECT 1 FROM rates b
+        WHERE CAST(b.sel AS HUGEINT) * a.n > CAST(a.sel AS HUGEINT) * b.n
       )
       ORDER BY lang LIMIT 1
     )
     SELECT r.lang, r.n AS n_docs, r.sel AS n_selected,
-           CAST(r.sel * 1000000 // r.n AS BIGINT) AS rate_ppm,
+           CAST(CAST(r.sel AS HUGEINT) * 1000000 // r.n AS BIGINT) AS rate_ppm,
            CAST(CASE WHEN b.sel = 0 THEN 1000000
-                     ELSE (1000000 * r.sel * b.n) // (r.n * b.sel)
+                     ELSE (1000000 * CAST(r.sel AS HUGEINT) * b.n)
+                     // (CAST(r.n AS HUGEINT) * b.sel)
                 END AS BIGINT) AS di_ratio_ppm,
            CASE WHEN b.sel = 0 THEN FALSE
-                ELSE (1000000 * r.sel * b.n) // (r.n * b.sel) < 800000
+                ELSE (1000000 * CAST(r.sel AS HUGEINT) * b.n)
+                     // (CAST(r.n AS HUGEINT) * b.sel) < 800000
            END AS four_fifths_violation
     FROM rates r CROSS JOIN best b
     """,
@@ -77,7 +83,7 @@ def dq_group_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: corpus collapses to the lang frame in one combinable
     aggregate; everything after runs on single-digit rows."""
-    rates = (
+    rates = _staged(
         load_table(spark, sf_dir, "documents")
         .select(
             "lang",
@@ -90,12 +96,15 @@ def dq_group_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(count(1) as bigint)").alias("n"),
             F.expr("cast(sum(s) as bigint)").alias("sel"),
         )
-    )
+    )  # staged: feeds both anti-join sides, best, and the final select
     a = rates.alias("a")
     b = rates.alias("b")
     undominated = a.join(
         F.broadcast(b),
-        F.expr("b.sel * a.n > a.sel * b.n"),
+        F.expr(
+            "cast(b.sel as decimal(38,0)) * a.n"
+            " > cast(a.sel as decimal(38,0)) * b.n"
+        ),
         "left_anti",
     )
     best = (
@@ -111,15 +120,17 @@ def dq_group_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("n").alias("n_docs"),
         F.col("sel").alias("n_selected"),
-        F.expr("cast(sel * 1000000 div n as bigint)").alias("rate_ppm"),
+        F.expr("cast(cast(sel as decimal(38,0)) * 1000000 div n as bigint)").alias("rate_ppm"),
         F.expr(
             "cast(case when b_sel = 0 then 1000000"
-            " else (1000000 * sel * b_n) div (n * b_sel)"
+            " else (1000000 * cast(sel as decimal(38,0)) * b_n)"
+            " div (cast(n as decimal(38,0)) * b_sel)"
             " end as bigint)"
         ).alias("di_ratio_ppm"),
         F.expr(
             "case when b_sel = 0 then false"
-            " else (1000000 * sel * b_n) div (n * b_sel) < 800000"
+            " else (1000000 * cast(sel as decimal(38,0)) * b_n)"
+            " div (cast(n as decimal(38,0)) * b_sel) < 800000"
             " end"
         ).alias("four_fifths_violation"),
     )

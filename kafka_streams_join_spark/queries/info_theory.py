@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -79,7 +80,10 @@ def events_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
+    # staged: the K²-cell pair frame feeds tot, ent, and (via tot) the
+    # final join — unstaged, the events scan + user shuffle + window
+    # executed four times (round-11 review finding)
+    pairs = _staged(
         ev.withColumn("next_type", F.lead("event_type").over(w))
         .filter(F.col("next_type").isNotNull())
         .groupBy(

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -87,7 +88,9 @@ def orders_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: cent-lattice collapse (combinable), bounded cumulative
     window, broadcast totals, one aggregate — the corpus is never
     sorted row-wise."""
-    lvl = (
+    # staged: the cent-lattice level frame feeds both the cumulative
+    # window and the (n, k) totals — unstaged, the corpus collapsed twice
+    lvl = _staged(
         load_table(spark, sf_dir, "orders")
         .select(
             F.col("o_orderpriority").alias("pri"),

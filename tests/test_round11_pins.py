@@ -501,6 +501,10 @@ def test_theilsen_matches_bruteforce(spark):
         ]
         slopes.sort()
         m = len(slopes)
+        if m == 0:
+            # a single-day type yields no pairs: both engines drop the
+            # group entirely, so the pin must expect no row for it
+            continue
         med = (
             slopes[m // 2]
             if m % 2

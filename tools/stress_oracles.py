@@ -39,11 +39,22 @@ def main() -> int:
         i = args.index("--reps")
         reps = int(args[i + 1])
         del args[i : i + 2]
-    # Only consume args[0] as the data dir when it LOOKS like a path —
-    # `stress_oracles.py wavelet` must mean "filter: wavelet", not "read
-    # parquet from ./wavelet" (which would error every oracle and report
-    # the whole registry UNSTABLE for the wrong reason; ADVICE r10).
-    if args and (os.path.isdir(args[0]) or "/" in args[0]):
+    # Only consume args[0] as the data dir when it is unambiguously one —
+    # a path with a separator, or an existing directory that actually
+    # holds the corpus (*.parquet). A bare name filter that happens to
+    # collide with a local subdirectory (e.g. 'forecast' next to a
+    # forecast/ folder) must stay a filter: promoting it would error
+    # every oracle on missing parquet and misreport the whole registry
+    # UNSTABLE (round-11 review finding on the ADVICE-r10 fix).
+    import glob as _glob
+
+    if args and (
+        "/" in args[0]
+        or (
+            os.path.isdir(args[0])
+            and _glob.glob(os.path.join(args[0], "*.parquet"))
+        )
+    ):
         sf_dir = args[0]
         filters = args[1:]
     else:
