@@ -336,11 +336,15 @@ def main() -> int:
     # timed; otherwise the headline value is null and headline_complete
     # says why.
     # The `n in QUERIES` exemption exists ONLY for trimmed-registry test
-    # runs (which set SPARK_GRAFT_BENCH_NO_HISTORY=1). In a production run
-    # a HEADLINE name absent from the registry is itself an incompleteness
-    # — a renamed/retired headline query silently dropped from the sum
-    # would recreate the deflated-headline misread (ADVICE r10).
-    _trimmed_run = os.environ.get("SPARK_GRAFT_BENCH_NO_HISTORY", "0") == "1"
+    # runs, which declare themselves with SPARK_GRAFT_BENCH_TRIMMED=1 — a
+    # DEDICATED flag, not NO_HISTORY (ADVICE r11): NO_HISTORY legitimately
+    # also means "don't append to the ledger" (read-only checkouts, ad-hoc
+    # runs), and overloading it silently disabled this incompleteness
+    # guard on such production runs. In a production run a HEADLINE name
+    # absent from the registry is itself an incompleteness — a renamed/
+    # retired headline query silently dropped from the sum would recreate
+    # the deflated-headline misread (ADVICE r10).
+    _trimmed_run = os.environ.get("SPARK_GRAFT_BENCH_TRIMMED", "0") == "1"
     headline_missing = [
         n
         for n in HEADLINE

@@ -100,6 +100,7 @@ from . import info_theory  # noqa: E402,F401
 from . import backlog  # noqa: E402,F401
 from . import isotropy  # noqa: E402,F401
 from . import unpivot_ops  # noqa: E402,F401
+from . import heavy_hitters  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -153,6 +154,30 @@ _RECERTIFY_FROM_ROUND = {
     # BY per Haar level), 100/100 stress-stable; this entry forces a fresh
     # hash-certified driver row against the stable oracle.
     "events_wavelet_energy": 10,
+    # round-12 graph-family rework: the shared canonical basket fan-out
+    # (collect_set + map-side pair explode) replaced the basket self-join
+    # in every edge builder, and triangle counting / local clustering
+    # moved to the adjacency-array edge iterator (no wedge frame).
+    # Outputs verified byte-identical at 3 SFs; these entries force fresh
+    # driver rows against the new plans.
+    "graph_pagerank_parts": 12,
+    "graph_degree_distribution": 12,
+    "graph_triangle_count": 12,
+    "graph_common_neighbors": 12,
+    "graph_kcore_peel": 12,
+    "graph_label_propagation": 12,
+    "graph_jaccard_neighbors": 12,
+    "graph_local_clustering": 12,
+    "graph_assortativity": 12,
+    "graph_bfs_hops": 12,
+    "graph_modularity": 12,
+    # round-12 ADVICE fixes: Gini widened the doubled-rank product to
+    # DECIMAL(38,0) inside the sum (Spark-side only, same results);
+    # Theil-Sen now LEFT-joins the day-count base so single-day types
+    # report n_pairs=0 / NULL slope instead of vanishing (oracle changed
+    # to match; 25-rep stress-stable).
+    "orders_gini_revenue": 12,
+    "events_theilsen_slope": 12,
 }
 
 

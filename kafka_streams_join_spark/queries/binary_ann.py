@@ -68,7 +68,11 @@ _PACKED_SQL = """
   )
 """
 
-_HAM_TOPK_SQL = f"""
+def _ham_topk_sql(k: int) -> str:
+    """The Hamming top-``k`` CTE body, parameterized so the registered
+    top-K query and the rerank prefilter (top-R, R > K) share one SQL
+    contract verbatim."""
+    return f"""
     WITH {_PACKED_SQL},
     q AS (SELECT * FROM packed WHERE vec_id % {QUERY_STRIDE} = 0),
     scored AS (
@@ -83,8 +87,11 @@ _HAM_TOPK_SQL = f"""
       FROM scored
     )
     SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, hamming
-    FROM rk WHERE rn <= {TOP_K}
+    FROM rk WHERE rn <= {k}
 """
+
+
+_HAM_TOPK_SQL = _ham_topk_sql(TOP_K)
 
 
 def _packed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,17 +102,13 @@ def _packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_binary_hamming_topk", oracle=_HAM_TOPK_SQL)
-def sim_binary_hamming_topk(
-    spark: SparkSession, sf_dir: str, query_batch=None
+def _hamming_topk(
+    spark: SparkSession, sf_dir: str, k: int, query_batch=None
 ) -> DataFrame:
-    """Hamming top-k over sign-quantized embeddings: every corpus vector
-    packs to two 32-bit sign words; each admitted query scans the packed
-    corpus with XOR+popcount and keeps its K nearest by Hamming distance
-    (self excluded and ties broken by neighbor_id — the brute-force
-    family contract). Module docstring has the determinism and scale
-    contracts; the candidate stream is cut to Q·K per map task by the
-    Partial WindowGroupLimit before any shuffle."""
+    """Shared Hamming-scan body: packed corpus × broadcast packed queries,
+    XOR+popcount distance, per-query top-``k`` (ties broken by
+    neighbor_id). The registered top-K query and the rerank prefilter
+    differ only in ``k``."""
     packed = _packed(spark, sf_dir)
     q = query_admission(packed, query_batch).select(
         F.col("vec_id").alias("query_id"),
@@ -129,7 +132,7 @@ def sim_binary_hamming_topk(
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
+        .filter(F.col("rn") <= k)
         .select(
             "query_id",
             "neighbor_id",
@@ -137,6 +140,20 @@ def sim_binary_hamming_topk(
             "hamming",
         )
     )
+
+
+@register("sim_binary_hamming_topk", oracle=_HAM_TOPK_SQL)
+def sim_binary_hamming_topk(
+    spark: SparkSession, sf_dir: str, query_batch=None
+) -> DataFrame:
+    """Hamming top-k over sign-quantized embeddings: every corpus vector
+    packs to two 32-bit sign words; each admitted query scans the packed
+    corpus with XOR+popcount and keeps its K nearest by Hamming distance
+    (self excluded and ties broken by neighbor_id — the brute-force
+    family contract). Module docstring has the determinism and scale
+    contracts; the candidate stream is cut to Q·K per map task by the
+    Partial WindowGroupLimit before any shuffle."""
+    return _hamming_topk(spark, sf_dir, TOP_K, query_batch)
 
 
 # The exact tier is the REGISTERED brute-force query (hash-certified
@@ -192,6 +209,166 @@ def sim_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = exact.alias("e").join(
         F.broadcast(ham.alias("h")),
+        (F.expr("e.query_id = h.query_id"))
+        & (F.expr("e.neighbor_id = h.neighbor_id")),
+        "left",
+    )
+    return hits.groupBy(F.expr("e.query_id").alias("query_id")).agg(
+        F.expr("cast(count(h.neighbor_id) as bigint)").alias("n_hits"),
+        F.expr(
+            f"cast(count(h.neighbor_id) * 1000000 div {TOP_K} as bigint)"
+        ).alias("recall_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sim_hamming_rerank — two-stage retrieve-rerank (round 12)
+# --------------------------------------------------------------------------
+
+# Candidate budget for the 1-bit prefilter: R = 4K. The rerank can only
+# return neighbors the Hamming scan admitted, so R/K is the knob trading
+# rerank FLOPs for recovered recall — production binary-ANN systems run
+# R/K between 2 and 10; 4 recovers most of the sign-quantization loss on
+# this corpus (see sim_hamming_rerank_recall) while keeping the exact
+# stage at 4K vector fetches per query.
+_RERANK_R = 4 * TOP_K
+
+# Exact float32→float64 cosine as flat left-associative 64-term sums over
+# aliased sides — the similarity.py whole-stage-codegen contract, reused
+# so the rerank's doubles are bit-identical to DuckDB's sequential
+# list_sum fold (STRONGER than the GEMM baseline, which leans on the
+# 3-dp output rounding).
+from .similarity import _DOT_SPARK, _NORM2_SPARK  # noqa: E402
+
+_NORM2_A = _NORM2_SPARK.replace("embedding[", "a.embedding[")
+_NORM2_B = _NORM2_SPARK.replace("embedding[", "b.embedding[")
+_COS_AB_SPARK = f"(({_DOT_SPARK}) / sqrt(({_NORM2_A}) * ({_NORM2_B})))"
+
+
+@register(
+    "sim_hamming_rerank",
+    oracle=f"""
+    WITH ham AS (
+      SELECT query_id, neighbor_id FROM ({_ham_topk_sql(_RERANK_R)})
+    ),
+    rr AS (
+      SELECT h.query_id, h.neighbor_id,
+             round({_COS_SQL}, 3) AS cos,
+             row_number() OVER (PARTITION BY h.query_id
+                                ORDER BY {_COS_SQL} DESC, h.neighbor_id)
+               AS rnk
+      FROM ham h
+      JOIN embeddings a ON a.vec_id = h.query_id
+      JOIN embeddings b ON b.vec_id = h.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cos
+    FROM rr WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_hamming_rerank(
+    spark: SparkSession, sf_dir: str, query_batch=None
+) -> DataFrame:
+    """Two-stage retrieve-rerank — THE production binary-ANN pattern: the
+    1-bit Hamming scan prefilters to R = {_RERANK_R} candidates per query
+    (XOR+popcount over packed sign words, Partial WindowGroupLimit before
+    the shuffle), then ONLY those R fetch their float32 vectors and are
+    re-ranked by exact cosine to the final top-K. The cheap stage touches
+    every vector at 2 bits/dim; the exact stage touches 4K vectors per
+    query — how a billion-vector index keeps float math off the scan path.
+
+    Determinism: the rerank cosine is the flat left-associative 64-term
+    sum (bit-identical to the oracle's list_sum fold); ties break by
+    neighbor_id; output mirrors the brute-force family contract
+    (query_id, neighbor_id, rnk, cos rounded 3dp).
+
+    Scale: the candidate frame is Q·R rows and BROADCASTS into both
+    vector fetches, so the corpus is scanned (never shuffled) once for
+    packing and once for the fetch — shuffle volume is bounded by Q·R,
+    never the corpus. The exact stage's join fan-in is the broadcast
+    admission-gate contract (``query_admission``)."""
+    cand = _hamming_topk(spark, sf_dir, _RERANK_R, query_batch).select(
+        "query_id", "neighbor_id"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    a = query_admission(emb, query_batch).alias("a")
+    b = emb.alias("b")
+    rr = (
+        b.join(
+            F.broadcast(cand.alias("h")),
+            F.expr("b.vec_id = h.neighbor_id"),
+        )
+        .join(F.broadcast(a), F.expr("a.vec_id = h.query_id"))
+        .select(
+            F.col("h.query_id").alias("query_id"),
+            F.col("h.neighbor_id").alias("neighbor_id"),
+            F.expr(_COS_AB_SPARK).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        rr.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.round("cos_raw", 3).alias("cos"),
+        )
+    )
+
+
+@register(
+    "sim_hamming_rerank_recall",
+    oracle=f"""
+    WITH ham AS (
+      SELECT query_id, neighbor_id FROM ({_ham_topk_sql(_RERANK_R)})
+    ),
+    rr AS (
+      SELECT h.query_id, h.neighbor_id,
+             row_number() OVER (PARTITION BY h.query_id
+                                ORDER BY {_COS_SQL} DESC, h.neighbor_id)
+               AS rnk
+      FROM ham h
+      JOIN embeddings a ON a.vec_id = h.query_id
+      JOIN embeddings b ON b.vec_id = h.neighbor_id
+    ),
+    rerank AS (
+      SELECT query_id, neighbor_id FROM rr WHERE rnk <= {TOP_K}
+    ),
+    exact AS ({_EXACT_TOPK_SQL})
+    SELECT e.query_id,
+           CAST(count(h.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(h.neighbor_id) * 1000000 // {TOP_K} AS BIGINT)
+             AS recall_ppm
+    FROM exact e LEFT JOIN rerank h
+      ON h.query_id = e.query_id AND h.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def sim_hamming_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the two-stage retrieve-rerank tier against exact
+    float32 cosine (the certified brute-force query, reused verbatim as
+    ground truth — the ``sim_hamming_recall`` audit applied one rung up).
+    Read together with ``sim_hamming_recall`` this quantifies exactly how
+    much of the sign-quantization loss the exact re-rank of R = {_RERANK_R}
+    candidates recovers: rerank recall ≥ raw recall always (the raw top-K
+    is a subset of the candidates re-ranked by the true score), and the
+    residual gap is pure prefilter misses — the number that sizes R.
+
+    Scale: both tiers are per-query bounded (K rows each); the audit join
+    and aggregate run on Q·K rows, never the corpus."""
+    rr = sim_hamming_rerank(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    exact = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.alias("e").join(
+        F.broadcast(rr.alias("h")),
         (F.expr("e.query_id = h.query_id"))
         & (F.expr("e.neighbor_id = h.neighbor_id")),
         "left",

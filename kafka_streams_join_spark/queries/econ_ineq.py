@@ -116,8 +116,14 @@ def orders_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = rk.groupBy("seg").agg(
         F.expr("cast(sum(c) as bigint)").alias("n"),
         F.expr("sum(cast(x as decimal(38,0)) * c)").alias("sx"),
+        # widen INSIDE the rank product (ADVICE r11): 2*c*p is evaluated
+        # before the outer decimal cast applies, so at very large cohorts
+        # (c*p ≳ 4.6e18) BIGINT would wrap where DuckDB's window sum has
+        # already widened p to HUGEINT — the fairness.py DECIMAL(38,0)
+        # cross-product contract applied to the doubled-rank term
         F.expr(
-            "sum(cast(x as decimal(38,0)) * (2 * c * p + c * (c + 1)))"
+            "sum(cast(x as decimal(38,0)) * (2 * cast(c as decimal(38,0))"
+            " * p + cast(c as decimal(38,0)) * (c + 1)))"
         ).alias("s2rx"),
     )
     return m.select(

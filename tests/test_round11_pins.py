@@ -502,8 +502,10 @@ def test_theilsen_matches_bruteforce(spark):
         slopes.sort()
         m = len(slopes)
         if m == 0:
-            # a single-day type yields no pairs: both engines drop the
-            # group entirely, so the pin must expect no row for it
+            # a single-day type yields no pairs: since the round-12
+            # ADVICE fix the group is REPORTED with n_pairs=0 and a NULL
+            # slope instead of vanishing from the output
+            expected[et] = (len(rows), 0, None)
             continue
         med = (
             slopes[m // 2]

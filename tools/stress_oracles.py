@@ -12,12 +12,19 @@ Spark side was provably correct; the gate that was supposed to certify it
 rolled dice. Every NEW or CHANGED oracle must survive ~25 reps here before
 registration; the registry-wide audit (default reps) flushes latent cases.
 
-Usage: python tools/stress_oracles.py [sf_dir] [--reps N] [name_filter ...]
+Usage: python tools/stress_oracles.py [--dir SF_DIR] [--reps N] [filter ...]
 Default sf_dir = /root/testdata/sf0.001 (cheap; the instability reproduces
 at any SF), default reps = 10 for a full-registry audit; use --reps 25+ for
-a targeted new-oracle gate. Filters are plain substrings, one per argument.
-Exit 0 = every oracle stable; 1 = divergence or error observed; 2 = a
-filter matched nothing.
+a targeted new-oracle gate. The data directory is ONLY set via the explicit
+--dir flag (ADVICE r11 — the old positional isdir+glob sniffing silently
+promoted a filter that collided with a local parquet-holding directory to
+the data dir, running every oracle on the wrong corpus, and silently
+demoted a bare relative data-dir name without top-level parquet to a
+filter). Positional args are plain substring name filters, one per
+argument; a positional that names an existing directory or contains a path
+separator is rejected with a hint to use --dir. Exit 0 = every oracle
+stable; 1 = divergence or error observed; 2 = a filter matched nothing or
+looked like a path.
 """
 
 from __future__ import annotations
@@ -39,27 +46,24 @@ def main() -> int:
         i = args.index("--reps")
         reps = int(args[i + 1])
         del args[i : i + 2]
-    # Only consume args[0] as the data dir when it is unambiguously one —
-    # a path with a separator, or an existing directory that actually
-    # holds the corpus (*.parquet). A bare name filter that happens to
-    # collide with a local subdirectory (e.g. 'forecast' next to a
-    # forecast/ folder) must stay a filter: promoting it would error
-    # every oracle on missing parquet and misreport the whole registry
-    # UNSTABLE (round-11 review finding on the ADVICE-r10 fix).
-    import glob as _glob
-
-    if args and (
-        "/" in args[0]
-        or (
-            os.path.isdir(args[0])
-            and _glob.glob(os.path.join(args[0], "*.parquet"))
-        )
-    ):
-        sf_dir = args[0]
-        filters = args[1:]
-    else:
-        sf_dir = "/root/testdata/sf0.001"
-        filters = args
+    # The data dir comes ONLY from the explicit --dir flag (ADVICE r11):
+    # the earlier isdir+*.parquet sniffing of args[0] could both promote a
+    # filter to the data dir (name collides with a local parquet folder →
+    # every oracle runs on the wrong corpus) and demote a real data-dir
+    # arg to a filter (bare relative name without top-level parquet).
+    # Positional args are filters, full stop; anything path-shaped among
+    # them is rejected loudly instead of guessed at.
+    sf_dir = "/root/testdata/sf0.001"
+    if "--dir" in args:
+        i = args.index("--dir")
+        sf_dir = args[i + 1]
+        del args[i : i + 2]
+    filters = args
+    pathlike = [a for a in filters if "/" in a or os.path.isdir(a)]
+    if pathlike:
+        print(f"ERROR: positional args are name filters, not paths: {pathlike}")
+        print("(pass the data directory with --dir SF_DIR)")
+        return 2
     if filters:
         dead = [f for f in filters if not any(f in n for n in ORACLES)]
         if dead:
