@@ -101,6 +101,10 @@ from . import backlog  # noqa: E402,F401
 from . import isotropy  # noqa: E402,F401
 from . import unpivot_ops  # noqa: E402,F401
 from . import heavy_hitters  # noqa: E402,F401
+from . import ab_testing  # noqa: E402,F401
+from . import novelty  # noqa: E402,F401
+from . import agreement  # noqa: E402,F401
+from . import join_size  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -206,3 +206,186 @@ def test_misra_gries_plan(spark):
     assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+# --------------------------------------------------------------------------
+# round-12 wave: A/B z-test, novelty decay, gate kappa, AGMS join size
+# --------------------------------------------------------------------------
+
+import re
+
+import hashlib
+
+
+def _round_half_up(x: float) -> int:
+    import math as _m
+
+    return _m.floor(x + 0.5) if x >= 0 else _m.ceil(x - 0.5)
+
+
+def _trunc_div(num: int, den: int) -> int:
+    """Truncate-toward-zero integer division — Spark div / DuckDB //
+    semantics (Python // floors, which differs for negative numerators)."""
+    s = -1 if (num < 0) != (den < 0) else 1
+    return s * (abs(num) // abs(den))
+
+
+def test_ab_two_proportion_matches_bruteforce(spark):
+    ev = pq.read_table(
+        f"{SF_SMOKE}/events.parquet",
+        columns=["user_id", "event_type", "value"],
+    ).to_pydict()
+    conv: dict = {}
+    for uid, et, val in zip(ev["user_id"], ev["event_type"], ev["value"]):
+        conv[uid] = conv.get(uid, 0) or int(et == "purchase" and val > 140)
+    nc = sum(1 for u in conv if u % 2 == 0)
+    nt = sum(1 for u in conv if u % 2 == 1)
+    xc = sum(v for u, v in conv.items() if u % 2 == 0)
+    xt = sum(v for u, v in conv.items() if u % 2 == 1)
+    X, N = xc + xt, nc + nt
+    z = (xt * nc - xc * nt) * math.sqrt(N / (nc * nt * X * (N - X)))
+    z_milli = _round_half_up(1000 * z)
+    r = QUERIES["events_ab_two_proportion"](spark, SF_SMOKE).collect()[0]
+    assert (r["n_control"], r["n_treatment"]) == (nc, nt)
+    assert (r["conv_control"], r["conv_treatment"]) == (xc, xt)
+    assert r["rate_control_ppm"] == 1_000_000 * xc // nc
+    assert r["rate_treatment_ppm"] == 1_000_000 * xt // nt
+    assert r["z_milli"] == z_milli
+    assert r["significant"] == (abs(z_milli) > 1960)
+
+
+def test_ab_two_proportion_plan(spark):
+    """One pruned scan, combinable aggregates, no join anywhere."""
+    df = QUERIES["events_ab_two_proportion"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+
+
+def test_novelty_decay_matches_bruteforce(spark):
+    d = pq.read_table(
+        f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    hi = max(d["doc_id"]) + 1
+    seen_by_decile: dict = {}
+    for did, text in zip(d["doc_id"], d["text"]):
+        dec = did * 10 // hi
+        toks = re.sub(r"\s+", " ", text.strip()).split(" ")
+        shingles = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+        seen_by_decile.setdefault(dec, set()).update(shingles)
+    first_seen: dict = {}
+    for dec in sorted(seen_by_decile):
+        for sh in seen_by_decile[dec]:
+            first_seen.setdefault(sh, dec)
+    expected = {
+        dec: (
+            len(shs),
+            sum(1 for sh in shs if first_seen[sh] == dec),
+            sum(1 for sh in shs if first_seen[sh] == dec)
+            * 1_000_000
+            // len(shs),
+        )
+        for dec, shs in seen_by_decile.items()
+    }
+    got = {
+        r["decile"]: (r["n_shingles"], r["n_new"], r["novelty_ppm"])
+        for r in QUERIES["docs_ngram_novelty_decay"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # decile 0 is all-new by construction; later deciles decay
+    assert got[0][2] == 1_000_000
+
+
+def test_novelty_decay_plan(spark):
+    """The (decile, shingle) frame is STAGED and fans into first-seen +
+    membership join (InMemoryTableScan); the only nested-loop join is
+    the broadcast 1-row max-id frame — no CartesianProduct."""
+    df = QUERIES["docs_ngram_novelty_decay"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "InMemoryTableScan" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_gate_kappa_matches_bruteforce(spark):
+    d = pq.read_table(
+        f"{SF_SMOKE}/documents.parquet", columns=["text", "n_chars"]
+    ).to_pydict()
+    a = b = c = dd = 0
+    for text, n_chars in zip(d["text"], d["n_chars"]):
+        toks = re.sub(r"\s+", " ", text.strip()).split(" ")
+        ga = int(n_chars >= 200)
+        gb = int(2 * len(set(toks)) >= len(toks))
+        if ga and gb:
+            a += 1
+        elif ga:
+            b += 1
+        elif gb:
+            c += 1
+        else:
+            dd += 1
+    n = a + b + c + dd
+    pe_num = (a + b) * (a + c) + (c + dd) * (b + dd)
+    kappa_milli = _trunc_div(1000 * (n * (a + dd) - pe_num), n * n - pe_num)
+    r = QUERIES["quality_gate_kappa"](spark, SF_SMOKE).collect()[0]
+    assert (r["both_pass"], r["len_only"], r["lex_only"], r["both_fail"]) == (
+        a,
+        b,
+        c,
+        dd,
+    )
+    assert r["agree_ppm"] == (a + dd) * 1_000_000 // n
+    assert r["kappa_milli"] == kappa_milli
+
+
+def test_gate_kappa_plan(spark):
+    """One pruned scan (text + n_chars only), one aggregate, no join."""
+    df = QUERIES["quality_gate_kappa"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+
+
+def test_agms_join_size_matches_bruteforce(spark):
+    ev = pq.read_table(
+        f"{SF_SMOKE}/events.parquet", columns=["user_id"]
+    ).to_pydict()["user_id"]
+    od = pq.read_table(
+        f"{SF_SMOKE}/orders.parquet", columns=["o_custkey"]
+    ).to_pydict()["o_custkey"]
+
+    def sign(key: int, j: int) -> int:
+        digit = int(hashlib.md5(str(key).encode()).hexdigest()[j - 1], 16)
+        return 1 if digit % 2 == 0 else -1
+
+    prods = []
+    for j in range(1, 10):
+        sa = sum(sign(k, j) for k in ev)
+        sb = sum(sign(k, j) for k in od)
+        prods.append(sa * sb)
+    est = sorted(prods)[4]
+    ce: dict = {}
+    co: dict = {}
+    for k in ev:
+        ce[k] = ce.get(k, 0) + 1
+    for k in od:
+        co[k] = co.get(k, 0) + 1
+    exact = sum(c * co[k] for k, c in ce.items() if k in co)
+    r = QUERIES["sketch_agms_join_size"](spark, SF_SMOKE).collect()[0]
+    assert r["exact_join_size"] == exact
+    assert r["est_join_size"] == est
+    assert r["n_sketches"] == 9
+    assert r["err_ppm"] == abs(est - exact) * 1_000_000 // exact
+
+
+def test_agms_join_size_plan(spark):
+    """Two sketch scans + two audit-leg scans at most; the 1-row frames
+    cross via broadcast nested loop (allowed); no CartesianProduct, no
+    Python evaluators."""
+    df = QUERIES["sketch_agms_join_size"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") <= 4, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan[:1500]
