@@ -105,6 +105,7 @@ from . import ab_testing  # noqa: E402,F401
 from . import novelty  # noqa: E402,F401
 from . import agreement  # noqa: E402,F401
 from . import join_size  # noqa: E402,F401
+from . import ivf_balance  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

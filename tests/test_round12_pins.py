@@ -389,3 +389,39 @@ def test_agms_join_size_plan(spark):
     assert "CartesianProduct" not in plan, plan[:2000]
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan[:1500]
+
+
+# --------------------------------------------------------------------------
+# sim_ivf_cell_balance
+# --------------------------------------------------------------------------
+
+
+def test_ivf_cell_balance_matches_assignments(spark):
+    """The audit must describe exactly the cells the registered (and
+    hash-certified) k-means assignment emits: derive occupancies from
+    cluster_kmeans_embeddings and recompute every output column with
+    pure-Python integers."""
+    cells: dict = {}
+    for r in QUERIES["cluster_kmeans_embeddings"](spark, SF_SMOKE).collect():
+        cells[r["cluster"]] = cells.get(r["cluster"], 0) + 1
+    occ = list(cells.values())
+    n = sum(occ)
+    sumsq = sum(c * c for c in occ)
+    r = QUERIES["sim_ivf_cell_balance"](spark, SF_SMOKE).collect()[0]
+    assert r["n_cells"] == len(occ)
+    assert r["n_vectors"] == n
+    assert (r["min_occ"], r["max_occ"]) == (min(occ), max(occ))
+    assert r["imbalance_milli"] == 1000 * 8 * max(occ) // n
+    assert r["hhi_ppm"] == 1_000_000 * sumsq // (n * n)
+    # sanity: balanced-ish hash init keeps the factor in a sane band
+    assert r["imbalance_milli"] >= 1000
+
+
+def test_ivf_cell_balance_plan(spark):
+    """Assignment stays the broadcast-codebook plan (corpus never
+    shuffles to assign): broadcast joins present, no cartesian beyond
+    the K-row codebook cross, no range partitioning."""
+    df = QUERIES["sim_ivf_cell_balance"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
