@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.ranking import two_phase_rank
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -134,24 +135,28 @@ def sketch_misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
     )
     top = est.orderBy(F.desc("est_min"), F.asc("user_id")).limit(_HH_TOPN)
-    wr = Window.orderBy(F.desc("est_min"), F.asc("user_id"))
-    return (
-        top.join(exact, "user_id")
-        .crossJoin(F.broadcast(etot))
-        .select(
-            F.row_number().over(wr).alias("rnk"),
-            "user_id",
-            "est_min",
-            "err_bound",
-            "exact_count",
-            (
-                (F.col("est_min") <= F.col("exact_count"))
-                & (
-                    F.col("exact_count")
-                    <= F.col("est_min") + F.col("err_bound")
-                )
-            ).alias("within_bound"),
-        )
+    # global rank via two_phase_rank (never an unpartitioned window —
+    # registry-wide gate): the level frame is the <= TOPN distinct
+    # est_min values of the already-cut top frame, so the one
+    # unpartitioned offset window runs over a model-sized input and the
+    # user_id-carrying rows cross only hash exchanges
+    ranked = two_phase_rank(
+        top.join(exact, "user_id").crossJoin(F.broadcast(etot)),
+        level_col="est_min",
+        id_col="user_id",
+        rank_col="rnk",
+        ascending=False,
+    )
+    return ranked.select(
+        "rnk",
+        "user_id",
+        "est_min",
+        "err_bound",
+        "exact_count",
+        (
+            (F.col("est_min") <= F.col("exact_count"))
+            & (F.col("exact_count") <= F.col("est_min") + F.col("err_bound"))
+        ).alias("within_bound"),
     )
 
 
