@@ -106,6 +106,11 @@ from . import novelty  # noqa: E402,F401
 from . import agreement  # noqa: E402,F401
 from . import join_size  # noqa: E402,F401
 from . import ivf_balance  # noqa: E402,F401
+from . import dispersion  # noqa: E402,F401
+from . import session_sweep  # noqa: E402,F401
+from . import bloom_sweep  # noqa: E402,F401
+from . import hubness  # noqa: E402,F401
+from . import nprobe_sweep  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -425,3 +425,269 @@ def test_ivf_cell_balance_plan(spark):
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "rangepartitioning" not in plan.lower(), plan[:2000]
+
+
+# --------------------------------------------------------------------------
+# round-12 wave 3: dispersion, session sweep, bloom sizing, hubness,
+# nprobe sweep
+# --------------------------------------------------------------------------
+
+import hashlib
+
+
+def _events_rows():
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pydict()
+    return list(zip(t["event_id"], t["ts"], t["user_id"], t["event_type"]))
+
+
+def test_dispersion_fano_pin(spark):
+    """Independent integer recompute: per-type daily counts over the
+    type's own span, Fano via exact arbitrary-precision arithmetic."""
+    daily: dict = {}
+    for _eid, ts, _uid, et in _events_rows():
+        d = (ts.date() - datetime.date(1970, 1, 1)).days
+        daily.setdefault(et, {})
+        daily[et][d] = daily[et].get(d, 0) + 1
+    got = {
+        r["event_type"]: r.asDict()
+        for r in QUERIES["events_dispersion_fano"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(daily)
+    for et, days in daily.items():
+        n = max(days) - min(days) + 1
+        s = sum(days.values())
+        q = sum(c * c for c in days.values())
+        r = got[et]
+        assert r["n_days"] == n
+        assert r["n_active_days"] == len(days)
+        assert r["total"] == s
+        assert r["mean_milli"] == 1000 * s // n
+        if n < 2:
+            assert r["fano_milli"] is None and r["over_dispersed"] is None
+        else:
+            fano = 1000 * (n * q - s * s) // ((n - 1) * s)
+            assert r["fano_milli"] == fano
+            assert r["over_dispersed"] == (1 if fano > 1000 else 0)
+
+
+def test_dispersion_fano_plan(spark):
+    """Two combinable aggregates on a 2-column pruned scan: no join, no
+    window, no Python evaluators, no single-partition/range exchange."""
+    df = QUERIES["events_dispersion_fano"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    for bad in ("Join", "Window", "CartesianProduct", "MapInPandas",
+                "BatchEvalPython", "rangepartitioning", "SinglePartition"):
+        assert bad not in plan, (bad, plan[:2000])
+
+
+def test_session_gap_sweep_pin(spark):
+    """Independent recompute: per-user microsecond gaps, session counts
+    at every threshold."""
+    per_user: dict = {}
+    for eid, ts, uid, _et in _events_rows():
+        per_user.setdefault(uid, []).append((ts, eid))
+    epoch = datetime.datetime(1970, 1, 1)
+    n_events = 0
+    sessions = {300: 0, 900: 0, 1800: 0, 3600: 0}
+    for uid, evs in per_user.items():
+        evs.sort()
+        prev = None
+        for ts, _eid in evs:
+            us = (ts - epoch) // datetime.timedelta(microseconds=1)
+            n_events += 1
+            for t in sessions:
+                if prev is None or us - prev > t * 1_000_000:
+                    sessions[t] += 1
+            prev = us
+    got = {
+        r["gap_s"]: r.asDict()
+        for r in QUERIES["events_session_gap_sweep"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(sessions)
+    for t, n_sess in sessions.items():
+        r = got[t]
+        assert r["n_sessions"] == n_sess
+        assert r["n_users"] == len(per_user)
+        assert r["n_events"] == n_events
+        assert r["events_per_session_milli"] == 1000 * n_events // n_sess
+    # the dial must actually move: strictly fewer sessions as gap grows
+    ordered = [sessions[t] for t in (300, 900, 1800, 3600)]
+    assert ordered == sorted(ordered, reverse=True)
+
+
+def test_session_gap_sweep_plan(spark):
+    """One scan, one user-hash window, one aggregate, one 4-row Generate;
+    no join of data-sized frames, no Python evaluators."""
+    df = QUERIES["events_session_gap_sweep"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    assert "Generate" in plan, plan[:2000]
+    for bad in ("CartesianProduct", "MapInPandas", "BatchEvalPython"):
+        assert bad not in plan, (bad, plan[:2000])
+
+
+def _bloom_h(j: int, k: int) -> int:
+    return int(hashlib.md5(f"{j}#{k}".encode()).hexdigest()[:15], 16)
+
+
+def test_bloom_size_sweep_pin(spark):
+    """Independent recompute of all three filter sizes: bit sets, probe
+    verdicts, observed and predicted FPR in exact integers."""
+    orders = pq.read_table(f"{SF_SMOKE}/orders.parquet").to_pydict()
+    cust = pq.read_table(f"{SF_SMOKE}/customer.parquet").to_pydict()
+    members = set(orders["o_custkey"])
+    probes = {1_000_000_000_000 + c for c in cust["c_custkey"]} - members
+    got = {
+        r["m_bits"]: r.asDict()
+        for r in QUERIES["sketch_bloom_size_sweep"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {1024, 4096, 16384}
+    for m in (1024, 4096, 16384):
+        bits = {_bloom_h(j, k) % m for k in members for j in (1, 2, 3)}
+        fp = sum(
+            1
+            for k in probes
+            if all(_bloom_h(j, k) % m in bits for j in (1, 2, 3))
+        )
+        r = got[m]
+        assert r["k_hashes"] == 3
+        assert r["n_inserted"] == len(members)
+        assert r["bits_set"] == len(bits)
+        assert r["load_ppm"] == len(bits) * 1_000_000 // m
+        assert r["n_probes"] == len(probes)
+        assert r["n_false_pos"] == fp
+        assert r["fpr_ppm"] == fp * 1_000_000 // len(probes)
+        assert r["predicted_fpr_ppm"] == (
+            len(bits) ** 3 * 1_000_000 // m**3
+        )
+    # the dial must move: observed FPR strictly falls as m grows
+    fprs = [got[m]["fpr_ppm"] for m in (1024, 4096, 16384)]
+    assert fprs == sorted(fprs, reverse=True)
+
+
+def test_bloom_size_sweep_plan(spark):
+    """Bit sets and dims broadcast; the only scans are the two sides (plus
+    their staged reuse); no CartesianProduct, no Python evaluators."""
+    df = QUERIES["sketch_bloom_size_sweep"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "BroadcastExchange" in plan, plan[:2000]
+    for bad in ("CartesianProduct", "MapInPandas", "BatchEvalPython"):
+        assert bad not in plan, (bad, plan[:2000])
+
+
+def test_hubness_audit_pin(spark):
+    """The histogram must describe exactly the registered brute-force
+    lists: derive k-occurrences from sim_topk_bruteforce and recompute
+    every row, including the antihub zero row."""
+    occ: dict = {}
+    for r in QUERIES["sim_topk_bruteforce"](spark, SF_SMOKE).collect():
+        occ[r["neighbor_id"]] = occ.get(r["neighbor_id"], 0) + 1
+    n_corpus = pq.read_metadata(f"{SF_SMOKE}/embeddings.parquet").num_rows
+    hist: dict = {}
+    for c in occ.values():
+        hist[c] = hist.get(c, 0) + 1
+    hist[0] = n_corpus - len(occ)
+    got = {
+        r["k_occurrence"]: (r["n_vectors"], r["share_ppm"])
+        for r in QUERIES["sim_hubness_audit"](spark, SF_SMOKE).collect()
+    }
+    assert got == {
+        k: (n, n * 1_000_000 // n_corpus) for k, n in hist.items()
+    }
+    # shares must account for the whole corpus
+    assert sum(n for n, _ in got.values()) == n_corpus
+
+
+def _round4(x: float) -> float:
+    """HALF_UP at 4 dp on the shortest decimal repr — Spark's
+    F.round(double) ≡ BigDecimal.valueOf ≡ Decimal(repr(x))."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def test_ivf_nprobe_sweep_pin(spark):
+    """Full pure-Python reimplementation at sf0.001: per-label centroids
+    (sequential float64), nearest-cell assignment, probe_rank <= p
+    candidate sets, 4-dp HALF_UP rounded cosine ranking, recall vs the
+    registered brute-force lists."""
+    emb = _embeddings()
+    labels = dict(
+        zip(
+            pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+            .to_pydict()["vec_id"],
+            pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+            .to_pydict()["label"],
+        )
+    )
+    by_label: dict = {}
+    for vid, vec in emb:
+        by_label.setdefault(labels[vid], []).append(vec)
+    centroids = {}
+    for lab, vecs in by_label.items():
+        cent = []
+        for d in range(64):
+            s = 0.0
+            for v in vecs:
+                s += float(v[d])
+            cent.append(s / len(vecs))
+        centroids[lab] = cent
+    def dist2(vec, cent):
+        s = 0.0
+        for d in range(64):
+            t = float(vec[d]) - cent[d]
+            s += t * t
+        return s
+    ranked_cells = {
+        vid: sorted(
+            (dist2(vec, centroids[lab]), lab) for lab in centroids
+        )
+        for vid, vec in emb
+    }
+    assigned: dict = {}
+    for vid, _vec in emb:
+        assigned.setdefault(ranked_cells[vid][0][1], set()).add(vid)
+    vecs = dict(emb)
+    truth: dict = {}
+    for r in QUERIES["sim_topk_bruteforce"](spark, SF_SMOKE).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    expected = {}
+    for p in (1, 2, 3):
+        n_truth = n_hit = 0
+        for qid in vecs:
+            if qid % 100 != 0:
+                continue
+            cand = set()
+            for _d2, lab in ranked_cells[qid][:p]:
+                cand |= assigned.get(lab, set())
+            cand.discard(qid)
+            top = sorted(
+                ((-_round4(_cos(vecs[qid], vecs[n])), n) for n in cand)
+            )[:5]
+            hits = {n for _s, n in top} & truth[qid]
+            n_truth += len(truth[qid])
+            n_hit += len(hits)
+        expected[p] = (n_truth, n_hit, n_hit * 1_000_000 // n_truth)
+    got = {
+        r["nprobe"]: (r["n_truth"], r["n_hit"], r["recall_ppm"])
+        for r in QUERIES["sim_ivf_nprobe_sweep"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # the dial must move the right way: recall monotone in nprobe
+    assert got[1][2] <= got[2][2] <= got[3][2]
+
+
+def test_ivf_nprobe_sweep_plan(spark):
+    """Stage-1 cut must plan WindowGroupLimit (map-side top-k per
+    (query, probe_rank) before the level fan-out); codebook broadcast;
+    no CartesianProduct."""
+    df = QUERIES["sim_ivf_nprobe_sweep"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
