@@ -111,6 +111,11 @@ from . import session_sweep  # noqa: E402,F401
 from . import bloom_sweep  # noqa: E402,F401
 from . import hubness  # noqa: E402,F401
 from . import nprobe_sweep  # noqa: E402,F401
+from . import pack_sweep  # noqa: E402,F401
+from . import rich_club  # noqa: E402,F401
+from . import threshold_sweep  # noqa: E402,F401
+from . import gate_sweep  # noqa: E402,F401
+from . import rate_sweep  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -691,3 +691,324 @@ def test_ivf_nprobe_sweep_plan(spark):
     assert "WindowGroupLimit" in plan, plan[:2000]
     assert "BroadcastExchange" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+# --------------------------------------------------------------------------
+# round-12 wave 4: pack-length sweep, rich club, containment sweep
+# --------------------------------------------------------------------------
+
+import re as _re
+
+
+def test_pack_length_sweep_pin(spark):
+    """Exact integer recompute of padded/packed sequence counts and
+    waste at every candidate length."""
+    lens = [
+        n
+        for n in pq.read_table(f"{SF_SMOKE}/documents.parquet")
+        .to_pydict()["text"]
+        if len(n) > 0
+    ]
+    lens = [len(t) for t in lens]
+    total = sum(lens)
+    got = {
+        r["seq_len"]: r.asDict()
+        for r in QUERIES["pipeline_pack_length_sweep"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {512, 1024, 2048, 4096}
+    for L in (512, 1024, 2048, 4096):
+        padded = sum((x + L - 1) // L for x in lens)
+        packed = (total + L - 1) // L
+        r = got[L]
+        assert r["n_docs"] == len(lens)
+        assert r["total_units"] == total
+        assert r["n_seqs_padded"] == padded
+        assert r["pad_waste_ppm"] == (padded * L - total) * 1_000_000 // (
+            padded * L
+        )
+        assert r["n_seqs_packed"] == packed
+        assert r["packing_gain_ppm"] == (padded - packed) * 1_000_000 // padded
+    # the dial must move: waste grows with L, packed count shrinks
+    waste = [got[L]["pad_waste_ppm"] for L in (512, 1024, 2048, 4096)]
+    assert waste == sorted(waste)
+
+
+def test_pack_length_sweep_plan(spark):
+    """One 1-column pruned scan, one combinable aggregate, one Generate;
+    no join, no window, no Python evaluators."""
+    df = QUERIES["pipeline_pack_length_sweep"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    assert "Generate" in plan, plan[:2000]
+    for bad in ("Join", "Window", "MapInPandas", "BatchEvalPython"):
+        assert bad not in plan, (bad, plan[:2000])
+
+
+def _copurchase_graph():
+    t = pq.read_table(
+        f"{SF_SMOKE}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pydict()
+    baskets: dict = {}
+    for ok, pk in zip(t["l_orderkey"], t["l_partkey"]):
+        baskets.setdefault(ok, set()).add(pk)
+    pairs = set()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pairs.add((ps[i], ps[j]))
+    deg: dict = {}
+    for u, v in pairs:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return pairs, deg
+
+
+def test_rich_club_pin(spark):
+    """Pure-Python recompute: quantile-derived degree thresholds from the
+    cumulative level histogram, club sizes, club edges, phi."""
+    pairs, deg = _copurchase_graph()
+    n_nodes, n_edges = len(deg), len(pairs)
+    lvl: dict = {}
+    for d in deg.values():
+        lvl[d] = lvl.get(d, 0) + 1
+    cum = {}
+    running = 0
+    for d in sorted(lvl, reverse=True):
+        running += lvl[d]
+        cum[d] = running
+    got = {
+        r["club_q_milli"]: r.asDict()
+        for r in QUERIES["graph_rich_club"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {500, 250, 100}
+    for q in (500, 250, 100):
+        target = (q * n_nodes + 999) // 1000
+        ks = [d for d in cum if cum[d] >= target]
+        k = max(ks)
+        n_club = cum[k]
+        e_club = sum(
+            1 for u, v in pairs if min(deg[u], deg[v]) >= k
+        )
+        r = got[q]
+        assert r["k_degree"] == k
+        assert r["n_club"] == n_club
+        assert r["e_club"] == e_club
+        assert r["phi_ppm"] == e_club * 2_000_000 // (n_club * (n_club - 1))
+        assert r["n_nodes"] == n_nodes and r["n_edges"] == n_edges
+        assert r["density_ppm"] == n_edges * 2_000_000 // (
+            n_nodes * (n_nodes - 1)
+        )
+    # the rich-club signature: every club at least as dense as the graph
+    assert all(
+        got[q]["phi_ppm"] >= got[q]["density_ppm"] for q in (500, 250, 100)
+    )
+
+
+def test_rich_club_plan(spark):
+    """Edge/degree frames cross only hash exchanges; the 3-row dial
+    broadcasts; no CartesianProduct, no Python evaluators."""
+    df = QUERIES["graph_rich_club"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "BroadcastExchange" in plan, plan[:2000]
+    for bad in ("CartesianProduct", "MapInPandas", "BatchEvalPython"):
+        assert bad not in plan, (bad, plan[:2000])
+
+
+def _doc_shingles():
+    t = pq.read_table(
+        f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    out = {}
+    for did, text in zip(t["doc_id"], t["text"]):
+        toks = [
+            w
+            for w in _re.sub(r"[^a-zA-Z0-9 ]", " ", text).lower().split(" ")
+            if w
+        ]
+        out[did] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    return out
+
+
+def test_containment_sweep_pin(spark):
+    """Pure-Python recompute of the full pair frame (uncapped — the cap
+    may only lose nothing) and the five-threshold sweep."""
+    sh = _doc_shingles()
+    ids = sorted(sh)
+    inv: dict = {}
+    for did in ids:
+        for s in sh[did]:
+            inv.setdefault(s, []).append(did)
+    cand = set()
+    for docs in inv.values():
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                cand.add((docs[i], docs[j]))
+    rows = []
+    for a, b in cand:
+        c = len(sh[a] & sh[b])
+        mn = min(len(sh[a]), len(sh[b]))
+        if 1000 * c >= 200 * mn:
+            rows.append((a, b, c, mn))
+    got = {
+        r["threshold_milli"]: r.asDict()
+        for r in QUERIES["dedup_containment_sweep"](spark, SF_SMOKE).collect()
+    }
+    n_docs = len(ids)
+    for t in (200, 300, 500, 700, 900):
+        qual = [(a, b) for a, b, c, mn in rows if 1000 * c >= t * mn]
+        flagged = {b for _a, b in qual}
+        r = got[t]
+        assert r["n_pairs"] == len(qual)
+        assert r["n_docs_flagged"] == len(flagged)
+        assert r["removal_ppm"] == len(flagged) * 1_000_000 // n_docs
+    # monotone: higher threshold can only remove less
+    ns = [got[t]["n_pairs"] for t in (200, 300, 500, 700, 900)]
+    assert ns == sorted(ns, reverse=True)
+    # and the dial actually moves on this corpus at the low end
+    assert ns[0] > ns[1]
+
+
+def test_containment_sweep_plan(spark):
+    """Inherits the candidate stage plan (staged docsets, DF-capped
+    index); the sweep adds broadcasts only — no CartesianProduct, no
+    Python evaluators."""
+    df = QUERIES["dedup_containment_sweep"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "BroadcastExchange" in plan, plan[:2000]
+    for bad in ("CartesianProduct", "MapInPandas", "BatchEvalPython"):
+        assert bad not in plan, (bad, plan[:2000])
+
+
+# --------------------------------------------------------------------------
+# round-12 wave 5: quality-gate sweep, sample-rate sweep
+# --------------------------------------------------------------------------
+
+
+def _quality_e4(text: str):
+    toks = [w for w in _re.sub(r"\s+", " ", text.strip()).split(" ")]
+    n_tokens = len(toks)
+    n_stop = sum(1 for t in toks if t in ("the", "a", "of", "and"))
+    n_punct = sum(
+        1 for ch in text if 33 <= ord(ch) <= 47 or 58 <= ord(ch) <= 64
+        or 91 <= ord(ch) <= 96 or 123 <= ord(ch) <= 126
+    )
+    n_char = len(text)
+    score = (
+        0.5 * min(n_tokens / 100.0, 1.0)
+        + 0.3 * min(n_stop * 5.0 / n_tokens, 1.0)
+        + 0.2 * (1.0 - min(n_punct * 10.0 / n_char, 1.0))
+    )
+    return n_tokens, math.floor(score * 10000 + 0.5)
+
+
+def test_quality_gate_sweep_pin(spark):
+    """Exact recompute of the per-(threshold, lang) keep counts from the
+    registered scoring formula's integer e4 form."""
+    t = pq.read_table(
+        f"{SF_SMOKE}/documents.parquet", columns=["lang", "text"]
+    ).to_pydict()
+    docs = [
+        (lang, *_quality_e4(text))
+        for lang, text in zip(t["lang"], t["text"])
+    ]
+    got = {
+        (r["threshold_e4"], r["lang"]): r.asDict()
+        for r in QUERIES["text_quality_gate_sweep"](spark, SF_SMOKE).collect()
+    }
+    langs = {d[0] for d in docs}
+    assert set(got) == {
+        (t_, lang) for t_ in (4000, 5000, 6000, 7000, 8000) for lang in langs
+    }
+    for (t_, lang), r in got.items():
+        grp = [(nt, q) for (lg, nt, q) in docs if lg == lang]
+        n_kept = sum(1 for _nt, q in grp if q >= t_)
+        toks_kept = sum(nt for nt, q in grp if q >= t_)
+        toks = sum(nt for nt, _q in grp)
+        assert r["n_docs"] == len(grp)
+        assert r["n_kept"] == n_kept
+        assert r["kept_ppm"] == n_kept * 1_000_000 // len(grp)
+        assert r["n_tokens"] == toks
+        assert r["n_tokens_kept"] == toks_kept
+        assert r["token_kept_ppm"] == toks_kept * 1_000_000 // max(toks, 1)
+    # the bar must bite: strictly fewer docs kept at 0.8 than at 0.4
+    for lang in langs:
+        assert got[(8000, lang)]["n_kept"] < got[(4000, lang)]["n_kept"]
+
+
+def test_quality_gate_sweep_plan(spark):
+    """One scan + broadcast 5-row dial + one combinable aggregate; no
+    data-sized join, no window, no Python evaluators."""
+    df = QUERIES["text_quality_gate_sweep"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    for bad in ("Window", "CartesianProduct", "MapInPandas",
+                "BatchEvalPython"):
+        assert bad not in plan, (bad, plan[:2000])
+
+
+def test_sample_rate_sweep_pin(spark):
+    """Exact recompute: the nested hash samples, HT count estimates, and
+    the engine-shared linear-interpolation median over each sample."""
+    t = pq.read_table(
+        f"{SF_SMOKE}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    ).to_pydict()
+    space = 1 << 40
+
+    def q50(vals):
+        s = sorted(vals)
+        n = len(s)
+        pos = (n - 1) * 0.5
+        lo = int(math.floor(pos))
+        frac = pos - lo
+        v = s[lo] + (s[min(lo + 1, n - 1)] - s[lo]) * frac
+        import decimal
+        return float(
+            decimal.Decimal(repr(v)).quantize(
+                decimal.Decimal("0.0001"),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+        )
+
+    rows = []
+    for ok, ln, price in zip(
+        t["l_orderkey"], t["l_linenumber"], t["l_extendedprice"]
+    ):
+        hv = int(hashlib.md5(f"{ok}-{ln}".encode()).hexdigest()[:10], 16)
+        rows.append((hv, price))
+    got = {
+        r["rate"]: r.asDict()
+        for r in QUERIES["sketch_sample_rate_sweep"](spark, SF_SMOKE).collect()
+    }
+    n_total = len(rows)
+    prev_sample: set = set()
+    for rate in (512, 64, 8):  # ascending sample size for the nesting check
+        cut = space // rate
+        sample = [(hv, p) for hv, p in rows if hv < cut]
+        r = got[rate]
+        assert r["n_total"] == n_total
+        assert r["n_sample"] == len(sample)
+        assert r["est_total"] == len(sample) * rate
+        assert r["count_err_ppm"] == (
+            abs(len(sample) * rate - n_total) * 1_000_000 // n_total
+        )
+        assert abs(r["q50_sample"] - q50([p for _h, p in sample])) < 5e-4
+        assert abs(r["q50_exact"] - q50([p for _h, p in rows])) < 5e-4
+        # nesting: the smaller-rate sample contains the previous one
+        cur = set(sample)
+        assert prev_sample <= cur
+        prev_sample = cur
+
+
+def test_sample_rate_sweep_plan(spark):
+    """One scan, one combinable aggregate, one 3-row Generate; no join,
+    no window, no Python evaluators."""
+    df = QUERIES["sketch_sample_rate_sweep"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    assert "Generate" in plan, plan[:2000]
+    for bad in ("Join", "Window", "MapInPandas", "BatchEvalPython"):
+        assert bad not in plan, (bad, plan[:2000])
