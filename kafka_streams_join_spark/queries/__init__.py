@@ -116,6 +116,7 @@ from . import rich_club  # noqa: E402,F401
 from . import threshold_sweep  # noqa: E402,F401
 from . import gate_sweep  # noqa: E402,F401
 from . import rate_sweep  # noqa: E402,F401
+from . import funnel_sweep  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

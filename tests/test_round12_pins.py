@@ -1012,3 +1012,81 @@ def test_sample_rate_sweep_plan(spark):
     assert "Generate" in plan, plan[:2000]
     for bad in ("Join", "Window", "MapInPandas", "BatchEvalPython"):
         assert bad not in plan, (bad, plan[:2000])
+
+
+# --------------------------------------------------------------------------
+# round-12 wave 6: funnel attribution-window sweep
+# --------------------------------------------------------------------------
+
+
+def test_funnel_window_sweep_pin(spark):
+    """Exact recompute of the two per-user gaps and every window's
+    stage counts; at the registered 24 h window the sweep must equal
+    events_funnel_conversion's stage tallies exactly."""
+    t = pq.read_table(
+        f"{SF_SMOKE}/events.parquet", columns=["user_id", "event_type", "ts"]
+    ).to_pydict()
+    by_user: dict = {}
+    for uid, et, ts in zip(t["user_id"], t["event_type"], t["ts"]):
+        by_user.setdefault(uid, []).append((ts, et))
+    gaps = {}
+    for uid, evs in by_user.items():
+        views = [ts for ts, et in evs if et == "view"]
+        if not views:
+            continue
+        v_ts = min(views)
+        clicks = [ts for ts, et in evs if et == "click" and ts > v_ts]
+        c_ts = min(clicks) if clicks else None
+        p_ts = None
+        if c_ts is not None:
+            purch = [ts for ts, et in evs if et == "purchase" and ts > c_ts]
+            p_ts = min(purch) if purch else None
+        us = lambda a, b: (b - a) // datetime.timedelta(microseconds=1)
+        gaps[uid] = (
+            us(v_ts, c_ts) if c_ts is not None else None,
+            us(c_ts, p_ts) if p_ts is not None else None,
+        )
+    got = {
+        r["window_h"]: r.asDict()
+        for r in QUERIES["events_funnel_window_sweep"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {1, 6, 24, 72}
+    n = len(gaps)
+    for w in (1, 6, 24, 72):
+        b = w * 3_600_000_000
+        s2 = sum(1 for gvc, _ in gaps.values() if gvc is not None and gvc <= b)
+        s3 = sum(
+            1
+            for gvc, gcp in gaps.values()
+            if gvc is not None and gcp is not None and gvc <= b and gcp <= b
+        )
+        r = got[w]
+        assert r["n_users"] == n
+        assert (r["n_stage2"], r["n_stage3"]) == (s2, s3)
+        assert r["conv2_ppm"] == s2 * 1_000_000 // n
+        assert r["conv3_ppm"] == s3 * 1_000_000 // n
+        assert r["step_conv_ppm"] == s3 * 1_000_000 // max(s2, 1)
+    # the dial must move and be monotone in the window
+    s2s = [got[w]["n_stage2"] for w in (1, 6, 24, 72)]
+    s3s = [got[w]["n_stage3"] for w in (1, 6, 24, 72)]
+    assert s2s == sorted(s2s) and s3s == sorted(s3s)
+    assert s2s[0] < s2s[-1]
+    # cross-check against the REGISTERED funnel at its frozen 24 h window
+    stages = [
+        r["stage"]
+        for r in QUERIES["events_funnel_conversion"](spark, SF_SMOKE).collect()
+    ]
+    assert got[24]["n_stage2"] == sum(1 for s in stages if s >= 2)
+    assert got[24]["n_stage3"] == sum(1 for s in stages if s == 3)
+
+
+def test_funnel_window_sweep_plan(spark):
+    """The certified funnel shape (user-keyed equi-joins + min
+    aggregates) followed by one 1-row aggregate and a 4-row Generate;
+    no CartesianProduct, no Python evaluators, no range exchange."""
+    df = QUERIES["events_funnel_window_sweep"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "Generate" in plan, plan[:2000]
+    for bad in ("CartesianProduct", "MapInPandas", "BatchEvalPython",
+                "rangepartitioning"):
+        assert bad not in plan, (bad, plan[:2000])
