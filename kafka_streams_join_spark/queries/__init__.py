@@ -117,6 +117,9 @@ from . import threshold_sweep  # noqa: E402,F401
 from . import gate_sweep  # noqa: E402,F401
 from . import rate_sweep  # noqa: E402,F401
 from . import funnel_sweep  # noqa: E402,F401
+from . import phash_sweep  # noqa: E402,F401
+from . import perm_sweep  # noqa: E402,F401
+from . import bpe_sweep  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

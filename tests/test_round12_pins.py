@@ -1090,3 +1090,213 @@ def test_funnel_window_sweep_plan(spark):
     for bad in ("CartesianProduct", "MapInPandas", "BatchEvalPython",
                 "rangepartitioning"):
         assert bad not in plan, (bad, plan[:2000])
+
+
+# --------------------------------------------------------------------------
+# round-12 wave 7: pHash radius sweep, MinHash permutation sweep
+# --------------------------------------------------------------------------
+
+from kafka_streams_join_spark.queries.dedup import _HASH_PARAMS as _MH_PARAMS
+from kafka_streams_join_spark.queries.dedup import _P as _MH_P
+
+
+def _ahash(b: bytes):
+    n = len(b)
+    if n == 0:
+        return None
+    total = sum(b)
+    sums = [0] * 32
+    cnts = [0] * 32
+    for i, v in enumerate(b):
+        k = i * 32 // n
+        sums[k] += v
+        cnts[k] += 1
+    h = 0
+    for k in range(32):
+        if sums[k] * n > total * cnts[k]:
+            h |= 1 << k
+    return h
+
+
+def test_phash_radius_sweep_pin(spark):
+    """Pure-Python recompute: ahash per blob, banded candidates, hamming
+    counts at every radius."""
+    t = pq.read_table(
+        f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    hashes = {
+        did: _ahash(text.encode("utf-8"))
+        for did, text in zip(t["doc_id"], t["text"])
+    }
+    hashes = {d: h for d, h in hashes.items() if h is not None}
+    buckets: dict = {}
+    for d, h in hashes.items():
+        for band in range(4):
+            buckets.setdefault((band, (h >> (band * 8)) & 255), []).append(d)
+    cand = set()
+    for docs in buckets.values():
+        ds = sorted(docs)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[j]))
+    got = {
+        r["radius"]: r.asDict()
+        for r in QUERIES["mm_phash_radius_sweep"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {0, 2, 5, 8}
+    for radius in (0, 2, 5, 8):
+        qual = [
+            (a, b)
+            for a, b in cand
+            if bin(hashes[a] ^ hashes[b]).count("1") <= radius
+        ]
+        flagged = {b for _a, b in qual}
+        r = got[radius]
+        assert r["n_assets"] == len(hashes)
+        assert r["n_pairs"] == len(qual)
+        assert r["n_flagged"] == len(flagged)
+        assert r["removal_ppm"] == len(flagged) * 1_000_000 // len(hashes)
+    # the dial must move
+    ns = [got[radius]["n_pairs"] for radius in (0, 2, 5, 8)]
+    assert ns == sorted(ns) and ns[-1] > ns[0]
+
+
+def test_phash_radius_sweep_plan(spark):
+    """Bytes never shuffle (only the ahash kernel's MapInPandas output
+    does); candidates via band equi-join; no CartesianProduct."""
+    df = QUERIES["mm_phash_radius_sweep"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "MapInPandas" in plan, plan[:2000]  # the ahash kernel itself
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_minhash_perm_sweep_pin(spark):
+    """Pure-Python recompute: the registered 32-perm signatures, band
+    candidates, prefix-match counts, exact-rational errors."""
+    sh = _doc_shingles()
+    h32 = {
+        d: [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in ss]
+        for d, ss in sh.items()
+    }
+    mh = {
+        d: [
+            min((a * h + b) % _MH_P for h in hs) if hs else None
+            for a, b in _MH_PARAMS
+        ]
+        for d, hs in h32.items()
+    }
+    buckets: dict = {}
+    for d, sig in mh.items():
+        for band in range(8):
+            key = ",".join(str(sig[band * 4 + r]) for r in range(4))
+            buckets.setdefault(
+                (band, hashlib.md5(key.encode()).hexdigest()), []
+            ).append(d)
+    cand = set()
+    for docs in buckets.values():
+        ds = sorted(docs)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[j]))
+    rows = []
+    for a, b in cand:
+        c = len(sh[a] & sh[b])
+        u = len(sh[a]) + len(sh[b]) - c
+        if u == 0:
+            continue
+        ms = {
+            p: sum(1 for i in range(p) if mh[a][i] == mh[b][i])
+            for p in (8, 16, 32)
+        }
+        rows.append((c, u, ms))
+    got = {
+        r["perms"]: r.asDict()
+        for r in QUERIES["dedup_minhash_perm_sweep"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {8, 16, 32}
+    for p in (8, 16, 32):
+        errs = [
+            abs(1000 * ms[p] * u - 1000 * c * p) // (p * u)
+            for c, u, ms in rows
+        ]
+        r = got[p]
+        assert r["n_pairs"] == len(errs)
+        assert r["mean_abs_err_milli"] == sum(errs) // len(errs)
+        assert r["max_abs_err_milli"] == max(errs)
+    # the 32-perm estimator must not be worse on average than the 8-perm
+    assert got[32]["mean_abs_err_milli"] <= got[8]["mean_abs_err_milli"]
+
+
+def test_minhash_perm_sweep_plan(spark):
+    """Signatures stay map-side aggregate columns; candidates from the
+    (band, band_sig) equi-join; no CartesianProduct, no extra scans
+    beyond the staged shingle stage."""
+    df = QUERIES["dedup_minhash_perm_sweep"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Generate" in plan, plan[:2000]  # the 3-level stack
+
+
+# --------------------------------------------------------------------------
+# round-12 wave 8: BPE merge-count sweep
+# --------------------------------------------------------------------------
+
+from kafka_streams_join_spark.queries.tokenizer import BPE_MERGES
+
+
+def _bpe_encode(word: str, k: int) -> int:
+    """subword token count after the first k merges — the sentinel-space
+    replace contract (leftmost non-overlapping, one pass per merge)."""
+    s = " ".join(word)
+    for m in BPE_MERGES[:k]:
+        s = (" " + s + " ").replace(
+            " " + m + " ", " " + m.replace(" ", "") + " "
+        ).strip()
+    return len(s.split(" "))
+
+
+def test_bpe_merge_sweep_pin(spark):
+    """Exact recompute: per-word prefix encodings over the distinct
+    vocabulary, corpus totals, fertility, compression."""
+    t = pq.read_table(
+        f"{SF_SMOKE}/documents.parquet", columns=["text"]
+    ).to_pydict()
+    words = []
+    for text in t["text"]:
+        words.extend(
+            w.lower()
+            for w in _re.sub(r"\s+", " ", text.strip()).split(" ")
+        )
+    vocab = set(words)
+    got = {
+        r["merges"]: r.asDict()
+        for r in QUERIES["text_bpe_merge_sweep"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {0, 4, 8, 12}
+    n_words = len(words)
+    n_chars = sum(len(w) for w in words)
+    for k in (0, 4, 8, 12):
+        enc = {w: _bpe_encode(w, k) for w in vocab}
+        total = sum(enc[w] for w in words)
+        r = got[k]
+        assert r["n_words"] == n_words
+        assert r["n_bpe_tokens"] == total
+        assert r["fertility_ppm"] == total * 1_000_000 // n_words
+        assert r["chars_per_token_milli"] == n_chars * 1000 // total
+    # monotone: more merges never produce more tokens, and these merges
+    # actually fire on this corpus
+    ts = [got[k]["n_bpe_tokens"] for k in (0, 4, 8, 12)]
+    assert ts == sorted(ts, reverse=True) and ts[-1] < ts[0]
+    # zero merges = character tokenization: exactly 1 char per token
+    assert got[0]["chars_per_token_milli"] == 1000
+
+
+def test_bpe_merge_sweep_plan(spark):
+    """Encoding runs on the distinct vocabulary (no per-occurrence
+    chains); one corpus explode, word-keyed join, one aggregate, 4-row
+    Generate; no Python evaluators, no cartesian."""
+    df = QUERIES["text_bpe_merge_sweep"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "Generate" in plan, plan[:2000]
+    for bad in ("CartesianProduct", "MapInPandas", "BatchEvalPython"):
+        assert bad not in plan, (bad, plan[:2000])
