@@ -35,7 +35,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.staging import staged as _staged
-from ..sources.parquet import load_table  # noqa: F401  (graph helpers scan)
 from .graph import _edges
 from .registry import register
 
