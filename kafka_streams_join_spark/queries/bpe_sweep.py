@@ -35,20 +35,9 @@ from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import register
 from .text import _TOKS, _TOKS_SQL
-from .tokenizer import BPE_MERGES, _SYM_SPARK, _SYM_SQL
+from .tokenizer import _SYM_SPARK, _SYM_SQL, _apply_merges
 
 _MERGE_LEVELS = (0, 4, 8, 12)
-
-
-def _apply_prefix(sym_expr: str, engine: str, k: int) -> str:
-    e = sym_expr
-    for m in BPE_MERGES[:k]:
-        joined = m.replace(" ", "")
-        if engine == "spark":
-            e = f"trim(replace(concat(' ', {e}, ' '), ' {m} ', ' {joined} '))"
-        else:
-            e = f"trim(replace(' ' || {e} || ' ', ' {m} ', ' {joined} '))"
-    return e
 
 
 @register(
@@ -61,7 +50,7 @@ def _apply_prefix(sym_expr: str, engine: str, k: int) -> str:
     enc AS (
       SELECT word, length(word) AS n_chars,
              {", ".join(
-                 f"len(string_split({_apply_prefix(_SYM_SQL, 'sql', k)},"
+                 f"len(string_split({_apply_merges(_SYM_SQL, 'sql', k)},"
                  f" ' ')) AS t{k}"
                  for k in _MERGE_LEVELS
              )}
@@ -84,9 +73,9 @@ def _apply_prefix(sym_expr: str, engine: str, k: int) -> str:
       )}
     )
     SELECT merges, n_words, n_bpe_tokens,
-           CAST(n_bpe_tokens * 1000000 // n_words AS BIGINT)
+           CAST(CAST(n_bpe_tokens AS HUGEINT) * 1000000 // n_words AS BIGINT)
              AS fertility_ppm,
-           CAST(n_chars * 1000 // n_bpe_tokens AS BIGINT)
+           CAST(CAST(n_chars AS HUGEINT) * 1000 // n_bpe_tokens AS BIGINT)
              AS chars_per_token_milli
     FROM rows_
     """,
@@ -109,7 +98,7 @@ def text_bpe_merge_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("word").alias("n_chars"),
         *[
             F.expr(
-                f"size(split({_apply_prefix(_SYM_SPARK, 'spark', k)}, ' '))"
+                f"size(split({_apply_merges(_SYM_SPARK, 'spark', k)}, ' '))"
             ).alias(f"t{k}")
             for k in _MERGE_LEVELS
         ],
@@ -134,10 +123,12 @@ def text_bpe_merge_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merges",
         "n_words",
         "n_bpe_tokens",
-        F.expr("cast(n_bpe_tokens * 1000000 div n_words as bigint)").alias(
+        F.expr("cast(cast(n_bpe_tokens as decimal(38,0)) * 1000000 div n_words"
+            " as bigint)").alias(
             "fertility_ppm"
         ),
-        F.expr("cast(n_chars * 1000 div n_bpe_tokens as bigint)").alias(
+        F.expr("cast(cast(n_chars as decimal(38,0)) * 1000 div n_bpe_tokens"
+            " as bigint)").alias(
             "chars_per_token_milli"
         ),
     )

@@ -59,7 +59,7 @@ from .registry import register
       FROM daily GROUP BY event_type
     )
     SELECT event_type, n_days, n_active_days, total,
-           CAST(1000 * total // n_days AS BIGINT) AS mean_milli,
+           CAST(1000 * CAST(total AS HUGEINT) // n_days AS BIGINT) AS mean_milli,
            CAST(CASE WHEN n_days < 2 THEN NULL
                 ELSE 1000 * (CAST(n_days AS HUGEINT) * q
                              - CAST(total AS HUGEINT) * total)
@@ -107,7 +107,7 @@ def events_dispersion_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         "n_active_days",
         "total",
-        F.expr("cast(1000 * total div n_days as bigint)").alias("mean_milli"),
+        F.expr("cast(1000 * cast(total as decimal(38,0)) div n_days as bigint)").alias("mean_milli"),
         F.expr(f"cast({fano} as bigint)").alias("fano_milli"),
         F.expr(
             f"cast(case when n_days < 2 then null"

@@ -82,9 +82,12 @@ _WINDOWS_H = (1, 6, 24, 72)
       )}
     )
     SELECT window_h, n_users, n_stage2, n_stage3,
-           CAST(n_stage2 * 1000000 // n_users AS BIGINT) AS conv2_ppm,
-           CAST(n_stage3 * 1000000 // n_users AS BIGINT) AS conv3_ppm,
-           CAST(n_stage3 * 1000000 // greatest(n_stage2, 1) AS BIGINT)
+           CAST(CAST(n_stage2 AS HUGEINT) * 1000000 // n_users AS BIGINT)
+             AS conv2_ppm,
+           CAST(CAST(n_stage3 AS HUGEINT) * 1000000 // n_users AS BIGINT)
+             AS conv3_ppm,
+           CAST(CAST(n_stage3 AS HUGEINT) * 1000000 // greatest(n_stage2, 1)
+                AS BIGINT)
              AS step_conv_ppm
     FROM rows_
     """,
@@ -156,14 +159,17 @@ def events_funnel_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "n_stage2",
         "n_stage3",
-        F.expr("cast(n_stage2 * 1000000 div n_users as bigint)").alias(
+        F.expr("cast(cast(n_stage2 as decimal(38,0)) * 1000000 div n_users"
+            " as bigint)").alias(
             "conv2_ppm"
         ),
-        F.expr("cast(n_stage3 * 1000000 div n_users as bigint)").alias(
+        F.expr("cast(cast(n_stage3 as decimal(38,0)) * 1000000 div n_users"
+            " as bigint)").alias(
             "conv3_ppm"
         ),
         F.expr(
-            "cast(n_stage3 * 1000000 div greatest(n_stage2, 1) as bigint)"
+            "cast(cast(n_stage3 as decimal(38,0)) * 1000000"
+            " div greatest(n_stage2, 1) as bigint)"
         ).alias("step_conv_ppm"),
     )
 

@@ -61,13 +61,14 @@ _SCORE_E4_SQL = """
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN s.quality_e4 >= ts.t THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_kept,
-           CAST(sum(CASE WHEN s.quality_e4 >= ts.t THEN 1 ELSE 0 END)
+           CAST(CAST(sum(CASE WHEN s.quality_e4 >= ts.t THEN 1 ELSE 0 END)
+                     AS HUGEINT)
                 * 1000000 // count(*) AS BIGINT) AS kept_ppm,
            CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens,
            CAST(sum(CASE WHEN s.quality_e4 >= ts.t THEN s.n_tokens
                     ELSE 0 END) AS BIGINT) AS n_tokens_kept,
-           CAST(sum(CASE WHEN s.quality_e4 >= ts.t THEN s.n_tokens
-                    ELSE 0 END) * 1000000
+           CAST(CAST(sum(CASE WHEN s.quality_e4 >= ts.t THEN s.n_tokens
+                         ELSE 0 END) AS HUGEINT) * 1000000
                 // greatest(sum(s.n_tokens), 1) AS BIGINT)
              AS token_kept_ppm
     FROM scored s CROSS JOIN ts
@@ -115,13 +116,14 @@ def text_quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_docs",
             "n_kept",
-            F.expr("cast(n_kept * 1000000 div n_docs as bigint)").alias(
+            F.expr("cast(cast(n_kept as decimal(38,0)) * 1000000 div n_docs"
+            " as bigint)").alias(
                 "kept_ppm"
             ),
             "n_tokens",
             "n_tokens_kept",
             F.expr(
-                "cast(n_tokens_kept * 1000000"
+                "cast(cast(n_tokens_kept as decimal(38,0)) * 1000000"
                 " div greatest(n_tokens, 1) as bigint)"
             ).alias("token_kept_ppm"),
         )

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import ORACLES, register
 from .similarity import sim_topk_bruteforce
@@ -54,7 +55,8 @@ from .similarity import sim_topk_bruteforce
       FROM n
     )
     SELECT h.k_occurrence, h.n_vectors,
-           CAST(h.n_vectors * 1000000 // n.n_corpus AS BIGINT) AS share_ppm
+           CAST(CAST(h.n_vectors AS HUGEINT) * 1000000 // n.n_corpus AS BIGINT)
+             AS share_ppm
     FROM hist h CROSS JOIN n
     """,
 )
@@ -64,8 +66,12 @@ def sim_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact ppm. The occurrence-0 row counts the antihubs. Module
     docstring has the reuse, exactness, and Q·K-sized-input contracts."""
     bf = sim_topk_bruteforce(spark, sf_dir).select("neighbor_id")
-    occ = bf.groupBy("neighbor_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("k_occurrence")
+    # staged: occ feeds both the histogram and the retrieved-count leg —
+    # unstaged, each consumer would re-run the brute-force GEMM lineage
+    occ = _staged(
+        bf.groupBy("neighbor_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_occurrence")
+        )
     )
     hist = occ.groupBy("k_occurrence").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors")
@@ -88,7 +94,8 @@ def sim_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "k_occurrence",
             "n_vectors",
-            F.expr("cast(n_vectors * 1000000 div n_corpus as bigint)").alias(
+            F.expr("cast(cast(n_vectors as decimal(38,0)) * 1000000 div n_corpus"
+                " as bigint)").alias(
                 "share_ppm"
             ),
         )

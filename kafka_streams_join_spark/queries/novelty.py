@@ -55,7 +55,8 @@ from .dedup import _SHINGLE_ARRAY, _TOKS, _TOKS_SQL
            CAST(count(*) AS BIGINT) AS n_shingles,
            CAST(sum(CASE WHEN fs.first_seen = ds.decile THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_new,
-           CAST(sum(CASE WHEN fs.first_seen = ds.decile THEN 1 ELSE 0 END)
+           CAST(CAST(sum(CASE WHEN fs.first_seen = ds.decile
+                         THEN 1 ELSE 0 END) AS HUGEINT)
                 * 1000000 // count(*) AS BIGINT) AS novelty_ppm
     FROM ds JOIN fs ON fs.shingle = ds.shingle
     GROUP BY ds.decile
@@ -91,7 +92,8 @@ def docs_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " as bigint)"
             ).alias("n_new"),
             F.expr(
-                "cast(sum(case when first_seen = decile then 1 else 0 end)"
+                "cast(cast(sum(case when first_seen = decile then 1"
+                " else 0 end) as decimal(38,0))"
                 " * 1000000 div count(1) as bigint)"
             ).alias("novelty_ppm"),
         )

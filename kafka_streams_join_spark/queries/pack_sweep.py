@@ -57,11 +57,12 @@ _PACK_LENS = (512, 1024, 2048, 4096)
       )}
     )
     SELECT seq_len, n_docs, total_units, n_seqs_padded,
-           CAST((n_seqs_padded * seq_len - total_units) * 1000000
+           CAST(CAST(n_seqs_padded * seq_len - total_units AS HUGEINT) * 1000000
                 // (n_seqs_padded * seq_len) AS BIGINT) AS pad_waste_ppm,
            CAST((total_units + seq_len - 1) // seq_len AS BIGINT)
              AS n_seqs_packed,
-           CAST((n_seqs_padded - (total_units + seq_len - 1) // seq_len)
+           CAST(CAST(n_seqs_padded - (total_units + seq_len - 1) // seq_len
+                     AS HUGEINT)
                 * 1000000 // n_seqs_padded AS BIGINT) AS packing_gain_ppm
     FROM rows_
     """,
@@ -102,15 +103,15 @@ def pipeline_pack_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_units",
         "n_seqs_padded",
         F.expr(
-            "cast((n_seqs_padded * seq_len - total_units) * 1000000"
-            " div (n_seqs_padded * seq_len) as bigint)"
+            "cast(cast(n_seqs_padded * seq_len - total_units as decimal(38,0))"
+            " * 1000000 div (n_seqs_padded * seq_len) as bigint)"
         ).alias("pad_waste_ppm"),
         F.expr(
             "cast((total_units + seq_len - 1) div seq_len as bigint)"
         ).alias("n_seqs_packed"),
         F.expr(
-            "cast((n_seqs_padded - (total_units + seq_len - 1) div seq_len)"
-            " * 1000000 div n_seqs_padded as bigint)"
+            "cast(cast(n_seqs_padded - (total_units + seq_len - 1) div seq_len"
+            " as decimal(38,0)) * 1000000 div n_seqs_padded as bigint)"
         ).alias("packing_gain_ppm"),
     )
 

@@ -88,7 +88,7 @@ _PH_RADII = (0, 2, 5, 8)
       GROUP BY rs.r
     )
     SELECT CAST(s.r AS BIGINT) AS radius, s.n_pairs, s.n_flagged,
-           CAST(s.n_flagged * 1000000 // nh.n_assets AS BIGINT)
+           CAST(CAST(s.n_flagged AS HUGEINT) * 1000000 // nh.n_assets AS BIGINT)
              AS removal_ppm,
            nh.n_assets
     FROM sweep s CROSS JOIN nh
@@ -165,7 +165,8 @@ def mm_phash_radius_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").cast("bigint").alias("radius"),
         "n_pairs",
         "n_flagged",
-        F.expr("cast(n_flagged * 1000000 div n_assets as bigint)").alias(
+        F.expr("cast(cast(n_flagged as decimal(38,0)) * 1000000 div n_assets"
+            " as bigint)").alias(
             "removal_ppm"
         ),
         "n_assets",

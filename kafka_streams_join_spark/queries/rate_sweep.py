@@ -62,8 +62,8 @@ _RATES = (8, 64, 512)
     )
     SELECT rate, n_total, n_sample,
            CAST(n_sample * rate AS BIGINT) AS est_total,
-           CAST(abs(n_sample * rate - n_total) * 1000000 // n_total
-                AS BIGINT) AS count_err_ppm,
+           CAST(CAST(abs(n_sample * rate - n_total) AS HUGEINT) * 1000000
+                // n_total AS BIGINT) AS count_err_ppm,
            q50_sample, q50_exact
     FROM rows_
     """,
@@ -113,8 +113,8 @@ def sketch_sample_rate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sample",
         F.expr("cast(n_sample * rate as bigint)").alias("est_total"),
         F.expr(
-            "cast(abs(n_sample * rate - n_total) * 1000000 div n_total"
-            " as bigint)"
+            "cast(cast(abs(n_sample * rate - n_total) as decimal(38,0))"
+            " * 1000000 div n_total as bigint)"
         ).alias("count_err_ppm"),
         "q50_sample",
         "q50_exact",

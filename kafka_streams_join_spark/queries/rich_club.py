@@ -89,12 +89,12 @@ _CLUB_Q_MILLI = (500, 250, 100)
     SELECT CAST(k.q AS BIGINT) AS club_q_milli,
            k.k_degree, k.n_club, ce.e_club,
            CAST(CASE WHEN k.n_club < 2 THEN NULL
-                ELSE ce.e_club * 2000000
+                ELSE CAST(ce.e_club AS HUGEINT) * 2000000
                      // (k.n_club * (k.n_club - 1)) END AS BIGINT)
              AS phi_ppm,
            n.n_nodes, n.n_edges,
-           CAST(n.n_edges * 2000000 // (n.n_nodes * (n.n_nodes - 1))
-                AS BIGINT) AS density_ppm
+           CAST(CAST(n.n_edges AS HUGEINT) * 2000000
+                // (n.n_nodes * (n.n_nodes - 1)) AS BIGINT) AS density_ppm
     FROM ks k JOIN club_edges ce ON ce.q = k.q CROSS JOIN n
     """,
 )
@@ -178,14 +178,15 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             "e_club",
             F.expr(
                 "cast(case when n_club < 2 then null"
-                " else e_club * 2000000 div (n_club * (n_club - 1))"
+                " else cast(e_club as decimal(38,0)) * 2000000"
+                " div (n_club * (n_club - 1))"
                 " end as bigint)"
             ).alias("phi_ppm"),
             "n_nodes",
             "n_edges",
             F.expr(
-                "cast(n_edges * 2000000 div (n_nodes * (n_nodes - 1))"
-                " as bigint)"
+                "cast(cast(n_edges as decimal(38,0)) * 2000000"
+                " div (n_nodes * (n_nodes - 1)) as bigint)"
             ).alias("density_ppm"),
         )
     )

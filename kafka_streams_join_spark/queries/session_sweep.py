@@ -73,7 +73,7 @@ def _sum_case_sql(t: int) -> str:
       )
     )
     SELECT gap_s, n_sessions, n_users, n_events,
-           CAST(1000 * n_events // n_sessions AS BIGINT)
+           CAST(1000 * CAST(n_events AS HUGEINT) // n_sessions AS BIGINT)
              AS events_per_session_milli
     FROM rows_
     """,
@@ -120,7 +120,8 @@ def events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sessions",
         "n_users",
         "n_events",
-        F.expr("cast(1000 * n_events div n_sessions as bigint)").alias(
+        F.expr("cast(1000 * cast(n_events as decimal(38,0)) div n_sessions"
+            " as bigint)").alias(
             "events_per_session_milli"
         ),
     )

@@ -70,7 +70,8 @@ _T_MILLI = (200, 300, 500, 700, 900)
     )
     SELECT CAST(s.t AS BIGINT) AS threshold_milli, s.n_pairs,
            s.n_docs_flagged,
-           CAST(s.n_docs_flagged * 1000000 // nd.n_docs AS BIGINT)
+           CAST(CAST(s.n_docs_flagged AS HUGEINT) * 1000000 // nd.n_docs
+                AS BIGINT)
              AS removal_ppm
     FROM sweep s CROSS JOIN nd
     """,
@@ -136,7 +137,8 @@ def dedup_containment_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").cast("bigint").alias("threshold_milli"),
         "n_pairs",
         "n_docs_flagged",
-        F.expr("cast(n_docs_flagged * 1000000 div n_docs as bigint)").alias(
+        F.expr("cast(cast(n_docs_flagged as decimal(38,0)) * 1000000 div n_docs"
+            " as bigint)").alias(
             "removal_ppm"
         ),
     )

@@ -47,12 +47,15 @@ BPE_MERGES = [
 ]
 
 
-def _apply_merges(sym_expr: str, concat: str) -> str:
+def _apply_merges(sym_expr: str, concat: str, k: int | None = None) -> str:
     """Chain the frozen merges over a space-separated symbol expression.
     ``concat`` is the engine's string-concat spelling ('concat' for Spark,
-    '||' handled by the caller passing a format)."""
+    '||' handled by the caller passing a format). ``k`` applies only the
+    first k merges (merge tables are ordered, so the k-merge tokenizer IS
+    the table's prefix — the bpe_sweep dial); default applies the full
+    table."""
     e = sym_expr
-    for m in BPE_MERGES:
+    for m in BPE_MERGES[: len(BPE_MERGES) if k is None else k]:
         joined = m.replace(" ", "")
         if concat == "spark":
             e = f"trim(replace(concat(' ', {e}, ' '), ' {m} ', ' {joined} '))"

@@ -117,7 +117,7 @@ def _funnel_fn(
         yield df
 
 
-def stream_funnel(events: DataFrame) -> DataFrame:
+def stream_funnel_monitor(events: DataFrame) -> DataFrame:
     """Track view→click→purchase funnel stages per user over a stream
     (needs ts, event_id, user_id, event_type); emits (user_id, stage,
     anchor_us, gap_us) the moment each stage is first reached. Module

@@ -23,7 +23,7 @@ import pytest
 from kafka_streams_join_spark.queries import QUERIES
 from kafka_streams_join_spark.streaming.funnel import (
     funnel_step,
-    stream_funnel,
+    stream_funnel_monitor,
 )
 from kafka_streams_join_spark.streaming.harness import (
     FileStream,
@@ -92,7 +92,7 @@ def _replay(batches):
 def _run_stream(spark, tmpdir, batches, schema):
     src = FileStream(spark, tmpdir, "events", schema=schema)
     src.add_batch(batches[0])
-    out = stream_funnel(src.df())
+    out = stream_funnel_monitor(src.df())
     assert out.isStreaming
     q, sink = start_memory_sink(out, checkpoint_root=tmpdir)
     try:

@@ -44,6 +44,9 @@ def main() -> int:
     reps = 10
     if "--reps" in args:
         i = args.index("--reps")
+        if i + 1 >= len(args):
+            print("ERROR: --reps needs a value (e.g. --reps 25)")
+            return 2
         reps = int(args[i + 1])
         del args[i : i + 2]
     # The data dir comes ONLY from the explicit --dir flag (ADVICE r11):
@@ -56,6 +59,10 @@ def main() -> int:
     sf_dir = "/root/testdata/sf0.001"
     if "--dir" in args:
         i = args.index("--dir")
+        if i + 1 >= len(args):
+            print("ERROR: --dir needs a value "
+                  "(pass the data directory with --dir SF_DIR)")
+            return 2
         sf_dir = args[i + 1]
         del args[i : i + 2]
     filters = args
