@@ -1300,3 +1300,66 @@ def test_bpe_merge_sweep_plan(spark):
     assert "Generate" in plan, plan[:2000]
     for bad in ("CartesianProduct", "MapInPandas", "BatchEvalPython"):
         assert bad not in plan, (bad, plan[:2000])
+
+
+# --------------------------------------------------------------------------
+# round-12 wave 9: HLL precision sweep
+# --------------------------------------------------------------------------
+
+from kafka_streams_join_spark.queries.hll_sweep import _dims as _hll_dims
+
+
+def test_hll_precision_sweep_pin(spark):
+    """Pure-Python HLL replication per register count: 60-bit md5,
+    max-rho registers, exact-int harmonic sum, the certified rounding,
+    the small-range branch, and the exact-integer error."""
+    t = pq.read_table(
+        f"{SF_SMOKE}/events.parquet", columns=["user_id"]
+    ).to_pydict()
+    hs = [
+        int(hashlib.md5(f"hll8_{u}".encode()).hexdigest()[:15], 16)
+        for u in t["user_id"]
+    ]
+    exact = len(set(t["user_id"]))
+    got = {
+        r["m_registers"]: r.asDict()
+        for r in QUERIES["sketch_hll_precision_sweep"](spark, SF_SMOKE).collect()
+    }
+    half_up = lambda x: math.floor(x + 0.5)
+    for m, p, num, small_milli, se_ppm in _hll_dims():
+        regs: dict = {}
+        for h in hs:
+            w = h // m
+            rho = p if w == 0 else p - w.bit_length()
+            b = h % m
+            regs[b] = max(regs.get(b, 0), rho)
+        n_empty = m - len(regs)
+        s_int = sum(1 << (p - mr) for mr in regs.values()) + n_empty * (
+            1 << p
+        )
+        est_raw = half_up(num / s_int)
+        if est_raw <= small_milli * 1000 and n_empty > 0:
+            method = "linear_counting"
+            est = half_up(1000 * m * math.log(m / n_empty))
+        else:
+            method, est = "raw", est_raw
+        r = got[m]
+        assert r["method"] == method
+        assert r["est_milli"] == est
+        assert r["exact_distinct"] == exact
+        assert r["err_ppm"] == abs(est - 1000 * exact) * 1000 // exact
+        assert r["theoretical_se_ppm"] == se_ppm
+    # the dial must move the right way: error shrinks as m grows
+    errs = [got[m]["err_ppm"] for m, *_ in _hll_dims()]
+    assert errs[-1] < errs[0]
+
+
+def test_hll_precision_sweep_plan(spark):
+    """The 3x fan-out happens before the first aggregate (shuffle bytes
+    are register rows, not corpus rows): two hash aggregates, the 3-row
+    dim broadcast, no Python evaluators, no cartesian of data frames."""
+    df = QUERIES["sketch_hll_precision_sweep"](spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "BroadcastExchange" in plan, plan[:2000]
+    for bad in ("CartesianProduct", "MapInPandas", "BatchEvalPython"):
+        assert bad not in plan, (bad, plan[:2000])
