@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.components import connected_components
+from ..operators.guards import enforce_row_ceiling
 from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import register
@@ -542,6 +543,11 @@ _COS_SQL = (
 
 _COS_BLOCK = 500  # vectors per GEMM block: B² pair-scores per task
 
+# Executable test-scale ceiling for the exact all-pairs baseline: 100k
+# vectors is already ~1e10 pair scores (hours of cluster GEMM) — anything
+# larger is a misuse of the exact baseline, not a bigger test.
+_COS_CEILING = 100_000
+
 
 def _block_cosine_batches(it):
     """mapInPandas kernel: one float64 GEMM per block-pair row; emits pairs
@@ -607,8 +613,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     task is an independent B×B GEMM — the pair space distributes evenly and
     no task ever holds more than two blocks (2·B·dim floats) in memory. The
     true 100 TB path prunes the pair space first (sim_lsh_ann's bucketing);
-    this is the exact baseline it's measured against."""
+    this is the exact baseline it's measured against — and that test-scale
+    contract is EXECUTABLE: past ``_COS_CEILING`` corpus rows the operator
+    raises ``TestScaleCeilingError`` naming ``dedup_embedding_lsh``
+    (queries/dedup_scale.py) as the scale path, instead of silently
+    building an (N/B)**2 plan."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    enforce_row_ceiling(
+        emb,
+        op_name="dedup_embedding_cosine",
+        ceiling=_COS_CEILING,
+        scale_path="dedup_embedding_lsh (queries/dedup_scale.py) — "
+        "hyperplane-LSH bucketed candidates, linear in the corpus",
+    )
     blks = (
         emb.withColumn("blk", (F.col("vec_id") / _COS_BLOCK).cast("int"))
         .groupBy("blk")

@@ -33,8 +33,9 @@ _GATE_E4 = (4000, 5000, 6000, 7000, 8000)
 
 _SCORE_E4_SQL = """
   floor((0.5 * least(n_tokens / 100.0, 1.0)
-       + 0.3 * least(n_stop * 5.0 / n_tokens, 1.0)
-       + 0.2 * (1.0 - least(n_punct * 10.0 / n_char, 1.0))) * 10000 + 0.5)
+       + 0.3 * least(n_stop * 5.0 / greatest(n_tokens, 1), 1.0)
+       + 0.2 * (1.0 - least(n_punct * 10.0 / greatest(n_char, 1), 1.0)))
+       * 10000 + 0.5)
 """
 
 

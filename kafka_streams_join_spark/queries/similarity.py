@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.guards import enforce_row_ceiling
 from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import register
@@ -29,6 +30,12 @@ TOP_K = 5
 QUERY_STRIDE = 100  # vec_id % 100 == 0 rows are the query set
 NUM_PLANES = 4  # 16 buckets — sized so oracle-scale buckets stay populated
 _TOPK_BLOCK = 500  # corpus vectors per GEMM block in the brute-force path
+
+# Executable test-scale ceiling for the exact brute-force baseline: the
+# stride query set grows with the corpus, so cost is ~N**2/STRIDE scores —
+# at 2M corpus vectors that is already ~4e10 GEMM scores. Past this the
+# operator raises instead of occupying a cluster (operators/guards.py).
+_BRUTE_CEILING = 2_000_000
 
 
 def query_admission(
@@ -163,8 +170,21 @@ def sim_topk_bruteforce(
     Q × K × n_blocks rows, never Q × N. Bounding the query side matters at
     scale: a single collect_list of all query vectors is a one-row, zero-
     parallelism build side that hits Spark's 2 GB row limit at ~100× query
-    volume; blocked, every task holds at most two blocks."""
+    volume; blocked, every task holds at most two blocks.
+
+    The exact baseline's test-scale contract is EXECUTABLE: past
+    ``_BRUTE_CEILING`` corpus rows the operator raises
+    ``TestScaleCeilingError`` naming ``sim_lsh_ann_topk`` / ``sim_ivf_topk``
+    as the scale paths, instead of scoring every query against the full
+    corpus."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    enforce_row_ceiling(
+        emb,
+        op_name="sim_topk_bruteforce",
+        ceiling=_BRUTE_CEILING,
+        scale_path="sim_lsh_ann_topk (bucketed candidates) or sim_ivf_topk "
+        "(nprobe cell scan), both in queries/similarity.py",
+    )
     qblks = (
         query_admission(emb, query_batch)
         .withColumn("qblk", (F.col("vec_id") / (QUERY_STRIDE * _TOPK_BLOCK)).cast("int"))

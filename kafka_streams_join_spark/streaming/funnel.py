@@ -11,13 +11,17 @@ shape a real-time conversion dashboard consumes, where "purchase
 within the window" alerts fire from the emitted gaps rather than a
 nightly rescan.
 
-Semantics match the batch contract exactly: anchors are FIRSTS with
-strict ordering (a click counts only strictly after the first view, a
-purchase only strictly after that click), and within a micro-batch
-rows are processed in (ts, event_id) order — so the drained monitor's
-final anchors equal the batch query's v_ts/c_ts/p_ts on the same rows
-(certified by the tests), and the emitted gaps evaluated at any
-attribution window reproduce ``events_funnel_window_sweep``'s counts.
+Semantics: anchors are FIRSTS with strict ordering (a click counts
+only strictly after the first view, a purchase only strictly after
+that click), and within a micro-batch rows are processed in
+(ts, event_id) order. The monitor anchors UNBOUNDED firsts — the
+drained anchors equal an unbounded-window sweep over the same rows
+(this is what the tests certify), whereas the batch
+``events_funnel_conversion`` query bounds its click/purchase anchors
+to a 24h attribution window: batch v_ts/c_ts/p_ts equality therefore
+holds exactly for the users whose stage gaps fit that window, and the
+emitted gaps evaluated at any attribution window reproduce
+``events_funnel_window_sweep``'s counts.
 
 State is three int64 microsecond anchors per user — O(#users),
 watermark-free; reached stages never retract, so output is append-only

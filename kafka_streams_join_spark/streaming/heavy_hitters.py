@@ -119,10 +119,17 @@ def _mg_fn(
         (list(counters.keys()), list(counters.values()), e, n_seen, batch_seq)
     )
     snap = sorted(counters.items())
-    yield pd.DataFrame(
-        [(key[0], batch_seq, uid, c, e, n_seen) for uid, c in snap],
-        columns=["shard", "batch_seq", "user_id", "est", "e_shard", "n_seen"],
-    )
+    # A decrement storm can legally empty the summary (k counters at 1
+    # plus one unseen key decrements all to 0). An empty list would build
+    # an object-dtype frame that Arrow must coerce to the long OUTPUT
+    # schema — emit nothing for an empty snapshot instead.
+    if snap:
+        yield pd.DataFrame(
+            [(key[0], batch_seq, uid, c, e, n_seen) for uid, c in snap],
+            columns=[
+                "shard", "batch_seq", "user_id", "est", "e_shard", "n_seen",
+            ],
+        )
 
 
 def stream_heavy_hitters(events: DataFrame, shards: int = 16) -> DataFrame:

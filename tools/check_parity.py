@@ -1,12 +1,17 @@
 #!/usr/bin/env python
 """Run every registered query against its DuckDB oracle and report parity.
 
-Usage: python tools/check_parity.py [sf_dir] [name_filter ...]
+Usage: python tools/check_parity.py [--json out.json] [sf_dir] [name_filter ...]
 Default sf_dir = /root/testdata/sf0.01 (the driver's correctness scale).
+
+--json writes a machine-readable artifact (one object per query: match,
+rows, seconds, detail) so a full-registry sweep is verifiable without
+re-running it — the per-round `PARITY_r{N}.json` ledger.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -19,8 +24,16 @@ from kafka_streams_join_spark.session import get_spark
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    argv = sys.argv[1:]
+    json_path = None
+    if argv and argv[0] == "--json":
+        if len(argv) < 2:
+            print("ERROR: --json requires an output path")
+            return 2
+        json_path = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    filters = argv[1:]
     if filters:
         # Filters are SUBSTRINGS, one per argv. A single "a|b|c" arg is not a
         # regex and matches nothing — which used to print a vacuous ALL PASS.
@@ -35,6 +48,7 @@ def main() -> int:
     spark = get_spark("check_parity")
     con = duckdb_connection(sf_dir)
     failures = 0
+    records: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         if filters and not any(f in name for f in filters):
             continue
@@ -48,11 +62,36 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"✗ ERROR     {name}: {type(e).__name__}: {e}")
             failures += 1
+            records[name] = {
+                "match": False,
+                "err": f"{type(e).__name__}: {e}"[:400],
+                "secs": round(time.time() - t0, 2),
+            }
             continue
+        secs = time.time() - t0
         status = "✓ PASS" if r.match else "✗ FAIL"
-        print(f"{status}      {name}: {r.spark_rows} rows  ({time.time() - t0:.1f}s)  {r.detail[:400]}")
+        print(f"{status}      {name}: {r.spark_rows} rows  ({secs:.1f}s)  {r.detail[:400]}")
         failures += 0 if r.match else 1
+        records[name] = {
+            "match": bool(r.match),
+            "spark_rows": int(r.spark_rows),
+            "secs": round(secs, 2),
+            "detail": "" if r.match else r.detail[:400],
+        }
     print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
+    if json_path:
+        artifact = {
+            "sf_dir": sf_dir,
+            "filters": filters,
+            "n_run": len(records),
+            "n_registered": len(QUERIES),
+            "failures": failures,
+            "all_pass": failures == 0,
+            "queries": records,
+        }
+        with open(json_path, "w") as fh:
+            json.dump(artifact, fh, indent=1, sort_keys=True)
+        print(f"# wrote {json_path} ({len(records)} queries)")
     return 1 if failures else 0
 
 
