@@ -57,10 +57,13 @@ def test_ann_recall_at_5(spark):
 def test_mm_decode_deterministic_and_partition_independent(spark):
     """mapInPandas output must not depend on partitioning (batch shape)."""
     a = sorted(
-        (r["doc_id"], r["n_bytes"], r["fake_width"], round(r["byte_mean"], 6))
+        (r["doc_id"], r["width"], r["height"], r["file_bytes"], r["wsum_b"])
         for r in QUERIES["mm_decode_features"](spark, SF_SMOKE).collect()
     )
-    from kafka_streams_join_spark.queries.multimodal import _fake_decode
+    from kafka_streams_join_spark.queries.multimodal import (
+        _DECODE_SCHEMA,
+        _bmp_decode_batches,
+    )
     from kafka_streams_join_spark.sources.parquet import load_table
     from pyspark.sql import functions as F
 
@@ -70,11 +73,9 @@ def test_mm_decode_deterministic_and_partition_independent(spark):
         .repartition(13)  # different batch shape
     )
     b = sorted(
-        (r["doc_id"], r["n_bytes"], r["fake_width"], round(r["byte_mean"], 6))
+        (r["doc_id"], r["width"], r["height"], r["file_bytes"], r["wsum_b"])
         for r in doc.mapInPandas(
-            _fake_decode,
-            schema="doc_id long, n_bytes long, fake_width int, fake_height int,"
-            " byte_mean double, byte_min int, byte_max int",
+            _bmp_decode_batches, schema=_DECODE_SCHEMA
         ).collect()
     )
     assert a == b
