@@ -1,38 +1,35 @@
-"""Embedding-space isotropy audit (round 11): per-dimension variance
-spread and the participation-ratio effective dimensionality — the
-health check a platform runs on an embedding column BEFORE trusting
-any of the similarity tiers built on it (anisotropic spaces — a few
-dominant directions — are why raw cosine search degrades; this is the
-number that says whether whitening/centering is needed, and the
-fit-time sibling of ``emb_dim_profile``/``emb_covariance``).
+"""Embedding-space isotropy audit (round 11; LATTICE exact-integer form
+since round 13): per-dimension variance spread and the participation-ratio
+effective dimensionality — the health check a platform runs on an
+embedding column BEFORE trusting any of the similarity tiers built on it
+(anisotropic spaces — a few dominant directions — are why raw cosine
+search degrades; this is the number that says whether whitening/centering
+is needed, and the fit-time sibling of ``emb_dim_profile``/
+``emb_covariance``).
 
-Determinism: per-dim ``var_pop`` is rounded to integer MICRO units
-before anything else touches it (the ``emb_covariance`` 6-dp contract
-— drowns partition-order float drift); every downstream statistic is
-then pure integer arithmetic on those 64 exact ints, including the
-participation ratio ``(Σv)² / Σv²`` (BIGINT-safe: Σv ≤ 64·2²⁰ micro)
-and the min/max ratio — both truncating-div outputs, no second float.
+Determinism (round-13 re-baseline, VERDICT r12 item 6): the round-11 form
+rounded a FLOAT ``var_pop`` to micro units and certified on a measured
+1.2e-3-micro margin to the nearest rounding boundary — honest but the
+registry's only certification resting on a margin instead of a proof. The
+lattice form removes the float aggregate entirely: each coordinate is
+quantized ONCE, element-wise, to the micro lattice ``q = floor(x·10⁶ +
+0.5)`` (one double multiply-add per value — bit-identical in Spark and
+DuckDB, no summation involved), and the per-dimension variance is then
+EXACT integer moments on the lattice: ``vm = (n·Σq² − (Σq)²) div
+(n²·10⁶)`` (micro units of variance, truncating div). Every number after
+quantization is integer arithmetic — partition order, partial-aggregation
+tree shape, and engine summation order cannot move any digit. The measured
+statistic is the variance of the QUANTIZED coordinates, which differs from
+the float variance by O(lattice step² = 1e-12) — far below the micro
+reporting unit.
 
-Accepted boundary risk (stated per ADVICE r11, shared verbatim with
-``emb_covariance``/``emb_pca_project_fixed``): ``var_pop`` is an
-algebraic float aggregate whose last-ulp value depends on partition
-and summation order, so a dimension whose true variance sits within
-one ulp of a .5-micro rounding boundary COULD round differently in
-Spark vs DuckDB and fail a parity hash. This is the repo-wide 6-dp
-contract trade-off — the alternative (exact integer moments on a
-quantized input lattice) changes the measured statistic itself
-(variance of quantized x, not of x). Empirically the margin is wide:
-across all 64 dims at sf0.001/0.01/0.1 the closest ``1e6·var_pop``
-fractional part sits ≥ 1.2e-3 micro from a .5 boundary (measured),
-while partition-order drift is bounded by a few ulps ≈ 1e-11 micro at
-these magnitudes — an ~10⁸× safety factor, and the query has been
-hash-green at 3 SFs since registration. A production deployment
-wanting zero risk would adopt the lattice variant and re-baseline.
+Overflow audit at the 100-TB contract: |x| ≤ ~2 → |q| ≤ ~2·10⁶, q² ≤
+4·10¹² (int64-safe per element); Σq and Σq² accumulate in DECIMAL(38,0)/
+HUGEINT, so at n = 10⁹ vectors n·Σq² ≤ 10⁹·4·10²¹ = 4·10³⁰ < 10³⁸.
 
-Scale: one map-side explode to (dim, x) cells (the covariance
-diagonal), one algebraic aggregate (partials collapse per partition
-to 64 cells), then constant-size arithmetic. O(partitions · d) moves,
-independent of corpus size.
+Scale: one map-side explode to (dim, q) cells, one integer aggregate
+(partials collapse per partition to 64 cells), then constant-size
+arithmetic. O(partitions · d) moves, independent of corpus size.
 """
 
 from __future__ import annotations
@@ -49,11 +46,18 @@ _DIM = 64
 @register(
     "emb_isotropy_audit",
     oracle=f"""
-    WITH v AS (
+    WITH q AS (
       SELECT d,
-             CAST(round(1000000 * var_pop(CAST(embedding[d] AS DOUBLE)))
-                  AS BIGINT) AS vm
+             CAST(floor(CAST(embedding[d] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS q
       FROM embeddings, unnest(generate_series(1, {_DIM})) AS t(d)
+    ),
+    v AS (
+      SELECT d,
+             CAST((count(*) * sum(q * q) - sum(q) * sum(q))
+                  // (CAST(count(*) AS HUGEINT) * count(*) * 1000000)
+                  AS BIGINT) AS vm
+      FROM q
       GROUP BY d
     ),
     m AS (
@@ -79,26 +83,31 @@ _DIM = 64
 )
 def emb_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row isotropy report over the embedding column: the weakest /
-    strongest dimension variances (micro units, 6-dp-rounded before any
-    arithmetic — module docstring), their ratio (1.0 = perfectly
-    isotropic), the strongest dimension's share of total variance, and
-    the participation-ratio effective dimensionality ``(Σv)²/Σv²``
-    (milli — 64.0 means all dimensions carry signal; a collapsed space
-    reads single digits). All outputs truncating-div integers.
+    strongest dimension variances (micro units — EXACT integer moments on
+    the micro-quantized lattice, module docstring), their ratio (1.0 =
+    perfectly isotropic), the strongest dimension's share of total
+    variance, and the participation-ratio effective dimensionality
+    ``(Σv)²/Σv²`` (milli — 64.0 means all dimensions carry signal; a
+    collapsed space reads single digits). All outputs truncating-div
+    integers; no float aggregate anywhere.
 
-    Scale: diagonal-cell explode + algebraic variance; constant-size
-    tail."""
+    Scale: diagonal-cell explode + integer moment aggregate;
+    constant-size tail."""
     cells = load_table(spark, sf_dir, "embeddings").select(
         F.explode(
             F.expr(
                 f"transform(sequence(1, {_DIM}), d -> named_struct("
-                "'d', d, 'x', cast(embedding[d - 1] as double)))"
+                "'d', d, 'q', cast(floor(cast(embedding[d - 1] as double)"
+                " * 1000000 + 0.5) as bigint)))"
             )
         ).alias("c")
-    ).select("c.d", "c.x")
+    ).select("c.d", "c.q")
     v = cells.groupBy("d").agg(
         F.expr(
-            "cast(round(1000000 * var_pop(x)) as bigint)"
+            "cast((count(1) * sum(cast(q as decimal(38,0)) * q)"
+            " - sum(cast(q as decimal(38,0))) * sum(cast(q as decimal(38,0))))"
+            " div (cast(count(1) as decimal(38,0)) * count(1) * 1000000)"
+            " as bigint)"
         ).alias("vm")
     )
     m = v.agg(

@@ -969,7 +969,6 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the pair list is the already-gated bounded-candidate pipeline;
     tagging is a row-local hash on the pair list; the rollups are 1-row."""
-    from .dedup import dedup_ngram_jaccard
 
     def split_of(id_col: str) -> F.Column:
         # the literal pipeline_train_test_split rule, via the shared LCG
@@ -978,15 +977,16 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     split_col = split_of("doc_id")
-    # staged: three consumers below (agg + two filtered legs of leaked) —
-    # without it the bounded-candidate join upstream recomputes up to 3×.
-    pairs = _staged(
-        dedup_ngram_jaccard(spark, sf_dir).select(
-            "doc_a",
-            "doc_b",
-            split_of("doc_a").alias("sa"),
-            split_of("doc_b").alias("sb"),
-        )
+    # three consumers below (agg + two filtered legs of leaked) — the pair
+    # list comes off the cross-query staged table, so each consumer is a
+    # scan of the materialized frame plus this row-local projection.
+    from .dedup import neardup_pairs
+
+    pairs = neardup_pairs(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        split_of("doc_a").alias("sa"),
+        split_of("doc_b").alias("sb"),
     )
     agg = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),

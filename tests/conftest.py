@@ -26,6 +26,15 @@ def _release_staged_frames():
     otherwise accumulate until session end (operators/staging.py
     lifecycle contract)."""
     yield
-    from kafka_streams_join_spark.operators.staging import unpersist_staged
+    from kafka_streams_join_spark.operators.staging import (
+        clear_staged_tables,
+        unpersist_staged,
+    )
 
     unpersist_staged()
+    # staged_table() keys on (name, sf_dir) only — tests that monkeypatch
+    # load_table inject DIFFERENT data under the same dummy sf_dir, so a
+    # table carried across tests would be stale. Inside one test (and in
+    # the real harnesses, where data per sf_dir is immutable) reuse is
+    # safe; across tests, drop everything.
+    clear_staged_tables()

@@ -623,14 +623,18 @@ def test_backlog_aging_matches_bruteforce(spark):
 
 
 def test_isotropy_matches_bruteforce(spark):
+    """Round-13 lattice form: the replay is EXACT — coordinates quantize
+    element-wise to the micro lattice, then pure integer moments, so no
+    tolerance is needed anywhere (VERDICT r12 item 6)."""
     emb = _embeddings()
     dims = len(emb[0][1])
     vms = []
     for d in range(dims):
-        xs = [float(vec[d]) for _vid, vec in emb]
-        mu = math.fsum(xs) / len(xs)
-        var = math.fsum((x - mu) ** 2 for x in xs) / len(xs)
-        vms.append(_round_half_up(1_000_000 * var))
+        qs = [math.floor(float(vec[d]) * 1_000_000 + 0.5) for _vid, vec in emb]
+        n = len(qs)
+        sq = sum(qs)
+        sqq = sum(q * q for q in qs)
+        vms.append((n * sqq - sq * sq) // (n * n * 1_000_000))
     sv = sum(vms)
     svv = sum(v * v for v in vms)
     exp = {
@@ -642,16 +646,7 @@ def test_isotropy_matches_bruteforce(spark):
         "effective_dims_milli": (1000 * sv * sv) // svv,
     }
     [row] = QUERIES["emb_isotropy_audit"](spark, SF_SMOKE).collect()
-    assert row["n_dims"] == exp["n_dims"]
-    # var_pop merges partials in partition order; a dim whose true
-    # variance sits within an ulp of a .5 micro boundary may round one
-    # unit apart from the fsum ground truth — allow that one unit, and
-    # proportionally loose bounds on the derived ratios
-    assert abs(row["min_var_micro"] - exp["min_var_micro"]) <= 1
-    assert abs(row["max_var_micro"] - exp["max_var_micro"]) <= 1
-    assert abs(row["var_ratio_ppm"] - exp["var_ratio_ppm"]) <= 100
-    assert abs(row["top_dim_share_ppm"] - exp["top_dim_share_ppm"]) <= 100
-    assert abs(row["effective_dims_milli"] - exp["effective_dims_milli"]) <= 10
+    assert {k: row[k] for k in exp} == exp
     # non-degenerate: the space must not be collapsed, and not perfectly
     # isotropic either (otherwise the audit proves nothing here)
     assert 0 < row["var_ratio_ppm"] < 1_000_000

@@ -178,6 +178,23 @@ def test_bmp_decode_rejects_malformed():
         _bmp_decode(short)
 
 
+def test_streaming_bench_canary(spark):
+    """Regression canary for tools/bench_streaming.py (VERDICT r12 item 4):
+    the interval-join micro-bench must produce the exact expected join
+    cardinality and a sane throughput record at smoke scale."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.bench_streaming import bench_interval_join
+
+    rec = bench_interval_join(spark, batches=2, rows_per_batch=200)
+    assert rec["metric"] == "streaming_interval_join"
+    assert rec["unit"] == "rows_per_sec"
+    assert rec["rows_in"] == 600  # 400 displays + 200 clicks
+    assert rec["rows_out"] == 200  # exactly the clicked half
+    assert rec["value"] > 5  # loud floor: catches a hung drain, not noise
+
+
 def test_bmp_roundtrip_matches_independent_replay():
     """Encode→decode equals a naive per-pixel replay of the generation
     rule — an implementation-independent oracle for the round trip."""
