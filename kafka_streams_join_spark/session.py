@@ -42,6 +42,22 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+    )
+    # Live-broker opt-in (tests/test_kafka_smoke.py, docker-compose.kafka
+    # .yml): pull the matching spark-sql-kafka connector from Maven so the
+    # smoke test is one command. Only when SPARK_GRAFT_KAFKA is set — the
+    # sandbox has no network and no broker, and an unconditional
+    # jars.packages would break offline startup.
+    if os.environ.get("SPARK_GRAFT_KAFKA"):
+        import pyspark
+
+        builder = builder.config(
+            "spark.jars.packages",
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:"
+            + pyspark.__version__,
+        )
+    builder = (
+        builder
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

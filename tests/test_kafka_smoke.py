@@ -12,10 +12,16 @@ It exercises the full adapter surface the reference harness uses
 (S8), streaming source → streaming sink (S1-S4), and checks the values
 round-trip byte-exactly with the broker-assigned timestamp present.
 
-Requires the Spark session to be able to load the
-``spark-sql-kafka-0-10`` connector (``--packages`` or a cluster that
-ships it); the test fails loudly, rather than skipping, once the env var
-opts in — a misconfigured broker should not look like a pass.
+One-command broker on any Docker machine (round 13 — checked-in recipe):
+
+    docker compose -f docker-compose.kafka.yml up -d --wait
+    SPARK_GRAFT_KAFKA=localhost:9092 python -m pytest tests/test_kafka_smoke.py -v
+
+``session.py`` adds the matching ``spark-sql-kafka-0-10`` connector via
+``spark.jars.packages`` automatically when ``SPARK_GRAFT_KAFKA`` is set
+(first run fetches it from Maven Central); the test fails loudly, rather
+than skipping, once the env var opts in — a misconfigured broker should
+not look like a pass.
 """
 
 from __future__ import annotations
