@@ -121,6 +121,7 @@ from . import phash_sweep  # noqa: E402,F401
 from . import perm_sweep  # noqa: E402,F401
 from . import bpe_sweep  # noqa: E402,F401
 from . import hll_sweep  # noqa: E402,F401
+from . import candidate_budget  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

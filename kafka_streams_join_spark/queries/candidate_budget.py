@@ -1,0 +1,216 @@
+"""Candidate-budget audit across the blocked dedup tiers (round 13).
+
+Every near-dup tier in this engine is CANDIDATE-GENERATION + VERIFY: the
+scale contract is that candidates come from bounded buckets (minhash band
+collisions, SimHash multi-index chunk collisions, DF-capped rare-shingle
+co-occurrence), never an all-pairs stage. That makes the CANDIDATE COUNT —
+not the survivor count — the tier's cost driver at 100 TB: verification
+work, shuffle bytes, and state all scale with it. This audit measures each
+tier's budget in one report:
+
+- ``n_candidates``     — distinct pairs the bucket stage emits (the cost),
+- ``cand_per_doc_ppm`` — candidates per corpus document × 10⁶ (the dial an
+  operator tracks as the corpus grows: a tier whose candidates-per-doc
+  RISES with scale is drifting toward quadratic and needs its knobs — band
+  count, probe radius, DF cap — retightened; the SCALING.md ledger is the
+  cross-SF view of the same number),
+- ``n_survivors`` / ``precision_ppm`` — verified pairs and survivors per
+  candidate: LOW precision means the tier burns verification work on false
+  candidates (loosen = cheaper, tighten = more recall; the recall side is
+  ``dedup_band_recall_audit``'s job).
+
+The candidate stages are the REGISTERED tiers' own builders, shared
+verbatim (``_ngram_candidates``, ``_minhash_bands`` over
+``_doc_shingle_sets``, ``_simhash_mih_pairs``), and the survivor counts
+compose the registered oracle SQL verbatim — the ``sim_recall_report``
+pattern — so this audit certifies the production code paths, not copies.
+
+Scale: three bucket-bounded candidate stages (each already individually
+plan-gated), six 1-row aggregates, a 3-row report. Counts widen to
+DECIMAL(38,0)/HUGEINT before the ppm products (candidate counts at the
+100-TB contract exceed 2⁶³ ÷ 10⁶).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .dedup import (
+    _MINHASH_SQL_PARAMS,
+    _P,
+    _TOKS_SQL,
+    SHINGLE_DF_CAP,
+    SIMHASH_BITS,
+    SIMHASH_MIH_CHUNKS,
+    _MIH_WIDTH,
+    _SHINGLES_SQL,
+    _BANDS,
+    _K,
+    _doc_shingle_sets,
+    _minhash_bands,
+    _mih_probe_masks,
+    _ngram_candidates,
+    _simhash_mih_pairs,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from .registry import ORACLES, register
+
+_MASKS = ", ".join(str(m) for m in _mih_probe_masks())
+
+_MH_CAND_SQL = f"""
+    {_SHINGLES_SQL},
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h32
+      FROM sh
+    ),
+    params(i, a, b) AS (VALUES {_MINHASH_SQL_PARAMS}),
+    mh AS (
+      SELECT doc_id, i AS hash_idx, min((a * h32 + b) % {_P}) AS mh
+      FROM hashed, params GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, hash_idx // {_K // _BANDS} AS band,
+             md5(string_agg(mh::VARCHAR, ',' ORDER BY hash_idx)) AS band_sig
+      FROM mh GROUP BY doc_id, hash_idx // {_K // _BANDS}
+    )
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+"""
+
+_NG_CAND_SQL = f"""
+    {_SHINGLES_SQL},
+    df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    rare AS (
+      SELECT s.doc_id, s.shingle FROM sh s
+      JOIN df ON df.shingle = s.shingle AND df.df <= {SHINGLE_DF_CAP}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM rare a JOIN rare b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+"""
+
+_SH_CAND_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+    ),
+    th AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s
+      FROM th, unnest(generate_series(0, {SIMHASH_BITS - 1})) AS t(j)
+      GROUP BY doc_id, j
+    ),
+    sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, t.ck,
+             (simhash >> (t.ck * {_MIH_WIDTH})) & {(1 << _MIH_WIDTH) - 1} AS cv
+      FROM sig, unnest(generate_series(0, {SIMHASH_MIH_CHUNKS - 1})) AS t(ck)
+    ),
+    probes AS (
+      SELECT doc_id, ck, xor(cv, m.m) AS cv
+      FROM chunks, unnest([{_MASKS}]) AS m(m)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM probes a JOIN chunks b
+      ON a.ck = b.ck AND a.cv = b.cv AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dedup_candidate_budget_audit",
+    oracle=f"""
+    WITH pop AS (SELECT count(*) AS n_docs FROM documents),
+    t AS (
+      SELECT 'minhash_band' AS tier,
+             (SELECT count(*) FROM ({_MH_CAND_SQL})) AS n_candidates,
+             (SELECT count(*)
+              FROM ({ORACLES["dedup_minhash_lsh"]})) AS n_survivors
+      UNION ALL
+      SELECT 'ngram_rare_shingle',
+             (SELECT count(*) FROM ({_NG_CAND_SQL})),
+             (SELECT count(*) FROM ({ORACLES["dedup_ngram_jaccard"]}))
+      UNION ALL
+      SELECT 'simhash_mih',
+             (SELECT count(*) FROM ({_SH_CAND_SQL})),
+             (SELECT count(*) FROM ({ORACLES["dedup_simhash"]}))
+    )
+    SELECT t.tier,
+           CAST(pop.n_docs AS BIGINT) AS n_docs,
+           CAST(t.n_candidates AS BIGINT) AS n_candidates,
+           CAST(CAST(t.n_candidates AS HUGEINT) * 1000000 // pop.n_docs
+                AS BIGINT) AS cand_per_doc_ppm,
+           CAST(t.n_survivors AS BIGINT) AS n_survivors,
+           CAST(CAST(t.n_survivors AS HUGEINT) * 1000000
+                // greatest(t.n_candidates, 1) AS BIGINT) AS precision_ppm
+    FROM t CROSS JOIN pop
+    """,
+)
+def dedup_candidate_budget_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per dedup tier: candidate-pair budget, candidates per document, and
+    verification precision — the numbers that decide whether a tier's
+    knobs survive the next 10× of corpus growth (module docstring)."""
+    pop = F.broadcast(
+        load_table(spark, sf_dir, "documents").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+    )
+
+    mh_bands = _minhash_bands(_doc_shingle_sets(spark, sf_dir))
+    x, y = mh_bands.alias("x"), mh_bands.alias("y")
+    mh_cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_sig") == F.col("y.band_sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ng_cand, _ = _ngram_candidates(spark, sf_dir)
+    sh_cand = _simhash_mih_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+
+    def tier(name: str, cand: DataFrame, surv: DataFrame) -> DataFrame:
+        return (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(
+                F.broadcast(surv.agg(F.count(F.lit(1)).alias("n_survivors")))
+            )
+            .select(F.lit(name).alias("tier"), "n_candidates", "n_survivors")
+        )
+
+    t = (
+        tier("minhash_band", mh_cand, dedup_minhash_lsh(spark, sf_dir))
+        .unionByName(
+            tier("ngram_rare_shingle", ng_cand, dedup_ngram_jaccard(spark, sf_dir))
+        )
+        .unionByName(tier("simhash_mih", sh_cand, dedup_simhash(spark, sf_dir)))
+    )
+    return t.crossJoin(pop).select(
+        "tier",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.expr(
+            "cast(cast(n_candidates as decimal(38,0)) * 1000000 div n_docs"
+            " as bigint)"
+        ).alias("cand_per_doc_ppm"),
+        F.col("n_survivors").cast("bigint").alias("n_survivors"),
+        F.expr(
+            "cast(cast(n_survivors as decimal(38,0)) * 1000000"
+            " div greatest(n_candidates, 1) as bigint)"
+        ).alias("precision_ppm"),
+    )

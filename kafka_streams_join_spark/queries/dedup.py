@@ -474,6 +474,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian (gated in tests/test_plans.py). Exact hamming is then verified
     on candidates only, and multi-chunk collisions dedup'd. Signature build
     is two hash-aggs; both explodes are map-side, each row shuffled once."""
+    pairs = _simhash_mih_pairs(spark, sf_dir)
+    ham = F.expr("bit_count(ha ^ hb)")
+    return (
+        pairs.filter(ham <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .distinct()
+    )
+
+
+def _simhash_mih_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-index-Hamming CANDIDATE stage of ``dedup_simhash``:
+    signature build + chunk/probe explode + the (chunk, value) equi
+    self-join, BEFORE the exact-Hamming verify and the multi-chunk-
+    collision distinct. Shared with ``dedup_candidate_budget_audit``,
+    which counts this stage — the cost driver at scale — separately from
+    the verified survivors."""
     doc = load_table(spark, sf_dir, "documents")
     tok = doc.select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
     th = tok.select(
@@ -515,21 +531,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = probe.alias("a")
     b = exact.alias("b")
-    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
-    return (
-        a.join(
-            b,
-            (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(ham <= SIMHASH_MAX_HAMMING)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
-        .distinct()
+    return a.join(
+        b,
+        (F.col("a.ck") == F.col("b.ck"))
+        & (F.col("a.cv") == F.col("b.cv"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("ha"),
+        F.col("b.simhash").alias("hb"),
     )
 
 

@@ -136,3 +136,84 @@ def emb_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " end as bigint)"
         ).alias("effective_dims_milli"),
     )
+
+
+@register(
+    "emb_isotropy_by_label",
+    oracle=f"""
+    WITH q AS (
+      SELECT label, d,
+             CAST(floor(CAST(embedding[d] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings, unnest(generate_series(1, {_DIM})) AS t(d)
+    ),
+    v AS (
+      SELECT label, d,
+             CAST((count(*) * sum(q * q) - sum(q) * sum(q))
+                  // (CAST(count(*) AS HUGEINT) * count(*) * 1000000)
+                  AS BIGINT) AS vm,
+             count(*) AS n_vecs
+      FROM q
+      GROUP BY label, d
+    )
+    SELECT label,
+           CAST(any_value(n_vecs) AS BIGINT) AS n_vecs,
+           CAST(min(vm) AS BIGINT) AS min_var_micro,
+           CAST(max(vm) AS BIGINT) AS max_var_micro,
+           CAST(CASE WHEN max(vm) = 0 THEN 0
+                     ELSE (1000000 * min(vm)) // max(vm)
+                END AS BIGINT) AS var_ratio_ppm,
+           CAST(CASE WHEN sum(CAST(vm AS HUGEINT) * vm) = 0 THEN 0
+                     ELSE (1000 * CAST(sum(vm) AS HUGEINT) * sum(vm))
+                          // sum(CAST(vm AS HUGEINT) * vm)
+                END AS BIGINT) AS effective_dims_milli
+    FROM v
+    GROUP BY label
+    """,
+)
+def emb_isotropy_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LABEL isotropy profile (round 13): the lattice exact-integer
+    isotropy statistics of ``emb_isotropy_audit``, grouped by the corpus
+    label — the fairness sibling of the global audit. A healthy global
+    participation ratio can hide one collapsed subpopulation (a label
+    whose vectors all point one way retrieves terribly even when the
+    corpus looks isotropic); this is the per-slice readout that catches
+    it. Same contract as the global audit: one element-wise micro-lattice
+    quantization, then pure integer moments — no float aggregate, exact
+    at any partitioning.
+
+    Scale: (label, dim, q) cells collapse map-side to labels × 64 rows;
+    the tail is constant-size per label."""
+    cells = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, {_DIM}), d -> named_struct("
+                "'d', d, 'q', cast(floor(cast(embedding[d - 1] as double)"
+                " * 1000000 + 0.5) as bigint)))"
+            )
+        ).alias("c"),
+    ).select("label", "c.d", "c.q")
+    v = cells.groupBy("label", "d").agg(
+        F.expr(
+            "cast((count(1) * sum(cast(q as decimal(38,0)) * q)"
+            " - sum(cast(q as decimal(38,0))) * sum(cast(q as decimal(38,0))))"
+            " div (cast(count(1) as decimal(38,0)) * count(1) * 1000000)"
+            " as bigint)"
+        ).alias("vm"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+    return v.groupBy("label").agg(
+        F.expr("cast(any_value(n_vecs) as bigint)").alias("n_vecs"),
+        F.expr("cast(min(vm) as bigint)").alias("min_var_micro"),
+        F.expr("cast(max(vm) as bigint)").alias("max_var_micro"),
+        F.expr(
+            "cast(case when max(vm) = 0 then 0"
+            " else (1000000 * min(vm)) div max(vm) end as bigint)"
+        ).alias("var_ratio_ppm"),
+        F.expr(
+            "cast(case when sum(cast(vm as decimal(38,0)) * vm) = 0 then 0"
+            " else (1000 * cast(sum(vm) as decimal(38,0)) * sum(vm))"
+            " div sum(cast(vm as decimal(38,0)) * vm) end as bigint)"
+        ).alias("effective_dims_milli"),
+    )

@@ -279,6 +279,77 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_decode_geometry_histogram",
+    oracle=f"""
+    WITH g AS (
+      SELECT octet_length(encode(text)) % {_BMP_W_MOD} + {_BMP_W_MIN} AS w,
+             octet_length(encode(text)) % {_BMP_H_MOD} + {_BMP_H_MIN} AS h
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    ),
+    per AS (
+      SELECT w, h, count(*) AS n_assets,
+             CAST(count(*) * w * h AS BIGINT) AS n_pixels,
+             CAST(count(*) * h * ((3 * w + 3) // 4 * 4 - 3 * w) AS BIGINT)
+               AS padding_bytes,
+             CAST(count(*) * ({_BMP_OFFSET} + h * ((3 * w + 3) // 4 * 4))
+                  AS BIGINT) AS file_bytes
+      FROM g GROUP BY w, h
+    )
+    SELECT CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           n_assets, n_pixels, padding_bytes, file_bytes,
+           CAST(CAST(padding_bytes AS HUGEINT) * 1000000 // file_bytes
+                AS BIGINT) AS padding_ppm
+    FROM per
+    """,
+)
+def mm_decode_geometry_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-level geometry histogram DERIVED FROM THE DECODER: per
+    decoded (width, height), the asset count, pixel mass, container
+    padding bytes, and padding overhead in exact ppm — the storage-
+    overhead readout a media shard planner reads (small odd widths waste
+    up to 3 bytes per row; this says how much of the shard is padding).
+
+    The Spark side aggregates the REAL ``_bmp_decode`` output (every blob
+    is encoded and strictly parsed — corpus-wide exercise of the codec,
+    where ``mm_decode_features`` certifies per-document values), while
+    the oracle recomputes the histogram in closed form from the geometry
+    mapping: a decoder that misread any header or stride would shift a
+    bucket and fail the hash.
+
+    Scale: the decode is the mapInPandas scan stage (payload bytes never
+    shuffle — only the 8-int feature rows); the histogram is a bounded
+    (width × height ≤ 29·17) group-by with map-side combine."""
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    feats = doc.mapInPandas(_bmp_decode_batches, schema=_DECODE_SCHEMA)
+    pad_per_asset = F.expr("file_bytes - 54 - cast(3 * width * height as bigint)")
+    per = feats.groupBy("width", "height").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.expr("cast(sum(cast(width as bigint) * height) as bigint)").alias(
+            "n_pixels"
+        ),
+        F.sum(pad_per_asset).cast("bigint").alias("padding_bytes"),
+        F.sum("file_bytes").cast("bigint").alias("file_bytes"),
+    )
+    return per.select(
+        "width",
+        "height",
+        "n_assets",
+        "n_pixels",
+        "padding_bytes",
+        "file_bytes",
+        F.expr(
+            "cast(cast(padding_bytes as decimal(38,0)) * 1000000"
+            " div file_bytes as bigint)"
+        ).alias("padding_ppm"),
+    )
+
+
+@register(
     "mm_modality_route",
     oracle="""
     SELECT CASE WHEN n_chars % 3 = 0 THEN 'image'

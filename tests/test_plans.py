@@ -307,13 +307,21 @@ def test_repetition_stats_is_zero_shuffle_map_pass(spark):
 def test_kmeans_codebook_is_broadcast(spark):
     """Assignment must never shuffle the corpus: the K-row codebook is the
     broadcast side of every assignment join (BroadcastNestedLoopJoin over
-    8 rows is the intended cross shape), and no CartesianProduct exists."""
-    df = QUERIES["cluster_kmeans_embeddings"](spark, SF_SMOKE)
-    plan = explain_str(df)
+    8 rows is the intended cross shape), and no CartesianProduct exists.
+    Since round 13 the trained assignment is a cross-query staged TABLE —
+    the registered query reads the materialized parquet, so the gate
+    targets the BUILDER's plan (the training pipeline that actually
+    executes at stage-build time)."""
+    from kafka_streams_join_spark.queries.clustering import (
+        _kmeans_assignments_build,
+    )
+
+    build = _kmeans_assignments_build(spark, SF_SMOKE)
+    plan = explain_str(build)
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "Broadcast" in plan, plan[:1500]
     # corpus side reads only (vec_id, embedding)
-    assert_read_schema_pruned(df, max_columns=2)
+    assert_read_schema_pruned(build, max_columns=2)
 
 
 def test_pq_scoring_broadcasts_lut_no_cartesian_on_data_path(spark):
@@ -356,14 +364,18 @@ def test_semdedup_gemm_is_per_cell_equi_join(spark):
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan, plan[:1500]
     # the K-row codebook cross joins are BNLJ by design (kmeans gate);
-    # the cell-block PAIR join must instead be a hash/merge equi-join on
-    # the cell id — Catalyst losing that key would all-pairs the blocks
+    # the cell-block PAIR join must instead be an EQUI join on the cell id
+    # — Catalyst losing that key would all-pairs the blocks. Since the
+    # round-13 staged assignment table, the block side is small enough
+    # that Catalyst may pick BroadcastHashJoin (still keyed on cl).
     import re as _re
 
     assert _re.search(
-        r"(SortMergeJoin|ShuffledHashJoin) \[cl#\d+L?\]", plan
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cl#\d+L?\]",
+        plan,
     ), plan[:2000]
-    assert_read_schema_pruned(df, max_columns=2)
+    # reads the staged (vec_id, embedding, cl) assignment table
+    assert_read_schema_pruned(df, max_columns=3)
 
 
 def test_ivfpq_residual_one_wide_shuffle_and_broadcast_scoring(spark):
@@ -746,6 +758,57 @@ def test_registry_wide_no_data_sized_global_funnel(spark):
     assert not offenders, offenders
 
 
+def test_staged_builders_no_data_sized_global_funnel(spark):
+    """The cross-query staged tables (round 13) execute their builders'
+    plans at stage-build time, OUTSIDE the registered queries the meta-
+    gate above sweeps — so the same funnel check runs here on each
+    builder's plan directly (a bad Exchange must not hide inside a
+    stage build)."""
+    import re
+
+    from kafka_streams_join_spark.queries.clustering import (
+        _kmeans_assignments_build,
+    )
+    from kafka_streams_join_spark.queries.dedup import (
+        dedup_ngram_jaccard,
+    )
+    from kafka_streams_join_spark.queries.graph import _baskets, _pair_fanout
+    from kafka_streams_join_spark.operators.components import (
+        connected_components,
+    )
+    from pyspark.sql import functions as F
+
+    ids = (
+        "doc_id", "vec_id", "doc_a", "doc_b", "okey", "pkey", "src", "dst",
+    )
+    pairs = _pair_fanout(_baskets(spark, SF_SMOKE), "src", "dst").distinct()
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ndp = dedup_ngram_jaccard(spark, SF_SMOKE).select("doc_a", "doc_b")
+    labels = connected_components(
+        ndp.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).toDF("doc_id", "label")
+    builders = {
+        "graph_edges": edges,
+        "neardup_labels": labels,
+        "kmeans_assignments": _kmeans_assignments_build(spark, SF_SMOKE),
+    }
+    offenders = []
+    for name, df in builders.items():
+        plan = explain_str(df)
+        for m in re.finditer(
+            r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\n"
+            r"Arguments: (SinglePartition|rangepartitioning)",
+            plan,
+        ):
+            cols, kind = m.group(1), m.group(2)
+            hit = [i for i in ids if re.search(rf"\b{i}#", cols)]
+            if hit:
+                offenders.append((name, f"{kind} carries {hit}"))
+    assert not offenders, offenders
+
+
 def test_lang_confusion_is_rollup_on_rowlocal_pred(spark):
     """Lang confusion: the prediction is a row-local projection in the
     scan; the matrix is one langs²-bounded aggregate — no join of
@@ -1027,12 +1090,14 @@ def test_boilerplate_topn_is_take_ordered(spark):
 
 def test_source_affinity_composes_gated_pipeline(spark):
     """Source affinity rides the already-gated near-dup candidate
-    pipeline: the staged pair list fans into the tag join and the total
-    (InMemoryTableScan), the source tags are narrow id joins, and no
-    cartesian appears anywhere."""
+    pipeline: since round 13 the pair list is a cross-query staged TABLE
+    (operators/staging.py staged_table), so the plan fans out from scans
+    of the materialized parquet (two consumers: the tag join and the
+    total) instead of InMemoryTableScans; the source tags are narrow id
+    joins, and no cartesian appears anywhere."""
     df = QUERIES["dedup_source_affinity"](spark, SF_SMOKE)
     plan = explain_str(df, "simple")
-    assert plan.count("InMemoryTableScan") >= 2, plan[:1500]
+    assert plan.count("ksj_staged_") >= 2, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
 
 

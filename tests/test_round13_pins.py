@@ -195,6 +195,129 @@ def test_streaming_bench_canary(spark):
     assert rec["value"] > 5  # loud floor: catches a hung drain, not noise
 
 
+# --------------------------------------------------------------------------
+# round-13 wave: candidate budget audit, per-label isotropy, BMP geometry
+# --------------------------------------------------------------------------
+
+
+def test_candidate_budget_consistent_with_members(spark):
+    """Each tier's survivor count must equal the registered member query's
+    row count, candidates must dominate survivors, and the ppm columns
+    must be the exact truncating-div of the counts."""
+    from kafka_streams_join_spark.queries import QUERIES
+
+    rows = {
+        r["tier"]: r
+        for r in QUERIES["dedup_candidate_budget_audit"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"minhash_band", "ngram_rare_shingle", "simhash_mih"}
+    members = {
+        "minhash_band": "dedup_minhash_lsh",
+        "ngram_rare_shingle": "dedup_ngram_jaccard",
+        "simhash_mih": "dedup_simhash",
+    }
+    n_docs = 500
+    for tier, member in members.items():
+        r = rows[tier]
+        assert r["n_docs"] == n_docs
+        assert r["n_survivors"] == QUERIES[member](spark, SF_DIR).count()
+        assert r["n_candidates"] >= r["n_survivors"] > 0
+        assert r["cand_per_doc_ppm"] == r["n_candidates"] * 1_000_000 // n_docs
+        assert (
+            r["precision_ppm"]
+            == r["n_survivors"] * 1_000_000 // max(r["n_candidates"], 1)
+        )
+    # non-vacuous: the tiers must actually differ in budget (that is the
+    # point of the audit) and minhash must be the tightest
+    budgets = {t: rows[t]["n_candidates"] for t in rows}
+    assert budgets["minhash_band"] < budgets["ngram_rare_shingle"]
+    assert budgets["minhash_band"] < budgets["simhash_mih"]
+
+
+def test_candidate_budget_plan(spark):
+    """No CartesianProduct anywhere; every BroadcastNestedLoopJoin in the
+    plan is a deliberate 1-row count-frame crossJoin (the tier_report
+    idiom), and the candidate joins themselves are equi (SortMerge or
+    BroadcastHash), never nested-loop over data."""
+    from kafka_streams_join_spark.plans.inspect import explain_str
+    from kafka_streams_join_spark.queries import QUERIES
+
+    df = QUERIES["dedup_candidate_budget_audit"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    # the data-carrying candidate stages must appear as equi joins
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_isotropy_by_label_matches_exact_replay(spark):
+    import math
+
+    from kafka_streams_join_spark.queries import QUERIES
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    emb = [
+        (r["label"], list(r["embedding"]))
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("label", "embedding")
+        .collect()
+    ]
+    by_label: dict[int, list[list[float]]] = {}
+    for lbl, vec in emb:
+        by_label.setdefault(lbl, []).append(vec)
+    exp = {}
+    for lbl, vecs in by_label.items():
+        vms = []
+        for d in range(64):
+            qs = [math.floor(float(v[d]) * 1_000_000 + 0.5) for v in vecs]
+            n, sq, sqq = len(qs), sum(qs), sum(q * q for q in qs)
+            vms.append((n * sqq - sq * sq) // (n * n * 1_000_000))
+        sv, svv = sum(vms), sum(v * v for v in vms)
+        exp[lbl] = (
+            len(vecs), min(vms), max(vms),
+            (1_000_000 * min(vms)) // max(vms) if max(vms) else 0,
+            (1000 * sv * sv) // svv if svv else 0,
+        )
+    got = {
+        r["label"]: (
+            r["n_vecs"], r["min_var_micro"], r["max_var_micro"],
+            r["var_ratio_ppm"], r["effective_dims_milli"],
+        )
+        for r in QUERIES["emb_isotropy_by_label"](spark, SF_DIR).collect()
+    }
+    assert got == exp
+    assert len(got) > 1  # non-vacuous: more than one label slice
+
+
+def test_geometry_histogram_matches_replay(spark):
+    from kafka_streams_join_spark.queries import QUERIES
+    from kafka_streams_join_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    lens = [
+        r["n"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select(F.octet_length(F.encode("text", "UTF-8")).alias("n"))
+        .collect()
+        if r["n"] > 0
+    ]
+    exp: dict[tuple[int, int], list[int]] = {}
+    for n in lens:
+        w, h = n % 29 + 3, n % 17 + 2
+        stride = (3 * w + 3) // 4 * 4
+        e = exp.setdefault((w, h), [0, 0, 0, 0])
+        e[0] += 1
+        e[1] += w * h
+        e[2] += h * (stride - 3 * w)
+        e[3] += 54 + h * stride
+    got = {}
+    for r in QUERIES["mm_decode_geometry_histogram"](spark, SF_DIR).collect():
+        got[(r["width"], r["height"])] = [
+            r["n_assets"], r["n_pixels"], r["padding_bytes"], r["file_bytes"],
+        ]
+        assert r["padding_ppm"] == r["padding_bytes"] * 1_000_000 // r["file_bytes"]
+    assert got == exp
+
+
 def test_bmp_roundtrip_matches_independent_replay():
     """Encode→decode equals a naive per-pixel replay of the generation
     rule — an implementation-independent oracle for the round trip."""
