@@ -122,6 +122,7 @@ from . import perm_sweep  # noqa: E402,F401
 from . import bpe_sweep  # noqa: E402,F401
 from . import hll_sweep  # noqa: E402,F401
 from . import candidate_budget  # noqa: E402,F401
+from . import kmv_sweep  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -318,6 +318,53 @@ def test_geometry_histogram_matches_replay(spark):
     assert got == exp
 
 
+def test_kmv_sweep_matches_exact_replay(spark):
+    """Batch KMV sweep vs a pure-Python replay of the registered 60-bit
+    hash contract and the integer estimator — exact, no tolerance."""
+    import hashlib
+
+    from kafka_streams_join_spark.queries import QUERIES
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    uids = {
+        r["user_id"]
+        for r in load_table(spark, SF_DIR, "events").select("user_id").collect()
+    }
+    hs = sorted(
+        int(hashlib.md5(f"hll8_{u}".encode()).hexdigest()[:15], 16)
+        for u in uids
+    )
+    exact = len(hs)
+    got = {
+        r["k_minima"]: r
+        for r in QUERIES["sketch_kmv_distinct_sweep"](spark, SF_DIR).collect()
+    }
+    assert set(got) == {64, 256, 1024}
+    for k, r in got.items():
+        assert r["n_exact"] == exact
+        if exact < k:
+            assert r["kth_min"] is None and r["est_distinct"] == exact
+            assert r["err_ppm"] == 0
+        else:
+            kth = hs[k - 1]
+            est = (k - 1) * (1 << 60) // kth
+            assert (r["kth_min"], r["est_distinct"]) == (kth, est)
+            assert r["err_ppm"] == abs(est - exact) * 1_000_000 // exact
+
+
+def test_kmv_sweep_plan_is_distributed_topk(spark):
+    """The k minima must come from TakeOrderedAndProject (per-partition
+    k-bounded forward), never a global sort exchange over the hashes."""
+    from kafka_streams_join_spark.plans.inspect import explain_str
+    from kafka_streams_join_spark.queries import QUERIES
+
+    plan = explain_str(
+        QUERIES["sketch_kmv_distinct_sweep"](spark, SF_DIR), "simple"
+    )
+    assert plan.count("TakeOrderedAndProject") >= 3, plan[:2000]
+    assert "rangepartitioning" not in plan, plan[:2000]
+
+
 def test_bmp_roundtrip_matches_independent_replay():
     """Encode→decode equals a naive per-pixel replay of the generation
     rule — an implementation-independent oracle for the round trip."""
