@@ -35,7 +35,7 @@ def test_no_superlinear_outliers(ledger):
 
 def test_ledger_shape(ledger):
     rows = ledger["rows"]
-    assert len(rows) >= 30
+    assert len(rows) >= 34
     for r in rows:
         assert r["t_sf01"] > 0 and r["t_sf1"] > 0
         assert r["exponent"] <= r["bound"]

@@ -76,6 +76,8 @@ QSET = [
     ("graph_kcore_peel", DEFAULT_BOUND, False),
     ("graph_modularity", DEFAULT_BOUND, False),
     ("events_funnel_conversion", DEFAULT_BOUND, False),
+    ("dedup_candidate_budget_audit", DEFAULT_BOUND, False),
+    ("sketch_kmv_distinct_sweep", DEFAULT_BOUND, False),
     ("sim_topk_bruteforce", DEFAULT_BOUND, True),
     ("sim_lsh_ann_topk", DEFAULT_BOUND, True),
     ("sim_ivf_topk", DEFAULT_BOUND, True),
