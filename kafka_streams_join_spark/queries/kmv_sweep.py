@@ -45,6 +45,21 @@ from .sketches_ext import _H60_SPARK, _H60_SQL
 
 _KMV_KS = (64, 256, 1024)
 _H_SPACE = 1 << 60
+_OVL_K = 256  # minima per side for the overlap estimator
+
+# user-day audience key: one activity unit per (user, calendar day) —
+# user-level audiences saturate on this corpus (every event type reaches
+# every user), user-days overlap partially (~23% click∩purchase Jaccard).
+# Spark date_format 'yyyy-MM-dd' ≡ DuckDB strftime '%Y-%m-%d' (both
+# zero-padded ISO under the shared UTC session contract).
+_OVL_KEY_SPARK = (
+    "cast(conv(substring(md5(concat('kmvo_', cast(user_id as string), '_',"
+    " date_format(ts, 'yyyy-MM-dd'))), 1, 15), 16, 10) as bigint)"
+)
+_OVL_KEY_SQL = (
+    "CAST(('0x' || substr(md5('kmvo_' || CAST(user_id AS VARCHAR) || '_'"
+    " || strftime(ts, '%Y-%m-%d')), 1, 15)) AS BIGINT)"
+)
 
 
 def _se_ppm(k: int) -> int:
@@ -126,4 +141,154 @@ def sketch_kmv_distinct_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div n_exact as bigint)"
         ).alias("err_ppm"),
         "theoretical_se_ppm",
+    )
+
+
+@register(
+    "sketch_kmv_audience_overlap",
+    oracle=f"""
+    WITH ka AS (
+      SELECT DISTINCT {_OVL_KEY_SQL} AS h FROM events
+      WHERE event_type = 'click'
+    ),
+    kb AS (
+      SELECT DISTINCT {_OVL_KEY_SQL} AS h FROM events
+      WHERE event_type = 'purchase'
+    ),
+    ex AS (
+      SELECT (SELECT count(*) FROM ka) AS n_a,
+             (SELECT count(*) FROM kb) AS n_b,
+             (SELECT count(*) FROM ka JOIN kb USING (h)) AS n_inter
+    ),
+    ma AS (SELECT h FROM ka ORDER BY h LIMIT {_OVL_K}),
+    mb AS (SELECT h FROM kb ORDER BY h LIMIT {_OVL_K}),
+    m AS (
+      SELECT DISTINCT h
+      FROM (SELECT h FROM ma UNION ALL SELECT h FROM mb)
+      ORDER BY h LIMIT {_OVL_K}
+    ),
+    mm AS (
+      SELECT count(*) AS cnt, max(h) AS kth,
+             (SELECT count(*) FROM m JOIN ma USING (h) JOIN mb USING (h))
+               AS matches
+      FROM m
+    ),
+    est AS (
+      SELECT cnt, matches,
+             CASE WHEN cnt < {_OVL_K} THEN cnt
+                  ELSE CAST(({_OVL_K} - 1) * CAST({_H_SPACE} AS HUGEINT)
+                            // kth AS BIGINT) END AS est_union
+      FROM mm
+    )
+    SELECT CAST(ex.n_a AS BIGINT) AS n_a_exact,
+           CAST(ex.n_b AS BIGINT) AS n_b_exact,
+           CAST(ex.n_inter AS BIGINT) AS n_inter_exact,
+           CAST(ex.n_inter * CAST(1000000 AS HUGEINT)
+                // (ex.n_a + ex.n_b - ex.n_inter) AS BIGINT)
+             AS jaccard_exact_ppm,
+           CAST(est.est_union AS BIGINT) AS est_union,
+           CAST(est.matches * CAST(1000000 AS HUGEINT) // est.cnt AS BIGINT)
+             AS est_jaccard_ppm,
+           CAST(CASE WHEN est.cnt < {_OVL_K} THEN est.matches
+                     ELSE CAST(est.matches * CAST(est.est_union AS HUGEINT)
+                               // est.cnt AS BIGINT) END AS BIGINT)
+             AS est_inter,
+           CAST(abs((CASE WHEN est.cnt < {_OVL_K} THEN est.matches
+                          ELSE CAST(est.matches
+                                    * CAST(est.est_union AS HUGEINT)
+                                    // est.cnt AS BIGINT) END)
+                    - ex.n_inter) * CAST(1000000 AS HUGEINT)
+                // greatest(ex.n_inter, 1) AS BIGINT) AS err_inter_ppm
+    FROM ex CROSS JOIN est
+    """,
+)
+def sketch_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from KMV sketches — the set-operation
+    capability that is KMV's production edge over HLL (round-13 module
+    docstring): distinct CLICK user-days vs distinct PURCHASE user-days,
+    their exact intersection, and the sketch estimate computed ONLY from
+    the two k-minima sets: merge = k smallest of the union (a valid KMV
+    of A∪B), est_jaccard = |merge ∩ minA ∩ minB| / |merge| (every merged
+    hash is a uniform sample of A∪B, so the match fraction estimates the
+    Jaccard), est_inter = est_jaccard · est_union. Small rung: when the
+    union holds fewer than k distinct keys the sketch IS the set and
+    every estimate is exact.
+
+    All arithmetic integer (DECIMAL(38,0)/HUGEINT): the registered md5
+    hash contract, truncating divs, exact-ppm comparisons against the
+    exact counts — the one-row report an audience-overlap dashboard
+    reads without ever joining the raw audiences.
+
+    Scale: two pruned scans → distinct user-day hashes (hash-aggregate
+    shuffles of long rows); minima via TakeOrderedAndProject; everything
+    after is k-row frames (k = {_OVL_K}) — the raw audiences are never
+    joined on the estimate path (the exact intersection here exists only
+    as the certification target)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def keys(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(F.expr(_OVL_KEY_SPARK).alias("h"))
+            .distinct()
+        )
+
+    ka, kb = _staged(keys("click")), _staged(keys("purchase"))
+    ex = (
+        ka.agg(F.count(F.lit(1)).alias("n_a"))
+        .crossJoin(F.broadcast(kb.agg(F.count(F.lit(1)).alias("n_b"))))
+        .crossJoin(
+            F.broadcast(
+                ka.join(kb, "h").agg(F.count(F.lit(1)).alias("n_inter"))
+            )
+        )
+    )
+    ma = _staged(ka.orderBy("h").limit(_OVL_K))
+    mb = _staged(kb.orderBy("h").limit(_OVL_K))
+    m = _staged(
+        ma.unionByName(mb).distinct().orderBy("h").limit(_OVL_K)
+    )
+    mm = (
+        m.agg(F.count(F.lit(1)).alias("cnt"), F.max("h").alias("kth"))
+        .crossJoin(
+            F.broadcast(
+                m.join(ma, "h").join(mb, "h").agg(
+                    F.count(F.lit(1)).alias("matches")
+                )
+            )
+        )
+    )
+    est = mm.select(
+        "cnt",
+        "matches",
+        F.expr(
+            f"CASE WHEN cnt < {_OVL_K} THEN cnt"
+            f" ELSE cast(({_OVL_K} - 1) * cast({_H_SPACE} as decimal(38,0))"
+            " div kth as bigint) END"
+        ).alias("est_union"),
+    )
+    return ex.crossJoin(F.broadcast(est)).select(
+        F.col("n_a").cast("bigint").alias("n_a_exact"),
+        F.col("n_b").cast("bigint").alias("n_b_exact"),
+        F.col("n_inter").cast("bigint").alias("n_inter_exact"),
+        F.expr(
+            "cast(cast(n_inter as decimal(38,0)) * 1000000"
+            " div (n_a + n_b - n_inter) as bigint)"
+        ).alias("jaccard_exact_ppm"),
+        F.col("est_union").cast("bigint").alias("est_union"),
+        F.expr(
+            "cast(cast(matches as decimal(38,0)) * 1000000 div cnt"
+            " as bigint)"
+        ).alias("est_jaccard_ppm"),
+        F.expr(
+            f"cast(CASE WHEN cnt < {_OVL_K} THEN matches"
+            " ELSE cast(cast(matches as decimal(38,0)) * est_union"
+            " div cnt as bigint) END as bigint)"
+        ).alias("est_inter"),
+        F.expr(
+            f"cast(cast(abs((CASE WHEN cnt < {_OVL_K} THEN matches"
+            " ELSE cast(cast(matches as decimal(38,0)) * est_union"
+            " div cnt as bigint) END) - n_inter) as decimal(38,0))"
+            " * 1000000 div greatest(n_inter, 1) as bigint)"
+        ).alias("err_inter_ppm"),
     )

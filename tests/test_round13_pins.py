@@ -365,6 +365,53 @@ def test_kmv_sweep_plan_is_distributed_topk(spark):
     assert "rangepartitioning" not in plan, plan[:2000]
 
 
+def test_kmv_overlap_matches_exact_replay(spark):
+    """KMV audience overlap vs a pure-Python replay of the user-day hash
+    contract, the merge, and the integer estimators — exact."""
+    import hashlib
+
+    from kafka_streams_join_spark.queries import QUERIES
+    from kafka_streams_join_spark.queries.kmv_sweep import _OVL_K
+    from kafka_streams_join_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", "user_id", F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).collect()
+
+    def hs(etype):
+        keys = {(r["user_id"], r["d"]) for r in ev if r["event_type"] == etype}
+        return sorted(
+            int(hashlib.md5(f"kmvo_{u}_{d}".encode()).hexdigest()[:15], 16)
+            for u, d in keys
+        )
+
+    ha, hb = hs("click"), hs("purchase")
+    sa, sb = set(ha), set(hb)
+    n_a, n_b, n_inter = len(ha), len(hb), len(sa & sb)
+    ma, mb = ha[:_OVL_K], hb[:_OVL_K]
+    m = sorted(set(ma) | set(mb))[:_OVL_K]
+    cnt, matches = len(m), sum(1 for h in m if h in sa and h in sb)
+    # replay must use minA/minB membership, same as the engines
+    matches = sum(1 for h in m if h in set(ma) and h in set(mb))
+    est_union = cnt if cnt < _OVL_K else (_OVL_K - 1) * (1 << 60) // m[-1]
+    est_inter = matches if cnt < _OVL_K else matches * est_union // cnt
+    [r] = QUERIES["sketch_kmv_audience_overlap"](spark, SF_DIR).collect()
+    assert (r["n_a_exact"], r["n_b_exact"], r["n_inter_exact"]) == (
+        n_a, n_b, n_inter,
+    )
+    assert r["jaccard_exact_ppm"] == n_inter * 1_000_000 // (n_a + n_b - n_inter)
+    assert r["est_union"] == est_union
+    assert r["est_jaccard_ppm"] == matches * 1_000_000 // cnt
+    assert r["est_inter"] == est_inter
+    assert r["err_inter_ppm"] == abs(est_inter - n_inter) * 1_000_000 // max(
+        n_inter, 1
+    )
+    # non-vacuous: a real partial overlap, and the estimate in the right
+    # ballpark (within 3 sigma-ish of the exact Jaccard)
+    assert 0 < n_inter < min(n_a, n_b)
+    assert abs(r["est_jaccard_ppm"] - r["jaccard_exact_ppm"]) < 200_000
+
+
 def test_bmp_roundtrip_matches_independent_replay():
     """Encode→decode equals a naive per-pixel replay of the generation
     rule — an implementation-independent oracle for the round trip."""
