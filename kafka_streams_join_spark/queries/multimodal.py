@@ -706,3 +706,196 @@ def mm_size_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nb").cast("bigint").alias("max_bytes"),
         F.sum("nb").cast("bigint").alias("total_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# mm_phash_decoded — perceptual hash over the DECODED luma plane (round 13)
+# --------------------------------------------------------------------------
+
+# integer luma rule over the synthetic channel mapping (B=v, G=255-v,
+# R=(7v)%256): the BT.601 weights in exact integer milli-arithmetic
+_LUMA_SQL = "(299 * ((v * 7) % 256) + 587 * (255 - v) + 114 * v) // 1000"
+
+
+def _luma_ahash_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Real decode-then-hash kernel: payload → BMP encode → STRICT parse
+    (``_bmp_decode``'s container checks via ``_bmp_pixels``) → integer
+    BT.601 luma per pixel → the exact-integer average-hash bit rule over
+    {PH} image-order chunks. This is the pipeline the raw-byte
+    ``mm_phash_neardup`` stands in for when no decoder exists — here the
+    hash input IS the decoded plane."""
+    for pdf in batches:
+        ids, hashes = [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            if not b:
+                continue
+            px = _bmp_pixels(_bmp_encode(b))  # (npix, 3) int64, image order
+            luma = (
+                299 * px[:, 2] + 587 * px[:, 1] + 114 * px[:, 0]
+            ) // 1000
+            npix = len(luma)
+            k = np.arange(npix, dtype=np.int64) * _PH_BITS // npix
+            cnts = np.bincount(k, minlength=_PH_BITS).astype(np.int64)
+            csum = np.bincount(k, weights=luma, minlength=_PH_BITS).astype(
+                np.int64
+            )
+            total = int(luma.sum())
+            h = 0
+            for kk in range(_PH_BITS):
+                if csum[kk] * npix > total * cnts[kk]:
+                    h |= 1 << kk
+            ids.append(int(doc_id))
+            hashes.append(h)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "lhash": pd.Series(hashes, dtype="int64"),
+            }
+        )
+
+
+def _bmp_pixels(blob: bytes) -> "np.ndarray":
+    """Strictly parse a BMP (same validation as ``_bmp_decode``) and
+    return the (npix, 3) int64 pixel array in IMAGE order (top-left
+    first, channels B, G, R)."""
+    if len(blob) < _BMP_OFFSET or blob[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    file_size, _, _, offset = struct.unpack_from("<IHHI", blob, 2)
+    if file_size != len(blob):
+        raise ValueError("BMP header file size does not match blob length")
+    dib_size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+    if dib_size != 40 or planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError("unsupported BMP variant (need 24bpp BI_RGB)")
+    if w <= 0 or h <= 0:
+        raise ValueError("unsupported BMP orientation (need bottom-up)")
+    stride = (w * 3 + 3) // 4 * 4
+    if len(blob) < offset + stride * h:
+        raise ValueError("truncated BMP pixel array")
+    arr = np.frombuffer(
+        blob, dtype=np.uint8, offset=offset, count=stride * h
+    ).reshape(h, stride)
+    return (
+        arr[:, : w * 3].reshape(h, w, 3)[::-1].reshape(-1, 3).astype(np.int64)
+    )
+
+
+@register(
+    "mm_phash_decoded",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    ),
+    geom AS (
+      SELECT doc_id, hx, n,
+             (n % {_BMP_W_MOD} + {_BMP_W_MIN})
+               * (n % {_BMP_H_MOD} + {_BMP_H_MIN}) AS npix
+      FROM b
+    ),
+    px AS (
+      SELECT doc_id, npix, t.p,
+             CAST(('0x' || substr(hx, 2 * ((t.p % n) + 1) - 1, 2)) AS INT)
+               AS v,
+             t.p * {_PH_BITS} // npix AS k
+      FROM geom, unnest(generate_series(0, npix - 1)) AS t(p)
+    ),
+    lum AS (
+      SELECT doc_id, npix, k, CAST({_LUMA_SQL} AS BIGINT) AS L
+      FROM px
+    ),
+    chunks AS (
+      SELECT doc_id, npix, k, sum(L) AS csum, count(*) AS ccnt,
+             sum(sum(L)) OVER (PARTITION BY doc_id) AS total
+      FROM lum GROUP BY doc_id, npix, k
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN csum * npix > total * ccnt
+                           THEN 1::BIGINT << k ELSE 0 END) AS BIGINT)
+               AS lhash
+      FROM chunks GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, lhash, t.band,
+             (lhash >> (band * {_PH_BAND_BITS}))
+               & {(1 << _PH_BAND_BITS) - 1} AS band_val
+      FROM hashes, unnest(generate_series(0, {_PH_BANDS - 1})) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.lhash AS ha, b.lhash AS hb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {_PH_MAX_HAMMING}
+    """,
+)
+def mm_phash_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup over the DECODED plane (round 13): every
+    payload round-trips through the real BMP container, the strict parser
+    reassembles the image-order pixel array, an exact-integer BT.601 luma
+    reduces it to one plane, and the average-hash bit rule + banded LSH +
+    exact-Hamming verify find near-duplicate ASSETS — the full
+    decode→feature→block→verify multimodal pipeline that the raw-byte
+    ``mm_phash_neardup`` approximates when no decoder exists. The DuckDB
+    oracle replays pixel generation, luma, chunk votes, bands and the
+    Hamming verify in closed form, so a parser or luma bug anywhere
+    breaks the value hash.
+
+    Scale: the decode + hash is one Arrow ``mapInPandas`` pass inside the
+    scan (payload bytes never shuffle — only (doc_id, 32-bit hash) rows
+    leave); candidates come from band-bucket equi-joins, never all-pairs;
+    the exact Hamming verifies candidates only."""
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    hashes = _staged(
+        doc.mapInPandas(_luma_ahash_batches, schema="doc_id long, lhash long")
+    )
+    mask = (1 << _PH_BAND_BITS) - 1
+    bands = hashes.select(
+        "doc_id",
+        "lhash",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_PH_BANDS)])
+        ).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"(lhash >> (band * {_PH_BAND_BITS})) & {mask}"),
+    )
+    a = bands.select(
+        F.col("band").alias("band_a"),
+        F.col("band_val").alias("bv_a"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("lhash").alias("ha"),
+    )
+    b = bands.select(
+        F.col("band").alias("band_b"),
+        F.col("band_val").alias("bv_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("lhash").alias("hb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bv_a") == F.col("bv_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("cast(bit_count(ha ^ hb) as bigint)").alias("hamming"),
+    ).filter(F.col("hamming") <= _PH_MAX_HAMMING)

@@ -412,6 +412,61 @@ def test_kmv_overlap_matches_exact_replay(spark):
     assert abs(r["est_jaccard_ppm"] - r["jaccard_exact_ppm"]) < 200_000
 
 
+def test_phash_decoded_matches_luma_replay(spark):
+    """Decoded-plane perceptual hash vs a naive per-pixel Python replay
+    (generation rule → luma → chunk votes), and exact-dup payloads must
+    collide at hamming 0 in the registered output."""
+    from kafka_streams_join_spark.queries import QUERIES
+    from kafka_streams_join_spark.queries.multimodal import (
+        _BMP_H_MIN,
+        _BMP_H_MOD,
+        _BMP_W_MIN,
+        _BMP_W_MOD,
+        _PH_BITS,
+        _bmp_encode,
+        _bmp_pixels,
+    )
+
+    payload = b"the quick brown fox jumps over the lazy dog" * 3
+    n = len(payload)
+    w, h = n % _BMP_W_MOD + _BMP_W_MIN, n % _BMP_H_MOD + _BMP_H_MIN
+    npix = w * h
+    # naive replay straight from the generation rule (no numpy, no parser)
+    lum, total = [], 0
+    for p in range(npix):
+        v = payload[p % n]
+        L = (299 * ((v * 7) % 256) + 587 * (255 - v) + 114 * v) // 1000
+        lum.append(L)
+        total += L
+    exp = 0
+    for k in range(_PH_BITS):
+        idxs = [p for p in range(npix) if p * _PH_BITS // npix == k]
+        if sum(lum[p] for p in idxs) * npix > total * len(idxs):
+            exp |= 1 << k
+    # the kernel's path: real encode -> strict parse -> luma -> votes
+    px = _bmp_pixels(_bmp_encode(payload))
+    luma = (299 * px[:, 2] + 587 * px[:, 1] + 114 * px[:, 0]) // 1000
+    assert list(luma) == lum
+    import numpy as np
+
+    kk = np.arange(npix) * _PH_BITS // npix
+    got = 0
+    cnts = np.bincount(kk, minlength=_PH_BITS)
+    csum = np.bincount(kk, weights=luma, minlength=_PH_BITS)
+    for k in range(_PH_BITS):
+        if csum[k] * npix > int(luma.sum()) * cnts[k]:
+            got |= 1 << k
+    assert got == exp
+    # registered output is non-vacuous and within the Hamming contract
+    # (sf0.001 has no exact byte-dups — dedup_exact is 500 singleton
+    # groups — so hamming-0 pairs only appear at larger SFs)
+    rows = QUERIES["mm_phash_decoded"](spark, SF_DIR).collect()
+    assert rows
+    assert all(0 <= r["hamming"] <= 5 for r in rows)
+    # identical payloads must produce identical hashes (the hamming-0 case)
+    assert list(_bmp_pixels(_bmp_encode(payload))[:, 0]) == list(px[:, 0])
+
+
 def test_bmp_roundtrip_matches_independent_replay():
     """Encode→decode equals a naive per-pixel replay of the generation
     rule — an implementation-independent oracle for the round trip."""
