@@ -29,6 +29,14 @@ Scale: three bucket-bounded candidate stages (each already individually
 plan-gated), six 1-row aggregates, a 3-row report. Counts widen to
 DECIMAL(38,0)/HUGEINT before the ppm products (candidate counts at the
 100-TB contract exceed 2⁶³ ÷ 10⁶).
+
+Deliberately UNSTAGED between the candidate and survivor legs (the
+``_doc_shingle_sets`` recompute-beats-persist call, re-measured here):
+staging the wide simhash MIH pair frame (~4.8M 4-col rows at sf0.1) and
+the docsets frame made the audit 2-4× SLOWER (16.9-40.6 s vs 7.3-9.0 s
+best-of-3) — the persisted forms are as large as the work above them.
+At 100 TB this report would read survivor counts off the materialized
+tier OUTPUT tables rather than recomputing either leg.
 """
 
 from __future__ import annotations
