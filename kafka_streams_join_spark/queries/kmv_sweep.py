@@ -91,7 +91,7 @@ def _se_ppm(k: int) -> int:
            kth_min,
            CAST(est_distinct AS BIGINT) AS est_distinct,
            CAST(CAST(abs(est_distinct - (SELECT n_exact FROM ex)) AS HUGEINT)
-                * 1000000 // (SELECT n_exact FROM ex) AS BIGINT) AS err_ppm,
+                * 1000000 // greatest((SELECT n_exact FROM ex), 1) AS BIGINT) AS err_ppm,
            CAST(se_ppm AS BIGINT) AS theoretical_se_ppm
     FROM est
     """,
@@ -138,7 +138,7 @@ def sketch_kmv_distinct_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(cast(abs((CASE WHEN cnt < k_minima THEN n_exact"
             f" ELSE (k_minima - 1) * cast({_H_SPACE} as decimal(38,0))"
             " div kth END) - n_exact) as decimal(38,0)) * 1000000"
-            " div n_exact as bigint)"
+            " div greatest(n_exact, 1) as bigint)"
         ).alias("err_ppm"),
         "theoretical_se_ppm",
     )
@@ -184,10 +184,11 @@ def sketch_kmv_distinct_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ex.n_b AS BIGINT) AS n_b_exact,
            CAST(ex.n_inter AS BIGINT) AS n_inter_exact,
            CAST(ex.n_inter * CAST(1000000 AS HUGEINT)
-                // (ex.n_a + ex.n_b - ex.n_inter) AS BIGINT)
+                // greatest(ex.n_a + ex.n_b - ex.n_inter, 1) AS BIGINT)
              AS jaccard_exact_ppm,
            CAST(est.est_union AS BIGINT) AS est_union,
-           CAST(est.matches * CAST(1000000 AS HUGEINT) // est.cnt AS BIGINT)
+           CAST(est.matches * CAST(1000000 AS HUGEINT) // greatest(est.cnt, 1)
+             AS BIGINT)
              AS est_jaccard_ppm,
            CAST(CASE WHEN est.cnt < {_OVL_K} THEN est.matches
                      ELSE CAST(est.matches * CAST(est.est_union AS HUGEINT)
@@ -273,12 +274,12 @@ def sketch_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_inter").cast("bigint").alias("n_inter_exact"),
         F.expr(
             "cast(cast(n_inter as decimal(38,0)) * 1000000"
-            " div (n_a + n_b - n_inter) as bigint)"
+            " div greatest(n_a + n_b - n_inter, 1) as bigint)"
         ).alias("jaccard_exact_ppm"),
         F.col("est_union").cast("bigint").alias("est_union"),
         F.expr(
-            "cast(cast(matches as decimal(38,0)) * 1000000 div cnt"
-            " as bigint)"
+            "cast(cast(matches as decimal(38,0)) * 1000000"
+            " div greatest(cnt, 1) as bigint)"
         ).alias("est_jaccard_ppm"),
         F.expr(
             f"cast(CASE WHEN cnt < {_OVL_K} THEN matches"
