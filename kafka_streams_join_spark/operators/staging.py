@@ -68,11 +68,36 @@ _TABLES: dict[str, str] = {}
 _TABLE_DIR: str | None = None
 
 
-def staged_table(df: DataFrame, key: str) -> DataFrame:
+def _dir_fingerprint(src_dir: str) -> str:
+    """Cheap content fingerprint of a source data dir: (name, size,
+    mtime_ns) of every top-level ``*.parquet`` file, hashed. One scandir —
+    noise next to any stage build. Missing dirs (tests monkeypatch
+    ``load_table`` under dummy sf_dirs) hash as a constant; those runs are
+    protected by the conftest per-test ``clear_staged_tables`` hook."""
+    try:
+        entries = sorted(
+            (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+            for e in os.scandir(src_dir)
+            if e.name.endswith(".parquet")
+        )
+    except OSError:
+        return "absent"
+    return hashlib.md5(repr(entries).encode()).hexdigest()[:12]
+
+
+def staged_table(df: DataFrame, key: str, src_dir: str | None = None) -> DataFrame:
     """Materialize ``df`` once per process under ``key`` (MUST embed
-    sf_dir) and return a DataFrame reading the materialized parquet."""
+    sf_dir) and return a DataFrame reading the materialized parquet.
+
+    ``src_dir`` (the sf_dir the stage derives from) folds a content
+    fingerprint into the cache key, so data regenerated under the same
+    path mid-process rebuilds the stage instead of silently serving the
+    stale table. Key-only calls rely on the source-immutability
+    convention (true for /root/testdata and the bench harnesses)."""
     global _TABLE_DIR
     spark = df.sparkSession
+    if src_dir is not None:
+        key = f"{key}@@{_dir_fingerprint(src_dir)}"
     if key not in _TABLES:
         if _TABLE_DIR is None:
             _TABLE_DIR = tempfile.mkdtemp(prefix="ksj_staged_")

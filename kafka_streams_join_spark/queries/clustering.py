@@ -179,6 +179,7 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged_table(
         _kmeans_assignments_build(spark, sf_dir),
         f"kmeans_assignments::{sf_dir}",
+        src_dir=sf_dir,
     )
 
 

@@ -637,6 +637,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ceiling=_COS_CEILING,
         scale_path="dedup_embedding_lsh (queries/dedup_scale.py) — "
         "hyperplane-LSH bucketed candidates, linear in the corpus",
+        cache_key=sf_dir,
     )
     blks = (
         emb.withColumn("blk", (F.col("vec_id") / _COS_BLOCK).cast("int"))
@@ -663,6 +664,7 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged_table(
         dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"),
         f"neardup_pairs::{sf_dir}",
+        src_dir=sf_dir,
     )
 
 
@@ -679,6 +681,7 @@ def neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).toDF("doc_id", "label"),
         f"neardup_labels::{sf_dir}",
+        src_dir=sf_dir,
     )
 
 

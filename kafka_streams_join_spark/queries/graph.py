@@ -88,6 +88,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ),
         f"graph_edges::{sf_dir}",
+        src_dir=sf_dir,
     )
 
 
@@ -102,6 +103,7 @@ def _wpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w")),
         f"graph_wpairs::{sf_dir}",
+        src_dir=sf_dir,
     )
 
 

@@ -81,8 +81,8 @@ def _se_ppm(k: int) -> int:
     est AS (
       SELECT k, se_ppm, kth_min,
              CASE WHEN kth_min IS NULL THEN (SELECT n_exact FROM ex)
-                  ELSE CAST((k - 1) * CAST({_H_SPACE} AS HUGEINT) // kth_min
-                            AS BIGINT)
+                  ELSE CAST((k - 1) * CAST({_H_SPACE} AS HUGEINT)
+                            // greatest(kth_min, 1) AS BIGINT)
              END AS est_distinct
       FROM kth
     )
@@ -132,12 +132,12 @@ def sketch_kmv_distinct_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "cast(CASE WHEN cnt < k_minima THEN n_exact"
             f" ELSE (k_minima - 1) * cast({_H_SPACE} as decimal(38,0))"
-            " div kth END as bigint)"
+            " div greatest(kth, 1) END as bigint)"
         ).alias("est_distinct"),
         F.expr(
             "cast(cast(abs((CASE WHEN cnt < k_minima THEN n_exact"
             f" ELSE (k_minima - 1) * cast({_H_SPACE} as decimal(38,0))"
-            " div kth END) - n_exact) as decimal(38,0)) * 1000000"
+            " div greatest(kth, 1) END) - n_exact) as decimal(38,0)) * 1000000"
             " div greatest(n_exact, 1) as bigint)"
         ).alias("err_ppm"),
         "theoretical_se_ppm",
@@ -177,7 +177,7 @@ def sketch_kmv_distinct_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cnt, matches,
              CASE WHEN cnt < {_OVL_K} THEN cnt
                   ELSE CAST(({_OVL_K} - 1) * CAST({_H_SPACE} AS HUGEINT)
-                            // kth AS BIGINT) END AS est_union
+                            // greatest(kth, 1) AS BIGINT) END AS est_union
       FROM mm
     )
     SELECT CAST(ex.n_a AS BIGINT) AS n_a_exact,
@@ -265,7 +265,7 @@ def sketch_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"CASE WHEN cnt < {_OVL_K} THEN cnt"
             f" ELSE cast(({_OVL_K} - 1) * cast({_H_SPACE} as decimal(38,0))"
-            " div kth as bigint) END"
+            " div greatest(kth, 1) as bigint) END"
         ).alias("est_union"),
     )
     return ex.crossJoin(F.broadcast(est)).select(

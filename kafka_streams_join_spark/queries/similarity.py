@@ -184,6 +184,7 @@ def sim_topk_bruteforce(
         ceiling=_BRUTE_CEILING,
         scale_path="sim_lsh_ann_topk (bucketed candidates) or sim_ivf_topk "
         "(nprobe cell scan), both in queries/similarity.py",
+        cache_key=sf_dir,
     )
     qblks = (
         query_admission(emb, query_batch)

@@ -16,6 +16,26 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _kafka_connector_coordinate() -> str:
+    """Maven coordinate of the spark-sql-kafka connector matching the
+    installed pyspark. Spark 4.x builds against Scala 2.13, Spark 3.x
+    against 2.12; pre-release/dev versions ("4.2.0.dev1") have no
+    published artifact, so fail with an actionable message instead of a
+    cryptic resolver error at session start."""
+    import pyspark
+
+    version = pyspark.__version__
+    parts = version.split(".")
+    if not (len(parts) == 3 and all(p.isdigit() for p in parts)):
+        raise RuntimeError(
+            f"SPARK_GRAFT_KAFKA=1 needs a released pyspark (x.y.z) to pick "
+            f"a published spark-sql-kafka artifact; got {version!r}. Set "
+            f"spark.jars.packages explicitly via extra_conf instead."
+        )
+    scala = "2.13" if int(parts[0]) >= 4 else "2.12"
+    return f"org.apache.spark:spark-sql-kafka-0-10_{scala}:{version}"
+
+
 def get_spark(
     app_name: str = "kafka_streams_join_spark",
     master: str | None = None,
@@ -49,12 +69,8 @@ def get_spark(
     # sandbox has no network and no broker, and an unconditional
     # jars.packages would break offline startup.
     if os.environ.get("SPARK_GRAFT_KAFKA"):
-        import pyspark
-
         builder = builder.config(
-            "spark.jars.packages",
-            "org.apache.spark:spark-sql-kafka-0-10_2.13:"
-            + pyspark.__version__,
+            "spark.jars.packages", _kafka_connector_coordinate()
         )
     builder = (
         builder

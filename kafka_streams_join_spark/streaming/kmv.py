@@ -29,6 +29,7 @@ unbounded key space.
 
 from __future__ import annotations
 
+import bisect
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
@@ -69,8 +70,6 @@ def kmv_insert(minima: list[int], k: int, h: int) -> None:
     """One KMV step on the SORTED minima list (mutated in place,
     len ≤ k invariant): insert h if it is new and belongs among the k
     smallest. Shared by the operator and the tests' reference replay."""
-    import bisect
-
     i = bisect.bisect_left(minima, h)
     if i < len(minima) and minima[i] == h:
         return

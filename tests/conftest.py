@@ -26,12 +26,14 @@ def _release_staged_frames():
     otherwise accumulate until session end (operators/staging.py
     lifecycle contract)."""
     yield
+    from kafka_streams_join_spark.operators.guards import clear_ceiling_counts
     from kafka_streams_join_spark.operators.staging import (
         clear_staged_tables,
         unpersist_staged,
     )
 
     unpersist_staged()
+    clear_ceiling_counts()
     # staged_table() keys on (name, sf_dir) only — tests that monkeypatch
     # load_table inject DIFFERENT data under the same dummy sf_dir, so a
     # table carried across tests would be stale. Inside one test (and in
