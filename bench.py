@@ -187,6 +187,88 @@ RUNS_PER_QUERY = 3  # best-of-3: run 1 warms code paths; the min of the rest
 # rides out transient co-tenant noise (observed >30% machine-level swings
 # between identical runs minutes apart)
 RUNS_COVERAGE = 2  # coverage tier: one warm-up + one timed run
+RUNS_HEADLINE = 5  # headline tier (round 14): best-of-2 on sub-second
+# queries measured the JVM, not the plan — r13's four runs spanned
+# 6.43-8.39 s on identical code. Five runs per headline query pulls the
+# per-query min to the true plan cost (co-tenant noise only ever inflates),
+# and the warm-run median is reported beside it as value_med.
+
+# Declared noise band (round 14, BASELINE.md "Noise band"): the headline
+# total of two bench runs on IDENTICAL code is expected within this
+# fraction of each other. Out-of-band moves are flagged loudly; in-band
+# moves are run noise and must not be read as regressions or speedups.
+NOISE_BAND = 0.25
+
+
+# Streaming throughput floors (round 14, VERDICT r13 task 7): rows/sec a
+# stateful-operator regression (state-store config, watermark plumbing)
+# must not cross. Best-of-round has never measured below ~3,900 rows/s
+# for either topology (BENCH_HISTORY r7-r13); single runs dip to ~1,200
+# under co-tenant bursts, so the floor binds the best-of-round, leaving
+# >=1.9x margin over noise while catching any >2x structural collapse.
+# Calibrated AT SF0.1 (the driver's bench corpus) — smaller corpora are
+# dominated by fixed micro-batch overhead and never compare to the floor.
+STREAMING_FLOORS = {
+    "stream_interval_join": 2000,
+    "stream_timeout_join": 2000,
+}
+STREAMING_FLOOR_SF = 0.1
+
+
+def streaming_floor_breaches(
+    records: list[dict], cur_round: int, floors: dict[str, int] | None = None
+) -> dict[str, int]:
+    """Best-of-round streaming rps per topology for ``cur_round``, where
+    it breaches the declared floor: {topology: best_rps}. Empty dict =
+    healthy (or no streaming lines for the round — absence is checked by
+    the per-run WARNING, not here)."""
+    floors = floors or STREAMING_FLOORS
+    best: dict[str, int] = {}
+    for rec in records:
+        if rec.get("round") != cur_round or rec.get("sf") != STREAMING_FLOOR_SF:
+            continue
+        for name, m in (rec.get("streaming") or {}).items():
+            rps = m.get("rps")
+            if isinstance(rps, (int, float)):
+                best[name] = max(best.get(name, 0), int(rps))
+    return {
+        name: rps
+        for name, rps in best.items()
+        if name in floors and rps < floors[name]
+    }
+
+
+def headline_band(
+    records: list[dict], sf_val: float, cur_round: int,
+    band: float = NOISE_BAND,
+) -> tuple[float | None, float | None, float | None]:
+    """Band-edge baseline for the headline total: the previous round's
+    best (min) headline value at the same sf, widened by the declared
+    noise band. Returns (prev_best, lo, hi); (None, None, None) with no
+    prior round. Comparisons against lo/hi — never the point value — are
+    the round-over-round contract (round-14 noise-floor fix)."""
+    prev_round: int | None = None
+    for rec in records:
+        if (
+            rec.get("sf") == sf_val
+            and rec.get("metric") == "headline_total"
+            and isinstance(rec.get("round"), int)
+            and rec["round"] < cur_round
+            and rec.get("value") is not None
+        ):
+            if prev_round is None or rec["round"] > prev_round:
+                prev_round = rec["round"]
+    if prev_round is None:
+        return None, None, None
+    best = min(
+        rec["value"]
+        for rec in records
+        if rec.get("sf") == sf_val
+        and rec.get("metric") == "headline_total"
+        and rec.get("round") == prev_round
+        and rec.get("value") is not None
+    )
+    return best, round(best * (1 - band), 3), round(best * (1 + band), 3)
 
 
 def prev_round_baseline(
@@ -275,7 +357,12 @@ def main() -> int:
             errors[name] = first
             print(f"# ERROR {name}: {first}")
 
-    for name in HEADLINE + EXTRA:
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        run_safe(name, lambda: fn(spark, sf_dir), n_runs=RUNS_HEADLINE)
+    for name in EXTRA:
         fn = QUERIES.get(name)
         if fn is None:
             continue
@@ -329,6 +416,14 @@ def main() -> int:
         for name, m in streaming.items():
             print(f"# STREAMING {name}: {m['rows_in']} rows in "
                   f"{m['sec']}s = {m['rps']} rows/s")
+            floor = STREAMING_FLOORS.get(name)
+            if floor and sf_dir.rstrip("/").endswith("sf0.1") and m["rps"] < floor:
+                print(
+                    f"WARNING: {name} at {m['rps']} rows/s is below the "
+                    f"declared floor {floor} rows/s (BASELINE.md); if the "
+                    f"round's BEST run also breaches, a stateful-operator "
+                    f"regression landed"
+                )
 
     # A failed HEADLINE query must not silently deflate the headline sum —
     # a round-over-round file diff would misread the error as a speedup
@@ -356,6 +451,15 @@ def main() -> int:
         if headline_complete
         else None
     )
+    # Secondary stable metric (round 14): sum of per-query warm MEDIANS
+    # over the headline set. The min-sum stays the headline (comparable
+    # back to r1); the median-sum moves less under co-tenant load, so a
+    # real regression separates from noise faster in a file diff.
+    headline_median_total = (
+        round(sum(spread[n]["med"] for n in HEADLINE if n in spread), 3)
+        if headline_complete
+        else None
+    )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -369,6 +473,7 @@ def main() -> int:
     compact = {
         "metric": "headline_total",
         "value": baseline_total,
+        "value_med": headline_median_total,
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
@@ -434,6 +539,29 @@ def main() -> int:
     # baseline at the SAME sf (prev_round_baseline): print the top-5
     # slowest queries this run, and a fail-loud WARNING line for any query
     # regressing >2x round-over-round.
+    # Band-edge headline comparison (round 14): the declared noise band is
+    # the contract — a headline move INSIDE [lo, hi] of the previous
+    # round's best is run noise; only an out-of-band move is a finding.
+    prev_best, band_lo, band_hi = headline_band(records, sf_val, cur_round)
+    if prev_best is not None and baseline_total is not None:
+        print(
+            f"# HEADLINE BAND r{cur_round}: {baseline_total:.3f}s vs prev "
+            f"best {prev_best:.3f}s, band [{band_lo:.3f}, {band_hi:.3f}] "
+            f"(+/-{int(NOISE_BAND * 100)}%)"
+        )
+        if baseline_total > band_hi:
+            print(
+                f"WARNING: headline_total {baseline_total:.3f}s is ABOVE the "
+                f"noise band hi {band_hi:.3f}s — investigate before reading "
+                f"this as co-tenant noise"
+            )
+        elif baseline_total < band_lo:
+            print(
+                f"# NOTE: headline_total {baseline_total:.3f}s is BELOW the "
+                f"noise band lo {band_lo:.3f}s — a real speedup (or a query "
+                f"silently doing less work; check per-query rows)"
+            )
+
     prev_round, prev_q = prev_round_baseline(records, sf_val, cur_round)
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     for name, secs in slowest:
@@ -478,6 +606,7 @@ def main() -> int:
                 "headline_complete": headline_complete,
                 "metric": "headline_total",
                 "value": baseline_total,
+                "value_med": headline_median_total,
                 "unit": "sec",
                 "sf": sf_val,
             }

@@ -30,13 +30,25 @@ plan-gated), six 1-row aggregates, a 3-row report. Counts widen to
 DECIMAL(38,0)/HUGEINT before the ppm products (candidate counts at the
 100-TB contract exceed 2⁶³ ÷ 10⁶).
 
-Deliberately UNSTAGED between the candidate and survivor legs (the
-``_doc_shingle_sets`` recompute-beats-persist call, re-measured here):
-staging the wide simhash MIH pair frame (~4.8M 4-col rows at sf0.1) and
-the docsets frame made the audit 2-4× SLOWER (16.9-40.6 s vs 7.3-9.0 s
-best-of-3) — the persisted forms are as large as the work above them.
-At 100 TB this report would read survivor counts off the materialized
-tier OUTPUT tables rather than recomputing either leg.
+Two registered modes (round 14, VERDICT r13 task 2):
+
+- ``dedup_candidate_budget_audit`` — DIRECT: recomputes both legs in one
+  query. Deliberately UNSTAGED between the candidate and survivor legs
+  (the ``_doc_shingle_sets`` recompute-beats-persist call, re-measured in
+  round 13): persisting the wide INTERMEDIATE frames (the ~4.8M-row
+  simhash MIH pair frame, the docsets frame) made the audit 2-4× SLOWER
+  (16.9-40.6 s vs 7.3-9.0 s best-of-3) — the persisted forms are as large
+  as the work above them.
+- ``dedup_candidate_budget_audit_materialized`` — PRODUCTION shape: the
+  audit reads its counts off materialized pair TABLES (candidates and
+  survivors per tier), which at 100 TB already exist because the pipeline
+  wrote them when the tiers ran. Here ``staged_table`` (the
+  ``dedup_tier_report`` destage pattern) materializes each FINAL pair
+  list — small, unlike the intermediates above — once per process; the
+  ngram survivor table IS the shared ``neardup_pairs`` stage five other
+  queries read. First invocation pays the one-time stage build; every
+  later invocation is six counts over tiny parquet tables. Both modes
+  are pytest-proven byte-identical and share one oracle.
 """
 
 from __future__ import annotations
@@ -44,6 +56,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.staging import staged_table
 from ..sources.parquet import load_table
 from .dedup import (
     _MINHASH_SQL_PARAMS,
@@ -64,6 +77,7 @@ from .dedup import (
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
     dedup_simhash,
+    neardup_pairs,
 )
 from .registry import ORACLES, register
 
@@ -136,9 +150,7 @@ _SH_CAND_SQL = f"""
 """
 
 
-@register(
-    "dedup_candidate_budget_audit",
-    oracle=f"""
+_BUDGET_ORACLE = f"""
     WITH pop AS (SELECT count(*) AS n_docs FROM documents),
     t AS (
       SELECT 'minhash_band' AS tier,
@@ -163,23 +175,15 @@ _SH_CAND_SQL = f"""
            CAST(CAST(t.n_survivors AS HUGEINT) * 1000000
                 // greatest(t.n_candidates, 1) AS BIGINT) AS precision_ppm
     FROM t CROSS JOIN pop
-    """,
-)
-def dedup_candidate_budget_audit(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Per dedup tier: candidate-pair budget, candidates per document, and
-    verification precision — the numbers that decide whether a tier's
-    knobs survive the next 10× of corpus growth (module docstring)."""
-    pop = F.broadcast(
-        load_table(spark, sf_dir, "documents").agg(
-            F.count(F.lit(1)).alias("n_docs")
-        )
-    )
+    """
 
+
+def _mh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The minhash band-collision candidate stage (distinct pairs), shared
+    verbatim with ``dedup_minhash_lsh``'s candidate leg."""
     mh_bands = _minhash_bands(_doc_shingle_sets(spark, sf_dir))
     x, y = mh_bands.alias("x"), mh_bands.alias("y")
-    mh_cand = (
+    return (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -189,8 +193,20 @@ def dedup_candidate_budget_audit(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    ng_cand, _ = _ngram_candidates(spark, sf_dir)
-    sh_cand = _simhash_mih_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+
+
+def _budget_report(
+    spark: SparkSession,
+    sf_dir: str,
+    tiers: list[tuple[str, DataFrame, DataFrame]],
+) -> DataFrame:
+    """The shared 3-row report tail over (tier, candidates, survivors)
+    pair frames — six 1-row aggregates, exact-integer ppm columns."""
+    pop = F.broadcast(
+        load_table(spark, sf_dir, "documents").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+    )
 
     def tier(name: str, cand: DataFrame, surv: DataFrame) -> DataFrame:
         return (
@@ -201,13 +217,9 @@ def dedup_candidate_budget_audit(
             .select(F.lit(name).alias("tier"), "n_candidates", "n_survivors")
         )
 
-    t = (
-        tier("minhash_band", mh_cand, dedup_minhash_lsh(spark, sf_dir))
-        .unionByName(
-            tier("ngram_rare_shingle", ng_cand, dedup_ngram_jaccard(spark, sf_dir))
-        )
-        .unionByName(tier("simhash_mih", sh_cand, dedup_simhash(spark, sf_dir)))
-    )
+    t = tier(*tiers[0])
+    for row in tiers[1:]:
+        t = t.unionByName(tier(*row))
     return t.crossJoin(pop).select(
         "tier",
         F.col("n_docs").cast("bigint").alias("n_docs"),
@@ -221,4 +233,86 @@ def dedup_candidate_budget_audit(
             "cast(cast(n_survivors as decimal(38,0)) * 1000000"
             " div greatest(n_candidates, 1) as bigint)"
         ).alias("precision_ppm"),
+    )
+
+
+@register("dedup_candidate_budget_audit", oracle=_BUDGET_ORACLE)
+def dedup_candidate_budget_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per dedup tier: candidate-pair budget, candidates per document, and
+    verification precision — the numbers that decide whether a tier's
+    knobs survive the next 10× of corpus growth (module docstring). The
+    DIRECT mode: both legs recomputed in one query, deliberately unstaged
+    (intermediates out-size the work above them — measured, round 13)."""
+    ng_cand, _ = _ngram_candidates(spark, sf_dir)
+    return _budget_report(
+        spark,
+        sf_dir,
+        [
+            (
+                "minhash_band",
+                _mh_candidates(spark, sf_dir),
+                dedup_minhash_lsh(spark, sf_dir),
+            ),
+            ("ngram_rare_shingle", ng_cand, dedup_ngram_jaccard(spark, sf_dir)),
+            (
+                "simhash_mih",
+                _simhash_mih_pairs(spark, sf_dir)
+                .select("doc_a", "doc_b")
+                .distinct(),
+                dedup_simhash(spark, sf_dir),
+            ),
+        ],
+    )
+
+
+@register("dedup_candidate_budget_audit_materialized", oracle=_BUDGET_ORACLE)
+def dedup_candidate_budget_audit_materialized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The audit in its PRODUCTION shape (module docstring): every count
+    reads off a materialized pair table. At 100 TB these tables exist
+    because the pipeline wrote them when the tiers ran; here
+    ``staged_table`` materializes each FINAL pair list once per process —
+    the ngram survivor table is the shared ``neardup_pairs`` stage —
+    and the report itself is six counts over tiny parquet scans.
+    Byte-identical to the direct mode (pytest-pinned) and certified by
+    the same oracle."""
+
+    def tbl(key: str, df: DataFrame) -> DataFrame:
+        return staged_table(df, f"{key}::{sf_dir}", src_dir=sf_dir)
+
+    ng_cand, _ = _ngram_candidates(spark, sf_dir)
+    return _budget_report(
+        spark,
+        sf_dir,
+        [
+            (
+                "minhash_band",
+                tbl("budget_cand_minhash", _mh_candidates(spark, sf_dir)),
+                tbl(
+                    "budget_surv_minhash",
+                    dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"),
+                ),
+            ),
+            (
+                "ngram_rare_shingle",
+                tbl("budget_cand_ngram", ng_cand),
+                neardup_pairs(spark, sf_dir),
+            ),
+            (
+                "simhash_mih",
+                tbl(
+                    "budget_cand_simhash",
+                    _simhash_mih_pairs(spark, sf_dir)
+                    .select("doc_a", "doc_b")
+                    .distinct(),
+                ),
+                tbl(
+                    "budget_surv_simhash",
+                    dedup_simhash(spark, sf_dir).select("doc_a", "doc_b"),
+                ),
+            ),
+        ],
     )

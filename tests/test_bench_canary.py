@@ -98,6 +98,105 @@ def test_broken_registration_does_not_abort_bench(monkeypatch, capsys):
     assert "zz_broken_canary" not in full["queries"]
 
 
+def _hline(rnd, sf, value):
+    return {"round": rnd, "sf": sf, "metric": "headline_total", "value": value}
+
+
+def test_headline_band_edges():
+    """Round-14 noise-floor contract: the headline comparison is against
+    BAND EDGES of the previous round's best, never the point value — a
+    move inside the declared band is run noise by definition."""
+    from bench import NOISE_BAND, headline_band
+
+    lines = [
+        _hline(12, 0.1, 7.05),
+        _hline(12, 0.1, 5.886),  # round best
+        _hline(13, 0.1, 8.388),
+        _hline(13, 0.1, 6.427),  # round best
+    ]
+    prev_best, lo, hi = headline_band(lines, 0.1, cur_round=14)
+    assert prev_best == 6.427
+    assert lo == round(6.427 * (1 - NOISE_BAND), 3)
+    assert hi == round(6.427 * (1 + NOISE_BAND), 3)
+    # in-band value: noise. out-of-band: a finding.
+    assert lo < 6.427 * 1.1 < hi
+    assert 6.427 * 1.4 > hi  # a genuine 1.4x move lands outside the band
+    # null-value (failed-headline) lines never poison the baseline
+    lines.append(_hline(13, 0.1, None))
+    assert headline_band(lines, 0.1, cur_round=14)[0] == 6.427
+    # no previous round -> no band
+    assert headline_band([], 0.1, cur_round=14) == (None, None, None)
+
+
+def test_headline_band_ignores_other_sf_and_future_rounds():
+    from bench import headline_band
+
+    lines = [
+        _hline(13, 0.01, 1.0),  # wrong sf
+        _hline(14, 0.1, 9.0),  # current round is not its own baseline
+        _hline(12, 0.1, 6.0),
+    ]
+    prev_best, lo, hi = headline_band(lines, 0.1, cur_round=14)
+    assert prev_best == 6.0
+
+
+def test_streaming_floor_breaches_best_of_round():
+    """The streaming floor binds the BEST run of a round: one co-tenant
+    dip (r13 measured 1,549 rows/s next to a 4,385 line) must not fire;
+    a round where every run is under the floor must."""
+    from bench import streaming_floor_breaches
+
+    def sline(rnd, rps_a, rps_b):
+        return {
+            "round": rnd,
+            "sf": 0.1,
+            "streaming": {
+                "stream_interval_join": {"rps": rps_a},
+                "stream_timeout_join": {"rps": rps_b},
+            },
+        }
+
+    healthy = [sline(14, 1549, 1211), sline(14, 4385, 4303)]
+    assert streaming_floor_breaches(healthy, 14) == {}
+    regressed = [sline(14, 900, 4303), sline(14, 1100, 4400)]
+    assert streaming_floor_breaches(regressed, 14) == {
+        "stream_interval_join": 1100
+    }
+    # other rounds' lines don't contribute
+    assert streaming_floor_breaches(healthy, 13) == {}
+
+
+def test_streaming_floor_history_latest_round():
+    """Live canary over the checked-in ledger: the newest round with
+    streaming lines must clear the declared floors on its best run."""
+    import json
+    import os
+
+    from bench import streaming_floor_breaches
+
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH_HISTORY.jsonl")
+    records = []
+    with open(path) as f:
+        for line in f:
+            try:
+                records.append(json.loads(line))
+            except ValueError:
+                continue
+    rounds = sorted(
+        {
+            r["round"]
+            for r in records
+            if isinstance(r.get("round"), int) and r.get("streaming")
+        }
+    )
+    assert rounds, "ledger has no streaming lines"
+    breaches = streaming_floor_breaches(records, rounds[-1])
+    assert breaches == {}, (
+        f"round {rounds[-1]} best-of-round streaming rps under floor: "
+        f"{breaches}"
+    )
+
+
 def test_headline_is_subset_of_registry():
     """A HEADLINE name absent from the registry means a headline query was
     renamed or retired without updating bench.py — in a production run the

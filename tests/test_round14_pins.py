@@ -78,6 +78,39 @@ def test_dir_fingerprint_tracks_content(tmp_path):
     assert _dir_fingerprint(str(tmp_path)) == f3
 
 
+def test_budget_audit_modes_byte_identical(spark):
+    """VERDICT r13 task 2: the direct and materialized candidate-budget
+    audits must produce IDENTICAL reports — same rows, same values, same
+    schema — because the materialized mode only changes WHERE the pair
+    frames are read from, never what they contain."""
+    from kafka_streams_join_spark.queries.candidate_budget import (
+        dedup_candidate_budget_audit,
+        dedup_candidate_budget_audit_materialized,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    direct = dedup_candidate_budget_audit(spark, sf)
+    mat = dedup_candidate_budget_audit_materialized(spark, sf)
+    assert direct.schema == mat.schema
+    key = lambda r: r["tier"]  # noqa: E731
+    d_rows = sorted((r.asDict() for r in direct.collect()), key=key)
+    m_rows = sorted((r.asDict() for r in mat.collect()), key=key)
+    assert d_rows == m_rows
+    assert len(d_rows) == 3
+    # second materialized invocation (the production shape: tables exist)
+    # still identical
+    m2 = sorted(
+        (
+            r.asDict()
+            for r in dedup_candidate_budget_audit_materialized(
+                spark, sf
+            ).collect()
+        ),
+        key=key,
+    )
+    assert m2 == d_rows
+
+
 def test_enforce_row_ceiling_memoizes():
     from kafka_streams_join_spark.operators.guards import (
         TestScaleCeilingError,

@@ -31,7 +31,14 @@ of hiding it.
 Writes SCALING.json (machine-readable; the pytest canary asserts every
 row passes) and SCALING.md (the human ledger) at the repo root.
 
-Usage: python tools/bench_scaling.py [--reps 2] [--skip-gen]
+Second decade (round 14, VERDICT r13 task 3): ``--decade2`` measures the
+TOP-10 heaviest entries (by t_sf1 in the round-13 ledger) at sf0.1, sf1
+AND sf10 (gen_scale x100 of sf0.1) in ONE session, recording a per-decade
+exponent pair and their drift — the stage-build rows are where
+super-linear growth would first show, and one decade cannot see drift.
+Writes SCALING2.json and appends the second-decade table to SCALING.md.
+
+Usage: python tools/bench_scaling.py [--reps 2] [--skip-gen] [--decade2]
 """
 
 from __future__ import annotations
@@ -47,8 +54,26 @@ sys.path.insert(0, HERE)
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(HERE, ".tmp", "scale", "sf1")
+SF10 = os.path.join(HERE, ".tmp", "scale", "sf10")
 DEFAULT_BOUND = 1.35
 QUERY_BATCH = list(range(0, 2000, 100))  # fixed 20-query production batch
+
+# The 10 heaviest first-decade entries (by t_sf1, round-13 SCALING.md) —
+# the second-decade measurement set. Stage rows included deliberately:
+# they are where super-linear drift would first appear.
+TOP10 = [
+    "stage:neardup_pairs+labels",
+    "dedup_candidate_budget_audit",
+    "graph_modularity",
+    "graph_kcore_peel",
+    "dedup_ngram_jaccard",
+    "stage:kmeans_assignments",
+    "graph_triangle_count",
+    "sim_pq_topk",
+    "pipeline_curation_funnel",
+    "dedup_simhash",
+]
+DRIFT_EXPLAIN_THRESHOLD = 0.1
 
 # (name, bound, needs_query_batch)
 QSET = [
@@ -100,7 +125,9 @@ def _stage_builders():
     }
 
 
-def _time_queries(spark, sf_dir: str, reps: int) -> dict[str, float]:
+def _time_queries(
+    spark, sf_dir: str, reps: int, only: set[str] | None = None
+) -> dict[str, float]:
     from kafka_streams_join_spark.operators.staging import (
         clear_staged_tables,
         unpersist_staged,
@@ -111,13 +138,19 @@ def _time_queries(spark, sf_dir: str, reps: int) -> dict[str, float]:
     # stage builds: timed cold, once (the honest one-time cost)
     clear_staged_tables()
     for sname, builder in _stage_builders().items():
+        if only is not None and sname not in only:
+            continue
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         builder(spark, sf_dir).count()
         times[sname] = time.perf_counter() - t0
+        print(f"  {sf_dir.rsplit('/', 1)[-1]:8s} {sname}: "
+              f"{times[sname]:.2f}s", flush=True)
         unpersist_staged()
     # consumer queries: stages stay built; best-of-reps, cache cleared
     for name, _bound, needs_batch in QSET:
+        if only is not None and name not in only:
+            continue
         fn = QUERIES[name]
         best = math.inf
         for _ in range(reps):
@@ -134,6 +167,95 @@ def _time_queries(spark, sf_dir: str, reps: int) -> dict[str, float]:
     return times
 
 
+def run_decade2(spark, reps: int, skip_gen: bool) -> int:
+    """Second-decade measurement: TOP10 at sf0.1 / sf1 / sf10, one session.
+    Writes SCALING2.json and appends the table to SCALING.md."""
+    from tools.gen_scale import amplify
+
+    if not skip_gen or not os.path.isdir(SF1):
+        print("amplifying sf0.1 x10 -> .tmp/scale/sf1 ...", flush=True)
+        amplify(spark, SF01, SF1, 10)
+    if not skip_gen or not os.path.isdir(SF10):
+        print("amplifying sf0.1 x100 -> .tmp/scale/sf10 ...", flush=True)
+        amplify(spark, SF01, SF10, 100)
+
+    only = set(TOP10)
+    print("timing TOP10 at sf0.1 ...", flush=True)
+    t01 = _time_queries(spark, SF01, reps, only=only)
+    print("timing TOP10 at sf1 ...", flush=True)
+    t1 = _time_queries(spark, SF1, reps, only=only)
+    print("timing TOP10 at sf10 ...", flush=True)
+    t10 = _time_queries(spark, SF10, reps, only=only)
+
+    bounds = {name: bound for name, bound, _ in QSET}
+    rows = []
+    for name in TOP10:
+        e1 = math.log10(t1[name] / t01[name])
+        e2 = math.log10(t10[name] / t1[name])
+        bound = bounds.get(name, DEFAULT_BOUND)
+        rows.append({
+            "query": name,
+            "t_sf01": round(t01[name], 2),
+            "t_sf1": round(t1[name], 2),
+            "t_sf10": round(t10[name], 2),
+            "exponent_d1": round(e1, 3),
+            "exponent_d2": round(e2, 3),
+            "drift": round(e2 - e1, 3),
+            "bound": bound,
+            "pass": e2 <= bound,
+        })
+    rows.sort(key=lambda r: -r["exponent_d2"])
+    artifact = {
+        "sf_points": {
+            "sf0.1": SF01,
+            "sf1": SF1 + " (gen_scale 10x)",
+            "sf10": SF10 + " (gen_scale 100x)",
+        },
+        "reps": reps,
+        "default_bound": DEFAULT_BOUND,
+        "drift_explain_threshold": DRIFT_EXPLAIN_THRESHOLD,
+        # populated by the builder after inspecting the run: every entry
+        # whose |drift| exceeds the threshold gets a one-line explanation
+        # here; tests/test_scaling_canary.py fails on silent drift.
+        "drift_notes": {},
+        "n_fail": sum(not r["pass"] for r in rows),
+        "rows": rows,
+    }
+    with open(os.path.join(HERE, "SCALING2.json"), "w") as f:
+        json.dump(artifact, f, indent=1)
+
+    md = [
+        "",
+        "## Second decade — sf1 → sf10 (top-10 heaviest entries, round 14)",
+        "",
+        "Same protocol, one session, all three points fresh (`--decade2`).",
+        "`exponent_d1` = log10(t_sf1/t_sf0.1), `exponent_d2` =",
+        "log10(t_sf10/t_sf1); the verdict binds the SECOND decade, where",
+        "fixed overhead has faded and super-linear drift would surface.",
+        f"Drift beyond ±{DRIFT_EXPLAIN_THRESHOLD} between decades is",
+        "explained below the table.",
+        "",
+        "| query | t(sf0.1) s | t(sf1) s | t(sf10) s | exp d1 | exp d2 |"
+        " drift | bound | verdict |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        md.append(
+            f"| {r['query']} | {r['t_sf01']} | {r['t_sf1']} | {r['t_sf10']}"
+            f" | {r['exponent_d1']} | {r['exponent_d2']} | {r['drift']} |"
+            f" {r['bound']} | {'ok' if r['pass'] else 'FAIL'} |"
+        )
+    md.append("")
+    md.append(f"Failures: {artifact['n_fail']}. Canary: "
+              "tests/test_scaling_canary.py (second-decade assertions).")
+    md.append("")
+    with open(os.path.join(HERE, "SCALING.md"), "a") as f:
+        f.write("\n".join(md))
+    print(json.dumps({"decade2_rows": len(rows),
+                      "n_fail": artifact["n_fail"]}))
+    return 1 if artifact["n_fail"] else 0
+
+
 def main() -> int:
     reps = 2
     skip_gen = "--skip-gen" in sys.argv
@@ -143,6 +265,8 @@ def main() -> int:
     from kafka_streams_join_spark.session import get_spark
 
     spark = get_spark("bench_scaling")
+    if "--decade2" in sys.argv:
+        return run_decade2(spark, reps, skip_gen)
     if not skip_gen or not os.path.isdir(SF1):
         print("amplifying sf0.1 x10 -> .tmp/scale/sf1 ...", flush=True)
         from tools.gen_scale import amplify
