@@ -182,7 +182,9 @@ def _mh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The minhash band-collision candidate stage (distinct pairs), shared
     verbatim with ``dedup_minhash_lsh``'s candidate leg."""
     mh_bands = _minhash_bands(_doc_shingle_sets(spark, sf_dir))
-    x, y = mh_bands.alias("x"), mh_bands.alias("y")
+    # merge hint: corpus-scaled self-join sides, never broadcastable at
+    # production scale (round 14; see dedup._simhash_mih_pairs).
+    x, y = mh_bands.alias("x").hint("merge"), mh_bands.alias("y")
     return (
         x.join(
             y,

@@ -130,7 +130,9 @@ def _ngram_candidates(spark: SparkSession, sf_dir: str):
         .select("h"),
         "h",
     )
-    a = rare.alias("a")
+    # merge hint: both sides are the corpus-scaled rare-shingle index —
+    # never broadcastable at production scale (see _simhash_mih_pairs).
+    a = rare.alias("a").hint("merge")
     b = rare.alias("b")
     cand = (
         a.join(
@@ -374,7 +376,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny) candidate list back onto the sets. No all-pairs stage anywhere."""
     docsets = _doc_shingle_sets(spark, sf_dir)
     bands = _minhash_bands(docsets)
-    x = bands.alias("x")
+    # merge hint: both sides are the corpus-scaled band frame (see
+    # _simhash_mih_pairs for the sf10 AQE-broadcast failure this pins out).
+    x = bands.alias("x").hint("merge")
     y = bands.alias("y")
     cand = (
         x.join(
@@ -529,7 +533,15 @@ def _simhash_mih_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"transform(array({probe_masks}), m -> cv ^ m)")
         ).alias("cv"),
     )
-    a = probe.alias("a")
+    # merge hint (round 14): BOTH sides of the MIH candidate self-join
+    # scale with the corpus, so broadcast is never the right physical
+    # strategy here — yet AQE's runtime conversion sees the exact side's
+    # highly-compressible shuffle bytes under the 10 MB threshold and
+    # broadcasts it; at the sf10 scale ledger the decompressed build
+    # relation exceeded spark.driver.maxResultSize (>1 GiB) and killed
+    # the query. The hint pins SortMergeJoin, which the static planner
+    # already chose (SCALING.md second decade, the round-14 finding).
+    a = probe.alias("a").hint("merge")
     b = exact.alias("b")
     return a.join(
         b,

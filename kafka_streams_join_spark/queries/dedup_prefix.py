@@ -126,7 +126,9 @@ def prefix_jaccard_pairs(docsets: DataFrame) -> DataFrame:
         )
         .select("doc_id", "n", "h")
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # merge hint: corpus-scaled self-join sides, never broadcastable at
+    # production scale (round 14; see dedup._simhash_mih_pairs).
+    a, b = prefix.alias("a").hint("merge"), prefix.alias("b")
     cand = (
         a.join(
             b,

@@ -78,7 +78,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe", "ablk")
         .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("x_rows"))
     )
-    pairs = agrp.join(bgrp, agrp.probe == bgrp.bucket).select("x_rows", "y_rows")
+    # merge hint: corpus-scaled self-join sides, never broadcastable at
+    # production scale (round 14; see dedup._simhash_mih_pairs).
+    pairs = agrp.hint("merge").join(bgrp, agrp.probe == bgrp.bucket).select(
+        "x_rows", "y_rows"
+    )
     scored = pairs.mapInPandas(
         _block_cosine_batches, "vec_a bigint, vec_b bigint, cos_raw double"
     )

@@ -587,6 +587,9 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"),
         F.col("ahash").alias("hb"),
     )
+    # merge hint: corpus-scaled self-join sides, never broadcastable at
+    # production scale (round 14; see dedup._simhash_mih_pairs).
+    a = a.hint("merge")
     cand = (
         a.join(
             b,
@@ -884,6 +887,9 @@ def mm_phash_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"),
         F.col("lhash").alias("hb"),
     )
+    # merge hint: corpus-scaled self-join sides, never broadcastable at
+    # production scale (round 14; see dedup._simhash_mih_pairs).
+    a = a.hint("merge")
     cand = (
         a.join(
             b,
