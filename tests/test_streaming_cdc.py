@@ -117,7 +117,7 @@ def test_stream_cdc_emission_and_eviction(spark, tmpdir):
             ]
         )
         drain_until_ingested(q, total_rows=2)
-        got = read_until(spark, sink, expect=n_doc + n_other, wait_s=60.0)
+        got = read_until(spark, sink, expect=n_doc + n_other, wait_s=180.0)
         assert len(got) == n_doc + n_other
 
         # batch 2: an exact re-upload ingests nothing; a head-edited
@@ -131,7 +131,7 @@ def test_stream_cdc_emission_and_eviction(spark, tmpdir):
         )
         drain_until_ingested(q, total_rows=4)
         got = read_until(
-            spark, sink, expect=n_doc + n_other + novel_edit, wait_s=60.0
+            spark, sink, expect=n_doc + n_other + novel_edit, wait_s=180.0
         )
         by_key: dict[str, int] = {}
         for r in got:
@@ -149,7 +149,7 @@ def test_stream_cdc_emission_and_eviction(spark, tmpdir):
             spark,
             sink,
             expect=len(got) + len(_chunks(spark, [E])[E]) + n_doc,
-            wait_s=60.0,
+            wait_s=180.0,
         )
         by_key = {}
         for r in got:

@@ -96,7 +96,7 @@ def test_stream_neardup_emission_and_eviction(spark, tmpdir):
             ]
         )
         drain_until_ingested(q, total_rows=2)
-        got = read_until(spark, sink, expect=16, wait_s=60.0)
+        got = read_until(spark, sink, expect=16, wait_s=180.0)
         assert len(got) == 16
 
         # batch 2: an exact dup emits nothing; a near-dup emits only its
@@ -108,7 +108,7 @@ def test_stream_neardup_emission_and_eviction(spark, tmpdir):
             ]
         )
         drain_until_ingested(q, total_rows=4)
-        got = read_until(spark, sink, expect=16 + (n_bands - shared), wait_s=60.0)
+        got = read_until(spark, sink, expect=16 + (n_bands - shared), wait_s=180.0)
         by_key: dict[str, int] = {}
         for r in got:
             by_key[r["key"]] = by_key.get(r["key"], 0) + 1
@@ -127,7 +127,7 @@ def test_stream_neardup_emission_and_eviction(spark, tmpdir):
         docs.add_batch([{"key": "d6", "value": A, "ts": "2024-01-01T01:00:05"}])
         drain_until_ingested(q, total_rows=6)
         got = read_until(
-            spark, sink, expect=len(got) + n_bands + n_bands, wait_s=60.0
+            spark, sink, expect=len(got) + n_bands + n_bands, wait_s=180.0
         )
         by_key = {}
         for r in got:
@@ -167,7 +167,7 @@ def test_stream_novelty_counts_chains_two_stateful_ops(spark, tmpdir):
         drain_until_ingested(q, total_rows=4)
         got = {
             r["key"]: r["novel_bands"]
-            for r in read_until(spark, sink, expect=2, wait_s=60.0)
+            for r in read_until(spark, sink, expect=2, wait_s=180.0)
         }
     finally:
         q.stop()
@@ -191,7 +191,7 @@ def test_stream_neardup_short_doc_fallback(spark, tmpdir):
             ]
         )
         q.processAllAvailable()
-        got = read_until(spark, sink, expect=16, wait_s=60.0)
+        got = read_until(spark, sink, expect=16, wait_s=180.0)
         by_key: dict[str, int] = {}
         for r in got:
             by_key[r["key"]] = by_key.get(r["key"], 0) + 1
