@@ -123,6 +123,8 @@ from . import bpe_sweep  # noqa: E402,F401
 from . import hll_sweep  # noqa: E402,F401
 from . import candidate_budget  # noqa: E402,F401
 from . import kmv_sweep  # noqa: E402,F401
+# round-14 additions
+from . import sketches_cm  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
