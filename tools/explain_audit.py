@@ -78,6 +78,8 @@ AUDITED = [
     ("sim_recall_report", "ANN recall audit: both legs as registered, result-sized join"),
     ("dedup_normalized_exact", "normalized exact dedup: row-local chain, aggregate-only plan"),
     ("layout_compaction_plan", "compaction planning: per-partition window, no global sort"),
+    ("sketch_countmin_point_error", "Count-Min heavy-hitter audit: sketch built from aggregated counts, broadcast point queries"),
+    ("sketch_histogram_quantiles", "frozen-domain histogram quantiles: bounded value-domain windows only"),
 ]
 
 # Round 5: the audit covers the WHOLE registry. Any registered query not
