@@ -125,6 +125,7 @@ from . import candidate_budget  # noqa: E402,F401
 from . import kmv_sweep  # noqa: E402,F401
 # round-14 additions
 from . import sketches_cm  # noqa: E402,F401
+from . import multimodal_resize  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
