@@ -80,6 +80,7 @@ AUDITED = [
     ("layout_compaction_plan", "compaction planning: per-partition window, no global sort"),
     ("sketch_countmin_point_error", "Count-Min heavy-hitter audit: sketch built from aggregated counts, broadcast point queries"),
     ("sketch_histogram_quantiles", "frozen-domain histogram quantiles: bounded value-domain windows only"),
+    ("mm_resize_decoded", "decode + NN-resize thumbnail: row-local mapInPandas, zero Exchange"),
 ]
 
 # Round 5: the audit covers the WHOLE registry. Any registered query not
