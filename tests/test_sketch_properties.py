@@ -116,6 +116,29 @@ def test_histogram_readoff_within_one_bin(vals, q):
 
 
 @settings(max_examples=60)
+@given(values, st.sampled_from((50, 90, 99)))
+def test_streaming_readoff_agrees_with_batch_rule(vals, q):
+    """The streaming monitor's ``hist_quantile_est`` computes exactly the
+    batch query's read-off (first bin reaching ceil(q·n/100), inclusive
+    upper edge) for any value list — one rule, two surfaces."""
+    from kafka_streams_join_spark.streaming.histogram import (
+        HB,
+        hist_bin,
+        hist_quantile_est,
+    )
+
+    grid = [0] * HB
+    for v in vals:
+        grid[hist_bin(v)] += 1
+    clamped = sorted(min(_HQ_HI - 1, max(_HQ_LO, v)) for v in vals)
+    n = len(clamped)
+    target = (q * n + 99) // 100
+    exact = clamped[target - 1]
+    est = hist_quantile_est(grid, q)
+    assert est == (exact // _HQ_W + 1) * _HQ_W - 1
+
+
+@settings(max_examples=60)
 @given(st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1), max_size=300))
 def test_kmv_state_is_set_function_with_exact_merge(hs):
     """KMV state == k smallest DISTINCT hashes regardless of order or
