@@ -121,15 +121,19 @@ def _hist_fn(
 
 def stream_histogram(events: DataFrame, shards: int = 8) -> DataFrame:
     """Maintain per-shard frozen-domain histograms over a stream of
-    events (needs event_id and a long ``value`` column). Emits one
+    events (needs event_id and a numeric ``value`` column; doubles floor-bin
+    exactly like the batch rule). Emits one
     snapshot row per shard per micro-batch carrying the B-cell grid and
     the shard-local p50/p90/p99 read-offs; shard grids merge by cell-wise
     addition (the tests drive the merge and the one-bin bound). Module
     docstring has the bin, additivity, and O(B) state contracts."""
+    # the batch query's exact rule, floor-first so DOUBLE value columns
+    # (the corpus's events.value) bin identically to longs
     keyed = events.select(
         (F.col("event_id") % shards).alias("shard"),
         F.expr(
-            f"least({_HQ_HI - 1}, greatest({_HQ_LO}, value)) div {HW}"
+            f"least({_HQ_HI - 1}, greatest({_HQ_LO},"
+            f" cast(floor(value) as bigint))) div {HW}"
         ).alias("bin"),
     )
     return keyed.groupBy("shard").applyInPandasWithState(
