@@ -181,6 +181,51 @@ def bench_curation(spark, *, batches=CURATION_BATCHES,
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_sketch_monitors(spark, *, batches=JOIN_BATCHES,
+                          rows_per_batch=JOIN_ROWS_PER_BATCH) -> list[dict]:
+    """The round-14 mergeable-sketch monitors (Count-Min frequency grid,
+    frozen-domain histogram) at bench scale: one keyed event stream,
+    per-shard constant-size state, one snapshot row per shard per
+    micro-batch. Throughput here is dominated by rows hashed/binned
+    JVM-side + one np.bincount per shard-batch — the sketch state itself
+    is O(1), so rows/s is the honest capacity signal."""
+    from kafka_streams_join_spark.streaming.countmin import stream_countmin
+    from kafka_streams_join_spark.streaming.harness import FileStream
+    from kafka_streams_join_spark.streaming.histogram import stream_histogram
+
+    shards = 8
+    out = []
+    for metric, build in (
+        ("streaming_countmin_monitor", stream_countmin),
+        ("streaming_histogram_monitor", stream_histogram),
+    ):
+        root = tempfile.mkdtemp(prefix="bench_mon_")
+        try:
+            src = FileStream(
+                spark, root, "events",
+                schema="ts timestamp, event_id long, user_id long, value long",
+            )
+            n_in = 0
+            for b in range(batches):
+                rows = []
+                for i in range(rows_per_batch):
+                    g = b * rows_per_batch + i
+                    rows.append({
+                        "ts": _ts(g),
+                        "event_id": g,
+                        "user_id": (g * g) % 997,  # skewed key reuse
+                        "value": (g * 37) % 150_000,  # exercises the clamp
+                    })
+                src.add_batch(rows)
+                n_in += len(rows)
+            mon = build(src.df(), shards=shards)
+            secs, n_out = _timed_drain(spark, mon, root, shards * batches)
+            out.append(_record(metric, n_in, n_out, secs, batches=batches))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _timed_drain(spark, df, root, expect_min: int) -> tuple[float, int]:
     from kafka_streams_join_spark.streaming.harness import (
         read_until,
@@ -239,6 +284,10 @@ def main() -> int:
     results = []
     for fn in (bench_interval_join, bench_timeout_join, bench_curation):
         rec = fn(spark)
+        rec["round"] = rnd
+        results.append(rec)
+        print(json.dumps(rec))
+    for rec in bench_sketch_monitors(spark):
         rec["round"] = rnd
         results.append(rec)
         print(json.dumps(rec))
