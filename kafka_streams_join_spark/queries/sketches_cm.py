@@ -282,7 +282,7 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumv = vals.withColumn(
         "cum_n", F.sum("cnt").over(Window.orderBy("v"))
     )
-    qs = spark.createDataFrame([(q,) for q in _HQ_QS], "q int")
+    qs = spark.createDataFrame([(q,) for q in _HQ_QS], "q int").coalesce(1)
     tgt = qs.crossJoin(F.broadcast(tot)).select(
         "q",
         "n_rows",
@@ -316,5 +316,151 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"cast((est_bin + 1) * {_HQ_W} - 1 - exact_value as bigint)"
             ).alias("overest"),
             F.lit(_HQ_W).cast("bigint").alias("bin_width"),
+        )
+    )
+
+
+# --- histogram bins sweep (the family's memory/accuracy dial) -------------
+_HQS_BS = (64, 256, 1024)  # bins: widths 2048 / 512 / 128 over the domain
+
+
+@register(
+    "sketch_histogram_bins_sweep",
+    oracle=f"""
+    WITH vals AS (
+      SELECT {_HQ_V_SQL} AS v, count(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(cnt) AS n_rows FROM vals),
+    cumv AS (
+      SELECT v, sum(cnt) OVER (ORDER BY v) AS cum_n FROM vals
+    ),
+    bs(n_bins) AS (VALUES {", ".join(f"({b})" for b in _HQS_BS)}),
+    qs(q) AS (VALUES {", ".join(f"({q})" for q in _HQ_QS)}),
+    tgt AS (
+      SELECT b.n_bins, ({_HQ_HI} - {_HQ_LO}) // b.n_bins AS bin_width,
+             qs.q, t.n_rows, (qs.q * t.n_rows + 99) // 100 AS target_rank
+      FROM bs b CROSS JOIN qs CROSS JOIN tot t
+    ),
+    hist AS (
+      SELECT b.n_bins, vals.v // (({_HQ_HI} - {_HQ_LO}) // b.n_bins) AS bin,
+             sum(vals.cnt) AS c
+      FROM bs b CROSS JOIN vals GROUP BY 1, 2
+    ),
+    cumh AS (
+      SELECT n_bins, bin,
+             sum(c) OVER (PARTITION BY n_bins ORDER BY bin) AS cum_c
+      FROM hist
+    ),
+    est AS (
+      SELECT t.n_bins, t.q, min(h.bin) AS est_bin
+      FROM tgt t JOIN cumh h
+        ON h.n_bins = t.n_bins AND h.cum_c >= t.target_rank
+      GROUP BY t.n_bins, t.q
+    ),
+    ex AS (
+      SELECT q, min(c.v) AS exact_value
+      FROM (SELECT DISTINCT q, target_rank FROM tgt) t
+      JOIN cumv c ON c.cum_n >= t.target_rank
+      GROUP BY q
+    )
+    SELECT CAST(t.n_bins AS BIGINT) AS n_bins,
+           CAST(t.bin_width AS BIGINT) AS bin_width,
+           CAST(t.q AS BIGINT) AS q,
+           CAST((e.est_bin + 1) * t.bin_width - 1 AS BIGINT) AS est_value,
+           CAST(x.exact_value AS BIGINT) AS exact_value,
+           CAST((e.est_bin + 1) * t.bin_width - 1 - x.exact_value AS BIGINT)
+             AS overest
+    FROM tgt t
+    JOIN est e ON e.n_bins = t.n_bins AND e.q = t.q
+    JOIN ex x ON x.q = t.q
+    """,
+)
+def sketch_histogram_bins_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The histogram sketch's memory/accuracy dial, in the family's sweep
+    idiom (``sketch_hll_precision_sweep`` / ``sketch_kmv_distinct_sweep``
+    / ``sketch_bloom_size_sweep``): the same frozen-domain read-off at
+    B ∈ {64, 256, 1024} bins (widths 2048/512/128), each row certifying
+    0 ≤ overest < bin_width against the exact lower quantile — the
+    halve-the-memory/halve-the-error tradeoff a deployment reads before
+    sizing its stats tables.
+
+    Scale: ONE corpus scan (the staged distinct-dollar frame shared with
+    ``sketch_histogram_quantiles``); each B's histogram groups the
+    ≤ 131072-row bounded value frame, never the corpus; windows run per
+    (B, bin) over ≤ B rows; the 9-row target frame broadcasts."""
+    vals = _staged(
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.expr(_HQ_V_SPARK).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = vals.agg(F.sum("cnt").alias("n_rows"))
+    from pyspark.sql.window import Window
+
+    cumv = vals.withColumn("cum_n", F.sum("cnt").over(Window.orderBy("v")))
+    # literal frames MUST be single-partition: createDataFrame defaults to
+    # defaultParallelism partitions, and a 3x3 CartesianProduct of two
+    # 32-partition literals schedules 1024 near-empty tasks (~30 ms each
+    # measured, ~34 s of pure overhead at local[32]). The 9-row (B, q)
+    # grid is one literal frame, not a join.
+    bs = spark.createDataFrame([(b,) for b in _HQS_BS], "n_bins int").coalesce(1)
+    bq = spark.createDataFrame(
+        [(b, q) for b in _HQS_BS for q in _HQ_QS], "n_bins int, q int"
+    ).coalesce(1)
+    tgt = (
+        bq.crossJoin(F.broadcast(tot))
+        .select(
+            "n_bins",
+            F.expr(f"({_HQ_HI} - {_HQ_LO}) div n_bins").alias("bin_width"),
+            "q",
+            "n_rows",
+            F.expr("(q * n_rows + 99) div 100").alias("target_rank"),
+        )
+    )
+    # vals keeps its partitioning: the 3-row bins frame is the broadcast
+    # side (streamed BNLJ over both inputs' partition grids otherwise —
+    # 32x32 = 1024 near-empty tasks, measured 35+ s of pure overhead)
+    hist = (
+        vals.crossJoin(F.broadcast(bs))
+        .groupBy(
+            "n_bins",
+            F.expr(f"v div (({_HQ_HI} - {_HQ_LO}) div n_bins)").alias("bin"),
+        )
+        .agg(F.sum("cnt").alias("c"))
+    )
+    cumh = hist.withColumn(
+        "cum_c",
+        F.sum("c").over(Window.partitionBy("n_bins").orderBy("bin")),
+    )
+    est = (
+        F.broadcast(tgt)
+        .join(
+            cumh,
+            (F.col("cum_c") >= F.col("target_rank"))
+            & (cumh["n_bins"] == tgt["n_bins"]),
+        )
+        .groupBy(tgt["n_bins"], "q")
+        .agg(F.min("bin").alias("est_bin"))
+    )
+    ex = (
+        F.broadcast(tgt.select("q", "target_rank").distinct())
+        .join(cumv, F.col("cum_n") >= F.col("target_rank"))
+        .groupBy("q")
+        .agg(F.min("v").alias("exact_value"))
+    )
+    return (
+        tgt.join(F.broadcast(est), ["n_bins", "q"])
+        .join(F.broadcast(ex), "q")
+        .select(
+            F.col("n_bins").cast("bigint").alias("n_bins"),
+            F.col("bin_width").cast("bigint").alias("bin_width"),
+            F.col("q").cast("bigint").alias("q"),
+            F.expr("cast((est_bin + 1) * bin_width - 1 as bigint)").alias(
+                "est_value"
+            ),
+            F.col("exact_value").cast("bigint").alias("exact_value"),
+            F.expr(
+                "cast((est_bin + 1) * bin_width - 1 - exact_value as bigint)"
+            ).alias("overest"),
         )
     )

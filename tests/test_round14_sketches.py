@@ -156,3 +156,73 @@ def test_histogram_quantiles_plan(spark):
     # onto bounded value-domain frames; data x data cartesians never appear
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_histogram_bins_sweep_matches_pure_python_replay(spark):
+    """The B-sweep read-off replayed exactly: per B in {64,256,1024} and
+    q in {50,90,99}, the first-bin-reaching-target rule at that B's width,
+    certified against the same exact lower quantile."""
+    from kafka_streams_join_spark.queries.sketches_cm import _HQS_BS
+
+    rows = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_extendedprice")
+        .collect()
+    )
+    vs = sorted(
+        min(_HQ_HI - 1, max(_HQ_LO, int(math.floor(r["l_extendedprice"]))))
+        for r in rows
+    )
+    n = len(vs)
+    got = {
+        (r["n_bins"], r["q"]): r
+        for r in QUERIES["sketch_histogram_bins_sweep"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {(b, q) for b in _HQS_BS for q in _HQ_QS}
+    for b in _HQS_BS:
+        width = (_HQ_HI - _HQ_LO) // b
+        hist = Counter(v // width for v in vs)
+        for q in _HQ_QS:
+            target = (q * n + 99) // 100
+            exact = vs[target - 1]
+            cum = 0
+            est_bin = None
+            for bin_ in sorted(hist):
+                cum += hist[bin_]
+                if cum >= target:
+                    est_bin = bin_
+                    break
+            r = got[(b, q)]
+            assert r["bin_width"] == width
+            assert r["est_value"] == (est_bin + 1) * width - 1
+            assert r["exact_value"] == exact
+            assert r["overest"] == r["est_value"] - exact
+            assert 0 <= r["overest"] < width, r
+
+
+def test_histogram_bins_sweep_error_shrinks_with_bins(spark):
+    """The dial the sweep exists to show: for each q, the overestimate
+    BOUND halves as bins double; the measured overestimate never grows
+    beyond the wider bound (monotone bound, not monotone point error)."""
+    rows = QUERIES["sketch_histogram_bins_sweep"](spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["n_bins"])
+        widths = [r["bin_width"] for r in rs]
+        assert widths == sorted(widths, reverse=True)
+        for r in rs:
+            assert r["overest"] < r["bin_width"]
+
+
+def test_histogram_bins_sweep_plan(spark):
+    """One pruned 1-column scan; the 9-row (B, q) grid is a single
+    literal frame (no CartesianProduct — a 32x32-partition literal
+    cartesian cost ~34 s of task overhead before the round-14 fix);
+    sketch-side joins broadcast."""
+    df = QUERIES["sketch_histogram_bins_sweep"](spark, SF_SMOKE)
+    assert_read_schema_pruned(df, max_columns=1)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
