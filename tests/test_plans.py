@@ -755,6 +755,15 @@ def test_registry_wide_no_data_sized_global_funnel(spark):
             hit = [i for i in ids if re.search(rf"\b{i}#", cols)]
             if hit:
                 offenders.append((name, f"{kind} carries {hit}"))
+        # round-14 addition (same explain pass): no CartesianProduct
+        # anywhere. Data x data cartesians are the O(n^2) killer; even a
+        # literal x literal cartesian schedules LEFT x RIGHT partitions
+        # (two 32-partition 3-row literals = 1024 near-empty tasks, ~34 s
+        # of measured scheduling overhead before the sketch_histogram_
+        # bins_sweep fix). Verified zero hits over all 340 plans — keep
+        # it that way: build literal grids as ONE coalesced frame.
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
     assert not offenders, offenders
 
 
