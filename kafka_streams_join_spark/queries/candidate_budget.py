@@ -62,8 +62,10 @@ from .dedup import (
     _MINHASH_SQL_PARAMS,
     _P,
     _TOKS_SQL,
+    JACCARD_THRESHOLD,
     SHINGLE_DF_CAP,
     SIMHASH_BITS,
+    SIMHASH_MAX_HAMMING,
     SIMHASH_MIH_CHUNKS,
     _MIH_WIDTH,
     _SHINGLES_SQL,
@@ -75,7 +77,6 @@ from .dedup import (
     _ngram_candidates,
     _simhash_mih_pairs,
     dedup_minhash_lsh,
-    dedup_ngram_jaccard,
     dedup_simhash,
     neardup_pairs,
 )
@@ -197,31 +198,17 @@ def _mh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _budget_report(
-    spark: SparkSession,
-    sf_dir: str,
-    tiers: list[tuple[str, DataFrame, DataFrame]],
+def _report_tail(
+    spark: SparkSession, sf_dir: str, t: DataFrame
 ) -> DataFrame:
-    """The shared 3-row report tail over (tier, candidates, survivors)
-    pair frames — six 1-row aggregates, exact-integer ppm columns."""
+    """The shared exact-integer ppm projection over a (tier, n_candidates,
+    n_survivors) count frame — one corpus-count crossJoin, DECIMAL(38,0)
+    widening before the ppm products (module docstring)."""
     pop = F.broadcast(
         load_table(spark, sf_dir, "documents").agg(
             F.count(F.lit(1)).alias("n_docs")
         )
     )
-
-    def tier(name: str, cand: DataFrame, surv: DataFrame) -> DataFrame:
-        return (
-            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-            .crossJoin(
-                F.broadcast(surv.agg(F.count(F.lit(1)).alias("n_survivors")))
-            )
-            .select(F.lit(name).alias("tier"), "n_candidates", "n_survivors")
-        )
-
-    t = tier(*tiers[0])
-    for row in tiers[1:]:
-        t = t.unionByName(tier(*row))
     return t.crossJoin(pop).select(
         "tier",
         F.col("n_docs").cast("bigint").alias("n_docs"),
@@ -238,6 +225,59 @@ def _budget_report(
     )
 
 
+def _budget_report(
+    spark: SparkSession,
+    sf_dir: str,
+    tiers: list[tuple[str, DataFrame, DataFrame]],
+) -> DataFrame:
+    """The 3-row report over (tier, candidates, survivors) PAIR-FRAME
+    pairs — six 1-row aggregates (the materialized mode's shape: each
+    count is a scan of an already-written pair table)."""
+
+    def tier(name: str, cand: DataFrame, surv: DataFrame) -> DataFrame:
+        return (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(
+                F.broadcast(surv.agg(F.count(F.lit(1)).alias("n_survivors")))
+            )
+            .select(F.lit(name).alias("tier"), "n_candidates", "n_survivors")
+        )
+
+    t = tier(*tiers[0])
+    for row in tiers[1:]:
+        t = t.unionByName(tier(*row))
+    return _report_tail(spark, sf_dir, t)
+
+
+def _verified_report(
+    spark: SparkSession,
+    sf_dir: str,
+    tiers: list[tuple[str, DataFrame]],
+) -> DataFrame:
+    """The 3-row report over VERIFIED candidate frames (doc_a, doc_b, ok):
+    one distinct pair per row, ``ok`` = 1 iff the pair survives the tier's
+    exact verification. ``n_candidates`` and ``n_survivors`` come out of
+    ONE conditional aggregate per tier — the round-14 direct-mode rework
+    (guide §2.4): the candidate stage, the tier's dominant cost, executes
+    once instead of once per leg (counting distinct candidates and then
+    re-deriving the same frame under the survivor leg doubled every
+    tier's bucket self-join; ReuseExchange does not dedupe across the
+    union branches)."""
+
+    def tier(name: str, verified: DataFrame) -> DataFrame:
+        return verified.agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.coalesce(F.sum("ok"), F.lit(0)).cast("long").alias(
+                "n_survivors"
+            ),
+        ).select(F.lit(name).alias("tier"), "n_candidates", "n_survivors")
+
+    t = tier(*tiers[0])
+    for row in tiers[1:]:
+        t = t.unionByName(tier(*row))
+    return _report_tail(spark, sf_dir, t)
+
+
 @register("dedup_candidate_budget_audit", oracle=_BUDGET_ORACLE)
 def dedup_candidate_budget_audit(
     spark: SparkSession, sf_dir: str
@@ -245,26 +285,81 @@ def dedup_candidate_budget_audit(
     """Per dedup tier: candidate-pair budget, candidates per document, and
     verification precision — the numbers that decide whether a tier's
     knobs survive the next 10× of corpus growth (module docstring). The
-    DIRECT mode: both legs recomputed in one query, deliberately unstaged
-    (intermediates out-size the work above them — measured, round 13)."""
-    ng_cand, _ = _ngram_candidates(spark, sf_dir)
-    return _budget_report(
+    DIRECT mode, one-pass form (round 14): each tier builds its candidate
+    frame ONCE, verifies every candidate, and a single conditional
+    aggregate reads off both counts — the candidate count is the row
+    count and the survivor count is the count of verified rows, exactly
+    the relation the registered member queries define (``ok`` is the
+    member's own verification predicate over the member's own frames).
+    Still deliberately unstaged between stages (intermediates out-size
+    the work above them — measured, round 13)."""
+    # minhash tier: candidates = band collisions; ok = exact Jaccard >= t
+    # over the same docsets frame (dedup_minhash_lsh's verification)
+    docsets = _doc_shingle_sets(spark, sf_dir)
+    bands = _minhash_bands(docsets)
+    x, y = bands.alias("x").hint("merge"), bands.alias("y")
+    mh_cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_sig") == F.col("y.band_sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa, sb = docsets.alias("sa"), docsets.alias("sb")
+    mh_inter = F.size(F.expr("array_intersect(sa.hs60, sb.hs60)"))
+    mh_union = F.size(F.col("sa.hs60")) + F.size(F.col("sb.hs60")) - mh_inter
+    mh_verified = (
+        mh_cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (mh_inter / mh_union >= JACCARD_THRESHOLD)
+            .cast("int")
+            .alias("ok"),
+        )
+    )
+    # ngram tier: candidates = rare-shingle co-occurrence; ok = exact
+    # Jaccard >= t over the shared docsets (dedup_ngram_jaccard's verify)
+    ng_cand, ng_sets = _ngram_candidates(spark, sf_dir)
+    ga, gb = ng_sets.alias("ga"), ng_sets.alias("gb")
+    ng_inter = F.size(F.expr("array_intersect(ga.hs, gb.hs)"))
+    ng_jac = ng_inter / (F.col("ga.n") + F.col("gb.n") - ng_inter)
+    ng_verified = (
+        ng_cand.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+        .join(gb, F.col("doc_b") == F.col("gb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (ng_jac >= JACCARD_THRESHOLD).cast("int").alias("ok"),
+        )
+    )
+    # simhash tier: candidates = MIH chunk collisions; ok = exact Hamming
+    # <= max (dedup_simhash's verify). ``ok`` is a function of the pair's
+    # signatures, so the distinct lands one row per candidate pair.
+    sh_verified = (
+        _simhash_mih_pairs(spark, sf_dir)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.expr("bit_count(ha ^ hb)") <= SIMHASH_MAX_HAMMING)
+            .cast("int")
+            .alias("ok"),
+        )
+        .distinct()
+    )
+    return _verified_report(
         spark,
         sf_dir,
         [
-            (
-                "minhash_band",
-                _mh_candidates(spark, sf_dir),
-                dedup_minhash_lsh(spark, sf_dir),
-            ),
-            ("ngram_rare_shingle", ng_cand, dedup_ngram_jaccard(spark, sf_dir)),
-            (
-                "simhash_mih",
-                _simhash_mih_pairs(spark, sf_dir)
-                .select("doc_a", "doc_b")
-                .distinct(),
-                dedup_simhash(spark, sf_dir),
-            ),
+            ("minhash_band", mh_verified),
+            ("ngram_rare_shingle", ng_verified),
+            ("simhash_mih", sh_verified),
         ],
     )
 

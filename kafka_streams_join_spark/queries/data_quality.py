@@ -28,6 +28,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -477,11 +478,18 @@ def dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic q1 − 1.5·iqr is the same IEEE expression on both engines —
     and only the report columns are rounded.
 
-    Scale: the unpivot is a projection (no extra scan — one pass stacks 3
-    columns); exact percentile is one sort-based agg per column key (3
-    groups), and the fence counts re-aggregate the same stacked frame
-    with the 3-row quantile table broadcast back; swap in
-    ``approx_percentile`` past memory-bound group sizes."""
+    Scale (round-14 rework, guide §2.3 "aggregate before you shuffle"):
+    the unpivot is a projection (no extra scan — one pass stacks 3
+    columns), then ONE partial+final hash aggregate collapses the stacked
+    rows to per-(column, value) counts — the money/quantity/discount
+    columns live on small value lattices, so the row count crossing the
+    shuffle drops from 3·|lineitem| to the distinct-value count. Exact
+    q1/q3 come from ``percentile(v, p, cnt)`` (the frequency form — the
+    SAME value→count accumulation the raw spelling builds internally, so
+    results are bit-identical), and the fence counts are cnt-weighted
+    conditional sums over the same tiny value-count frame (3-row quantile
+    table broadcast back). Swap in ``approx_percentile`` past
+    memory-bound distinct-value counts."""
     li = load_table(spark, sf_dir, "lineitem")
     stacked = li.select(
         F.expr(
@@ -490,18 +498,21 @@ def dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'l_discount', l_discount) as (col_name, v)"
         )
     )
-    q = stacked.groupBy("col_name").agg(
-        F.expr("percentile(v, 0.25)").alias("q1"),
-        F.expr("percentile(v, 0.75)").alias("q3"),
+    vc = _staged(
+        stacked.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    joined = stacked.join(F.broadcast(q), "col_name")
+    q = vc.groupBy("col_name").agg(
+        F.expr("percentile(v, 0.25, cnt)").alias("q1"),
+        F.expr("percentile(v, 0.75, cnt)").alias("q3"),
+    )
+    joined = vc.join(F.broadcast(q), "col_name")
     lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
     hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
     return joined.groupBy("col_name", "q1", "q3").agg(
-        F.sum(F.when(F.col("v") < lo, 1).otherwise(0))
+        F.sum(F.when(F.col("v") < lo, F.col("cnt")).otherwise(0))
         .cast("bigint")
         .alias("n_below"),
-        F.sum(F.when(F.col("v") > hi, 1).otherwise(0))
+        F.sum(F.when(F.col("v") > hi, F.col("cnt")).otherwise(0))
         .cast("bigint")
         .alias("n_above"),
     ).select(
