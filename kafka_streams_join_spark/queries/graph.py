@@ -107,6 +107,63 @@ def _wpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, d): symmetric co-purchase degree per node — one aggregate
+    over the edges table. Cross-query staged like ``_edges`` (round 14):
+    six registered consumers (PageRank, degree distribution, triangle
+    count, local clustering, assortativity, rich club) each re-ran the
+    identical aggregate; the staged table is node-count-sized."""
+    return staged_table(
+        _edges(spark, sf_dir)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d")),
+        f"graph_deg::{sf_dir}",
+        src_dir=sf_dir,
+    )
+
+
+def _oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v): each undirected edge oriented from its lower-(degree, id)
+    endpoint — the compact-forward edge iterator ``graph_triangle_count``
+    and ``graph_local_clustering`` both enumerate triangles over.
+    Cross-query staged (round 14): the two consumers re-ran the same
+    two degree joins; the table is one row per undirected edge."""
+    edges = _staged(_edges(spark, sf_dir))
+    deg = _staged(_degrees(spark, sf_dir))
+    return staged_table(
+        edges.join(
+            deg.select(F.col("node").alias("src"), F.col("d").alias("du")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("d").alias("dv")),
+            "dst",
+        )
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        f"graph_oriented::{sf_dir}",
+        src_dir=sf_dir,
+    )
+
+
+def _oriented_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, nbrs): out-neighbor arrays of the oriented edge frame —
+    out-degrees are bounded O(√m) by the orientation, so arrays stay
+    small at hub nodes. Cross-query staged with ``_oriented`` (round 14;
+    same two consumers). Array ORDER is collection-order-dependent, but
+    both consumers only intersect/size the arrays — order-free."""
+    return staged_table(
+        _oriented(spark, sf_dir)
+        .groupBy("u")
+        .agg(F.collect_list("v").alias("nbrs")),
+        f"graph_oadj::{sf_dir}",
+        src_dir=sf_dir,
+    )
+
+
 def _pagerank_oracle() -> str:
     itr = "\n".join(
         f""",
@@ -150,12 +207,11 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-iteration plan shape."""
     # staged: the 5 unrolled iterations reference edges ~6x and deg ~11x;
     # unstaged, each reference re-ran the basket fan-out / the degree
-    # aggregate from the scan (review finding, round 5)
+    # aggregate from the scan (review finding, round 5). Both come off
+    # the cross-query tables (round 14).
     edges = _staged(_edges(spark, sf_dir))
     deg = _staged(
-        edges.groupBy(F.col("src").alias("node")).agg(
-            F.count(F.lit(1)).alias("degree")
-        )
+        _degrees(spark, sf_dir).withColumnRenamed("d", "degree")
     )
     ranks = deg.select("node", F.lit(PR_START).cast("long").alias("rank"))
     for _ in range(PR_ITERS):
@@ -223,11 +279,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one basket fan-out (the shared bounded-candidate edge stage),
     one degree aggregate, one histogram aggregate over the
     degree-cardinality frame; the node count broadcasts."""
-    edges = _edges(spark, sf_dir)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
-    )
-    deg = _staged(deg)
+    deg = _staged(_degrees(spark, sf_dir).withColumnRenamed("d", "degree"))
     n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     return (
         deg.groupBy("degree")
@@ -324,27 +376,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     three orders of magnitude past the 100-TB target, so unlike the
     per-pair lift numerators (DECIMAL(38,0), see orders_copurchase_lift)
     this 1-row computation deliberately stays BIGINT."""
-    edges = _staged(_edges(spark, sf_dir))
-    und = _staged(edges.filter(F.col("src") < F.col("dst")))
-    deg = _staged(
-        edges.groupBy(F.col("src").alias("node")).agg(
-            F.count(F.lit(1)).alias("d")
-        )
-    )
-    e = (
-        und.join(deg.withColumnRenamed("node", "src").withColumnRenamed("d", "da"), "src")
-        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("d", "db"), "dst")
-    )
-    fwd = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("src") < F.col("dst"))
-    )
-    o = _staged(
-        e.select(
-            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
-            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
-        )
-    )
-    adj = _staged(o.groupBy("u").agg(F.collect_list("v").alias("nbrs")))
+    # oriented edges, adjacency arrays, and degrees come off the
+    # cross-query tables (round 14 — shared with graph_local_clustering;
+    # the orientation here spelled when(fwd) over the u<v edges, the
+    # LCC spelling filters the symmetric frame: identical row sets)
+    deg = _staged(_degrees(spark, sf_dir))
+    o = _staged(_oriented(spark, sf_dir))
+    adj = _staged(_oriented_adj(spark, sf_dir))
     tri = (
         o.join(adj.select("u", F.col("nbrs").alias("nu")), "u")
         .join(adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv")), "v")
@@ -362,7 +400,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_wedges_undirected"),
         )
-        .crossJoin(F.broadcast(und.agg(F.count(F.lit(1)).alias("n_edges"))))
+        # n_edges off the oriented frame: exactly one row per undirected
+        # edge, so the count equals the old src<dst filter's
+        .crossJoin(F.broadcast(o.agg(F.count(F.lit(1)).alias("n_edges"))))
     )
     return tots.crossJoin(F.broadcast(tri)).select(
         "n_nodes",
@@ -390,6 +430,33 @@ _CN_TOPN = 20
 # contract, not an approximation of the exact counts: mirrored verbatim
 # in the oracle (the SHINGLE_DF_CAP pattern, queries/dedup.py).
 _CN_CAP = 24
+
+
+def _capped_adj0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v): the one-directed top-{_CN_CAP}-by-weight adjacency over the
+    symmetric weighted pair frame — the shared capped-neighbor stage of
+    ``graph_common_neighbors`` (used as-is) and ``graph_jaccard_neighbors``
+    (mutual-filtered on top). Cross-query staged like ``_edges``
+    (round 14): both consumers re-ran the identical window cap from the
+    wpairs table; the staged table is ≤ {_CN_CAP}·|nodes| narrow int rows.
+    The cap itself plans as WindowGroupLimit (partial per-partition top-d
+    heaps before the shuffle)."""
+    from pyspark.sql import Window
+
+    wpairs = _staged(_wpairs(spark, sf_dir))
+    sym = wpairs.unionByName(
+        wpairs.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+        )
+    )
+    cap_w = Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v"))
+    return staged_table(
+        sym.withColumn("rn", F.row_number().over(cap_w))
+        .filter(F.col("rn") <= _CN_CAP)
+        .select("u", "v"),
+        f"graph_adj0::{sf_dir}",
+        src_dir=sf_dir,
+    )
 
 
 @register(
@@ -440,30 +507,17 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     middle vertex, Σ deg² work that squares hub degrees at scale — so the
     per-node neighbor list is capped top-{_CN_CAP} by co-purchase weight
     FIRST (see _CN_CAP), a stated recall contract mirrored in the oracle.
-    The weighted pair frame is built once and STAGED (it feeds both
-    symmetric directions and the anti-join; unstaged it re-ran the
-    basket fan-out three times), and the capped adjacency is staged
-    for its two-sided self-join. The cap itself plans as WindowGroupLimit
-    (partial per-partition top-d heaps before the shuffle). Existing-edge
-    removal is an equi anti-join on (a, b); the top-N is ORDER BY + LIMIT
+    The capped adjacency comes off the cross-query ``_capped_adj0``
+    table (round 14 — shared with ``graph_jaccard_neighbors``) and is
+    cache-staged for its two-sided self-join; the cap itself plans as
+    WindowGroupLimit (partial per-partition top-d heaps before the
+    shuffle). Existing-edge removal is an equi anti-join on (a, b)
+    against the wpairs table; the top-N is ORDER BY + LIMIT
     (TakeOrdered heaps), ranked row-locally afterwards."""
     from pyspark.sql import Window
 
-    # staged: both branches of the sym union and the anti-join consume it
-    # — unstaged, the basket fan-out + weight aggregate would execute
-    # three times (the recompute the round-7 rework fixed)
     wpairs = _staged(_wpairs(spark, sf_dir))
-    sym = wpairs.unionByName(
-        wpairs.select(
-            F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
-        )
-    )
-    cap_w = Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v"))
-    adj = _staged(
-        sym.withColumn("rn", F.row_number().over(cap_w))
-        .filter(F.col("rn") <= _CN_CAP)
-        .select("u", "v")
-    )
+    adj = _staged(_capped_adj0(spark, sf_dir))
     e1 = adj.select(F.col("u").alias("m"), F.col("v").alias("a"))
     e2 = adj.select(F.col("u").alias("m"), F.col("v").alias("b"))
     wedge = (
@@ -791,19 +845,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized capped-degree frame, TakeOrdered top-N."""
     from pyspark.sql import Window
 
-    # staged: both branches of the sym union consume it — unstaged, the
-    # basket fan-out + weight aggregate would execute twice (the exact
-    # recompute graph_common_neighbors' round-7 rework fixed)
-    wpairs = _staged(_wpairs(spark, sf_dir))
-    sym = wpairs.unionByName(
-        wpairs.select(F.col("v").alias("u"), F.col("u").alias("v"), F.col("w"))
-    )
-    cap_w = Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v"))
-    adj0 = _staged(
-        sym.withColumn("rn", F.row_number().over(cap_w))
-        .filter(F.col("rn") <= _CN_CAP)
-        .select("u", "v")
-    )
+    # staged: both sides of the mutual-filter self-join consume the
+    # cross-query adj0 table (round 14 — previously this query re-ran the
+    # identical window cap graph_common_neighbors had already built)
+    adj0 = _staged(_capped_adj0(spark, sf_dir))
     # mutual filter: keep (u, v) only if (v, u) also survived the cap —
     # see the docstring for why a one-directed cap breaks the Jaccard bound
     adj = _staged(
@@ -929,24 +974,11 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical output; the oracle keeps the relational wedge form."""
     from pyspark.sql import Window
 
-    edges = _staged(_edges(spark, sf_dir))
-    deg = _staged(
-        edges.groupBy(F.col("src").alias("node")).agg(
-            F.count(F.lit(1)).alias("d")
-        )
-    )
-    o = _staged(
-        edges.join(
-            deg.select(F.col("node").alias("src"), F.col("d").alias("du")), "src"
-        )
-        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dv")), "dst")
-        .filter(
-            (F.col("du") < F.col("dv"))
-            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
-        )
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    )
-    adj = _staged(o.groupBy("u").agg(F.collect_list("v").alias("nbrs")))
+    # oriented edges, adjacency arrays, and degrees come off the
+    # cross-query tables (round 14 — shared with graph_triangle_count)
+    deg = _staged(_degrees(spark, sf_dir))
+    o = _staged(_oriented(spark, sf_dir))
+    adj = _staged(_oriented_adj(spark, sf_dir))
     common = (
         o.join(adj.select("u", F.col("nbrs").alias("nu")), "u")
         .join(adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv")), "v")
@@ -1055,11 +1087,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one degree aggregate, two node-keyed equi-joins to annotate
     edge endpoints (narrow int rows), one global 6-sum aggregate."""
     edges = _staged(_edges(spark, sf_dir))
-    deg = _staged(
-        edges.groupBy(F.col("src").alias("node")).agg(
-            F.count(F.lit(1)).alias("d")
-        )
-    )
+    deg = _staged(_degrees(spark, sf_dir))
     xy = (
         edges.join(
             deg.select(F.col("node").alias("src"), F.col("d").alias("x")),

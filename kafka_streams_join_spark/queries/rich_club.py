@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.staging import staged as _staged
-from .graph import _edges
+from .graph import _degrees, _edges
 from .registry import register
 
 _CLUB_Q_MILLI = (500, 250, 100)
@@ -105,10 +105,10 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     Module docstring has the quantile, exactness, and broadcast
     contracts."""
     edges = _staged(_edges(spark, sf_dir))  # both directions
+    # degrees off the cross-query table (round 14); count() is already
+    # BIGINT, so the rename preserves the declared schema
     deg = _staged(
-        edges.groupBy(F.col("src").alias("node")).agg(
-            F.count(F.lit(1)).cast("bigint").alias("degree")
-        )
+        _degrees(spark, sf_dir).withColumnRenamed("d", "degree")
     )
     # undirected edges once (u < v) for counting
     und = _staged(edges.filter(F.col("src") < F.col("dst")))
