@@ -15,6 +15,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.literals import values_frame
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -251,8 +252,10 @@ def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
     n = digits.agg(F.count(F.lit(1)).alias("total"))
-    bf = spark.createDataFrame(
-        [(d, p) for d, p in _BENFORD_PPM.items()], "digit int, benford_ppm bigint"
+    bf = values_frame(
+        spark,
+        [(d, p) for d, p in _BENFORD_PPM.items()],
+        "digit int, benford_ppm bigint",
     )
     return (
         bf.join(hist, "digit", "left")

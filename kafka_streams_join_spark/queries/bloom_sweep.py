@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.staging import staged as _staged
+from ..functions.literals import values_frame
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -108,7 +109,7 @@ def sketch_bloom_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative probe count, observed false positives, and the
     (bits_set/m)^k predicted FPR — both in exact ppm. Module docstring
     has the negative-control, exactness, and broadcast contracts."""
-    ms = spark.createDataFrame([(m,) for m in _BS_MS], "m long")
+    ms = values_frame(spark, [(m,) for m in _BS_MS], "m long")
     hs = spark.range(1, _BS_K + 1).select(F.col("id").alias("j"))
     members = _staged(
         load_table(spark, sf_dir, "orders")

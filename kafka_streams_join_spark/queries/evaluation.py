@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.staging import staged as _staged
+from ..functions.literals import values_frame
 from ..sources.parquet import load_table
 from .registry import ORACLES, register
 from .classifier import quality_classifier_logreg
@@ -135,8 +136,8 @@ def classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one pass over the scored frame crossed with the 5-row
     threshold table — a 5-group map-side-combining aggregate."""
     scored = quality_classifier_logreg(spark, sf_dir)
-    t = spark.createDataFrame(
-        [(x,) for x in _SWEEP_THRESH_PPM], "thresh_ppm bigint"
+    t = values_frame(
+        spark, [(x,) for x in _SWEEP_THRESH_PPM], "thresh_ppm bigint"
     )
     hit = F.col("score") >= F.col("thresh_ppm") / 1e6
     m = (
@@ -444,7 +445,7 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             aggs.insert(0, F.count(F.lit(1)).alias("n_terms_hit"))
         return contrib.groupBy("doc_id").agg(*aggs)
 
-    seeds = spark.createDataFrame([(t,) for t in _BM25_TERMS], "token string")
+    seeds = values_frame(spark, [(t,) for t in _BM25_TERMS], "token string")
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
     fb = (
         bm25_scores(seeds, with_hits=False)

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.literals import values_frame
 from ..sources.parquet import load_table
 from .registry import register
 from .text import _STOP, _TOKS, _TOKS_SQL
@@ -98,7 +99,7 @@ def text_quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr(f"cast({_SCORE_E4_SQL} as bigint)").alias("quality_e4"),
     )
-    ts = spark.createDataFrame([(t,) for t in _GATE_E4], "t long")
+    ts = values_frame(spark, [(t,) for t in _GATE_E4], "t long")
     kept = F.when(F.col("quality_e4") >= F.col("t"), 1).otherwise(0)
     kept_toks = F.when(
         F.col("quality_e4") >= F.col("t"), F.col("n_tokens")

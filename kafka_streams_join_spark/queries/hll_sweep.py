@@ -35,6 +35,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.literals import values_frame
 from ..sources.parquet import load_table
 from .registry import register
 from .sketches_ext import _H60_SPARK, _H60_SQL
@@ -111,8 +112,10 @@ def sketch_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     error in exact ppm, and the 1.04/√m theoretical standard error.
     Module docstring has the one-pass fan-out, certified-float, and
     widening contracts."""
-    ms = spark.createDataFrame(
-        _dims(), "m long, p long, num double, small_milli long, se_ppm long"
+    ms = values_frame(
+        spark,
+        _dims(),
+        "m long, p long, num double, small_milli long, se_ppm long",
     )
     h = load_table(spark, sf_dir, "events").select(
         F.expr(_H60_SPARK).alias("hv"), "user_id"

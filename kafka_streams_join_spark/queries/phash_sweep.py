@@ -34,6 +34,7 @@ from .multimodal import (
     _ahash_batches,
 )
 from ..operators.staging import staged as _staged
+from ..functions.literals import values_frame
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -140,7 +141,7 @@ def mm_phash_radius_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    rs = spark.createDataFrame([(r,) for r in _PH_RADII], "r long")
+    rs = values_frame(spark, [(r,) for r in _PH_RADII], "r long")
     sweep = (
         cand.crossJoin(F.broadcast(rs))
         .groupBy("r")

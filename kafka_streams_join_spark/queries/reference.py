@@ -584,12 +584,15 @@ def golden_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import datetime as dt
 
+    from ..functions.literals import values_frame
+
     t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
     schema = "scenario int, k string, val string, ts timestamp"
-    displays = spark.createDataFrame(
-        [(s, _GOLDEN_KEY, _GOLDEN_DISPLAY, t0) for s in (1, 2, 3)], schema
+    displays = values_frame(
+        spark, [(s, _GOLDEN_KEY, _GOLDEN_DISPLAY, t0) for s in (1, 2, 3)], schema
     )
-    clicks = spark.createDataFrame(
+    clicks = values_frame(
+        spark,
         [
             (1, _GOLDEN_KEY, _GOLDEN_CLICK, t0 + dt.timedelta(seconds=0.5)),
             (2, _GOLDEN_KEY, _GOLDEN_CLICK, t0 + dt.timedelta(seconds=2)),

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..operators.staging import staged as _staged
 from .graph import _degrees, _edges
+from ..functions.literals import values_frame
 from .registry import register
 
 _CLUB_Q_MILLI = (500, 250, 100)
@@ -128,9 +129,7 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = lvl.select(
         "degree", F.sum("ln").over(w_cum).cast("bigint").alias("cum_n")
     )
-    qs = spark.createDataFrame(
-        [(q,) for q in _CLUB_Q_MILLI], "q long"
-    )
+    qs = values_frame(spark, [(q,) for q in _CLUB_Q_MILLI], "q long")
     ks = (
         qs.crossJoin(F.broadcast(n.select("n_nodes")))
         .join(

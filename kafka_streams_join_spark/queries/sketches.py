@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.staging import staged as _staged
+from ..functions.literals import values_frame
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -174,7 +175,7 @@ def agg_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("cnt").over(wp), F.lit(0)).alias("prev_cum"),
         )
     )
-    targets = spark.createDataFrame([(q,) for q in _QH_QS], "q_ppm bigint")
+    targets = values_frame(spark, [(q,) for q in _QH_QS], "q_ppm bigint")
     cov = (
         cum.crossJoin(F.broadcast(targets))
         .filter(F.col("cum") >= F.col("q_ppm") / 1e6 * F.col("n"))

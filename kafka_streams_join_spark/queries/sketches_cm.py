@@ -62,7 +62,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.literals import values_frame
 from ..operators.staging import staged as _staged
+from ..operators.staging import staged_table
 from ..sources.parquet import load_table
 from .registry import register
 from .text import _TOKS, _TOKS_SQL
@@ -209,6 +211,22 @@ _HQ_V_SQL = (
 )
 
 
+def _hq_vals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v, cnt): distinct clamped whole-dollar values with counts — the
+    frozen-domain value frame (≤ {_HQ_HI} rows at ANY corpus size) both
+    histogram-sketch queries read off. Cross-query staged (round 14):
+    the two registered consumers each re-ran the corpus scan + value
+    aggregate; the staged table is domain-bounded, not corpus-sized."""
+    return staged_table(
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.expr(_HQ_V_SPARK).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        f"hq_vals::{sf_dir}",
+        src_dir=sf_dir,
+    )
+
+
 @register(
     "sketch_histogram_quantiles",
     oracle=f"""
@@ -264,12 +282,7 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the corpus, bounds it); the histogram and both cumulative windows
     run over that bounded value frame; the 3-row quantile targets
     broadcast onto it."""
-    vals = _staged(
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.expr(_HQ_V_SPARK).alias("v"))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    vals = _staged(_hq_vals(spark, sf_dir))
     tot = vals.agg(F.sum("cnt").alias("n_rows"))
     hist = vals.groupBy(F.expr(f"v div {_HQ_W}").alias("bin")).agg(
         F.sum("cnt").alias("c")
@@ -282,7 +295,7 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumv = vals.withColumn(
         "cum_n", F.sum("cnt").over(Window.orderBy("v"))
     )
-    qs = spark.createDataFrame([(q,) for q in _HQ_QS], "q int").coalesce(1)
+    qs = values_frame(spark, [(q,) for q in _HQ_QS], "q int")
     tgt = qs.crossJoin(F.broadcast(tot)).select(
         "q",
         "n_rows",
@@ -388,25 +401,22 @@ def sketch_histogram_bins_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sketch_histogram_quantiles``); each B's histogram groups the
     ≤ 131072-row bounded value frame, never the corpus; windows run per
     (B, bin) over ≤ B rows; the 9-row target frame broadcasts."""
-    vals = _staged(
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.expr(_HQ_V_SPARK).alias("v"))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    vals = _staged(_hq_vals(spark, sf_dir))
     tot = vals.agg(F.sum("cnt").alias("n_rows"))
     from pyspark.sql.window import Window
 
     cumv = vals.withColumn("cum_n", F.sum("cnt").over(Window.orderBy("v")))
-    # literal frames MUST be single-partition: createDataFrame defaults to
-    # defaultParallelism partitions, and a 3x3 CartesianProduct of two
-    # 32-partition literals schedules 1024 near-empty tasks (~30 ms each
-    # measured, ~34 s of pure overhead at local[32]). The 9-row (B, q)
-    # grid is one literal frame, not a join.
-    bs = spark.createDataFrame([(b,) for b in _HQS_BS], "n_bins int").coalesce(1)
-    bq = spark.createDataFrame(
-        [(b, q) for b in _HQS_BS for q in _HQ_QS], "n_bins int, q int"
-    ).coalesce(1)
+    # literal frames as VALUES LocalRelations (functions/literals.py):
+    # single-partition by construction, so the 3x3 literal cross join
+    # can't schedule the 32x32 near-empty task grid the earlier
+    # coalesce(1) mitigation targeted — and unlike coalesce(1) (one task
+    # serially computing 32 Python-backed parents, measured ~5 s per
+    # action) they never touch a Python worker. The 9-row (B, q) grid
+    # stays one literal frame, not a join.
+    bs = values_frame(spark, [(b,) for b in _HQS_BS], "n_bins int")
+    bq = values_frame(
+        spark, [(b, q) for b in _HQS_BS for q in _HQ_QS], "n_bins int, q int"
+    )
     tgt = (
         bq.crossJoin(F.broadcast(tot))
         .select(

@@ -82,6 +82,7 @@ def dedup_containment_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus removal fraction in exact ppm — one candidate pass, exact
     rational thresholding. Module docstring has the containment-axis,
     integer-ratio, keep-lowest-id, and cap-recall contracts."""
+    from ..functions.literals import values_frame
     from ..sources.parquet import load_table
 
     cand, docsets = _ngram_candidates(spark, sf_dir)
@@ -99,7 +100,7 @@ def dedup_containment_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.lit(1000) * F.col("c") >= _T_MILLI[0] * F.col("mn"))
     )
-    ts = spark.createDataFrame([(t,) for t in _T_MILLI], "t long")
+    ts = values_frame(spark, [(t,) for t in _T_MILLI], "t long")
     sweep = (
         pairs.crossJoin(F.broadcast(ts))
         .groupBy("t")

@@ -146,11 +146,14 @@ def test_histogram_quantile_bound(spark):
 
 
 def test_histogram_quantiles_plan(spark):
-    """Scan pruned to l_extendedprice only; the cumulative windows run over
-    the frozen value domain (<= 131072 rows at any corpus size) — never
-    over per-row ids (registry meta-gate re-checks); targets broadcast."""
+    """Query-time scans read the staged (v, cnt) value table only — 2
+    narrow columns, domain-bounded rows (the l_extendedprice-only corpus
+    scan pruning now lives in the one-time ``_hq_vals`` stage build);
+    cumulative windows run over the frozen value domain (<= 131072 rows
+    at any corpus size) — never over per-row ids (registry meta-gate
+    re-checks); targets broadcast."""
     df = QUERIES["sketch_histogram_quantiles"](spark, SF_SMOKE)
-    assert_read_schema_pruned(df, max_columns=1)
+    assert_read_schema_pruned(df, max_columns=2)
     plan = explain_str(df)
     # the range read-offs (cum >= target) broadcast the 3-row target frame
     # onto bounded value-domain frames; data x data cartesians never appear
@@ -217,12 +220,14 @@ def test_histogram_bins_sweep_error_shrinks_with_bins(spark):
 
 
 def test_histogram_bins_sweep_plan(spark):
-    """One pruned 1-column scan; the 9-row (B, q) grid is a single
-    literal frame (no CartesianProduct — a 32x32-partition literal
-    cartesian cost ~34 s of task overhead before the round-14 fix);
-    sketch-side joins broadcast."""
+    """Query-time scans read the staged (v, cnt) value table only (the
+    1-column corpus scan lives in the ``_hq_vals`` stage build); the
+    9-row (B, q) grid is a single VALUES literal frame (no
+    CartesianProduct — a 32x32-partition literal cartesian cost ~34 s
+    of task overhead before the round-14 fix, and the VALUES form is a
+    1-partition JVM LocalRelation); sketch-side joins broadcast."""
     df = QUERIES["sketch_histogram_bins_sweep"](spark, SF_SMOKE)
-    assert_read_schema_pruned(df, max_columns=1)
+    assert_read_schema_pruned(df, max_columns=2)
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
