@@ -764,6 +764,18 @@ def test_registry_wide_no_data_sized_global_funnel(spark):
         # it that way: build literal grids as ONE coalesced frame.
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
+        # round-14 addition (same explain pass): no Python-backed local
+        # relations (Scan ExistingRDD) in any registered plan. A
+        # createDataFrame literal plans as a defaultParallelism-partition
+        # Python-fed RDD — measured 4.9-7.4 s PER ACTION for a 3-row
+        # frame under the old coalesce(1) spelling vs 0.1 s as a VALUES
+        # LocalTableScan (functions/literals.py::values_frame is the
+        # sanctioned builder). BatchEvalPython stays allowed ONLY for
+        # the deliberate UDTF-surface query (udtf_sentence_split).
+        if "ExistingRDD" in plan:
+            offenders.append((name, "Scan ExistingRDD (Python-backed literal)"))
+        if "BatchEvalPython" in plan and name != "udtf_sentence_split":
+            offenders.append((name, "BatchEvalPython (row-at-a-time UDF)"))
     assert not offenders, offenders
 
 
