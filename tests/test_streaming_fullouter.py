@@ -66,7 +66,7 @@ def test_full_outer_emits_both_unmatched_sides(spark, tmpdir):
     q, sink = start_memory_sink(joined, checkpoint_root=tmpdir)
     try:
         q.processAllAvailable()
-        rows = read_until(spark, sink, expect=3, wait_s=6.0)
+        rows = read_until(spark, sink, expect=3, wait_s=30.0)
     finally:
         q.stop()
 

@@ -72,8 +72,8 @@ def _run_scenario(spark, tmpdir, display_rows, click_rows):
     try:
         clicked_q.processAllAvailable()
         missed_q.processAllAvailable()
-        clicked = read_until(spark, clicked_sink, expect=1, wait_s=2.0)
-        missed = read_until(spark, missed_sink, expect=1, wait_s=2.0)
+        clicked = read_until(spark, clicked_sink, expect=1, wait_s=30.0)
+        missed = read_until(spark, missed_sink, expect=1, wait_s=30.0)
     finally:
         clicked_q.stop()
         missed_q.stop()
@@ -133,7 +133,7 @@ def test_scenario4_shifter_event_time(spark, tmpdir):
     q, sink = start_memory_sink(shifted, checkpoint_root=tmpdir)
     try:
         q.processAllAvailable()
-        rows = read_until(spark, sink, expect=1, wait_s=2.0)
+        rows = read_until(spark, sink, expect=1, wait_s=30.0)
     finally:
         q.stop()
     assert [(r["key"], r["value"], r["ts"]) for r in rows] == [

@@ -54,7 +54,12 @@ def _run_timer_scenario(spark, tmpdir, display_rows, click_rows, expect):
     q, sink = start_memory_sink(missed, checkpoint_root=tmpdir)
     try:
         q.processAllAvailable()
-        rows = read_until(spark, sink, expect=expect, wait_s=3.0)
+        # expect=0 waits out the FULL deadline to assert emptiness — keep
+        # that short; positive expectations return on arrival, so a long
+        # deadline only pays on genuine loss (loaded-run flake hardening)
+        rows = read_until(
+            spark, sink, expect=expect, wait_s=30.0 if expect else 3.0
+        )
     finally:
         q.stop()
     return [
@@ -146,7 +151,7 @@ def test_stream_dedup_within_watermark(spark, tmpdir):
     q, sink = start_memory_sink(deduped, checkpoint_root=tmpdir)
     try:
         q.processAllAvailable()
-        rows = read_until(spark, sink, expect=2, wait_s=3.0)
+        rows = read_until(spark, sink, expect=2, wait_s=30.0)
     finally:
         q.stop()
     assert sorted((r["key"], r["value"]) for r in rows) == [

@@ -206,7 +206,7 @@ def test_tws_end_to_end_golden(spark, tmp_path):
     q, sink = start_memory_sink(missed, checkpoint_root=d)
     try:
         q.processAllAvailable()
-        rows = read_until(spark, sink, expect=1, wait_s=3.0)
+        rows = read_until(spark, sink, expect=1, wait_s=30.0)
     finally:
         q.stop()
     assert [(r["key"], r["value"], r["ts"]) for r in rows if r["key"] == KEY] == [

@@ -57,7 +57,7 @@ def test_tumbling_agg_emits_finalized_windows(spark, tmpdir):
     q, sink = start_memory_sink(agg, checkpoint_root=tmpdir)
     try:
         q.processAllAvailable()
-        rows = read_until(spark, sink, expect=2, wait_s=3.0)
+        rows = read_until(spark, sink, expect=2, wait_s=30.0)
     finally:
         q.stop()
     got = {
@@ -138,7 +138,7 @@ def test_session_agg_splits_on_gap(spark, tmpdir):
     q, sink = start_memory_sink(agg, checkpoint_root=tmpdir)
     try:
         q.processAllAvailable()
-        rows = read_until(spark, sink, expect=2, wait_s=3.0)
+        rows = read_until(spark, sink, expect=2, wait_s=30.0)
     finally:
         q.stop()
     got = {
@@ -219,7 +219,7 @@ def test_stream_table_join_enriches_per_microbatch(spark, tmpdir):
     q, sink = start_memory_sink(out, checkpoint_root=tmpdir)
     try:
         q.processAllAvailable()
-        rows = read_until(spark, sink, expect=2, wait_s=5.0)
+        rows = read_until(spark, sink, expect=2, wait_s=30.0)
     finally:
         q.stop()
     got = sorted((r["key"], r["t_label"]) for r in rows)
@@ -267,7 +267,7 @@ def test_late_event_is_dropped_from_closed_window(spark, tmpdir):
     q, sink = start_memory_sink(out, checkpoint_root=tmpdir)
     try:
         q.processAllAvailable()
-        rows = read_until(spark, sink, expect=1, wait_s=5.0)
+        rows = read_until(spark, sink, expect=1, wait_s=30.0)
         dropped = sum(
             op.get("numRowsDroppedByWatermark", 0)
             for p in q.recentProgress
