@@ -432,15 +432,11 @@ _CN_TOPN = 20
 _CN_CAP = 24
 
 
-def _capped_adj0(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(u, v): the one-directed top-{_CN_CAP}-by-weight adjacency over the
-    symmetric weighted pair frame — the shared capped-neighbor stage of
-    ``graph_common_neighbors`` (used as-is) and ``graph_jaccard_neighbors``
-    (mutual-filtered on top). Cross-query staged like ``_edges``
-    (round 14): both consumers re-ran the identical window cap from the
-    wpairs table; the staged table is ≤ {_CN_CAP}·|nodes| narrow int rows.
-    The cap itself plans as WindowGroupLimit (partial per-partition top-d
-    heaps before the shuffle)."""
+def _capped_adj0_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped-adjacency BUILD plan (un-staged) — split out so the
+    plan gates can assert the cap plans as WindowGroupLimit (partial
+    per-partition top-d heaps before the shuffle) on the plan that
+    actually executes at stage-build time."""
     from pyspark.sql import Window
 
     wpairs = _staged(_wpairs(spark, sf_dir))
@@ -450,10 +446,24 @@ def _capped_adj0(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cap_w = Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v"))
-    return staged_table(
+    return (
         sym.withColumn("rn", F.row_number().over(cap_w))
         .filter(F.col("rn") <= _CN_CAP)
-        .select("u", "v"),
+        .select("u", "v")
+    )
+
+
+def _capped_adj0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v): the one-directed top-{_CN_CAP}-by-weight adjacency over the
+    symmetric weighted pair frame — the shared capped-neighbor stage of
+    ``graph_common_neighbors`` (used as-is) and ``graph_jaccard_neighbors``
+    (mutual-filtered on top). Cross-query staged like ``_edges``
+    (round 14): both consumers re-ran the identical window cap from the
+    wpairs table; the staged table is ≤ {_CN_CAP}·|nodes| narrow int
+    rows. The cap's WindowGroupLimit shape is gated on the build plan
+    (``_capped_adj0_build``)."""
+    return staged_table(
+        _capped_adj0_build(spark, sf_dir),
         f"graph_adj0::{sf_dir}",
         src_dir=sf_dir,
     )

@@ -1277,10 +1277,16 @@ def test_schema_profile_is_one_scan(spark):
 def test_common_neighbors_cap_is_window_group_limit(spark):
     """Round-7 rework: the per-node top-d adjacency cap plans as
     WindowGroupLimit (partial per-partition heaps + final), so the wedge
-    stage never sees more than _CN_CAP neighbors per node."""
+    stage never sees more than _CN_CAP neighbors per node. Round 14: the
+    cap lives in the shared cross-query adj0 stage, so the gate runs on
+    the stage BUILD plan (the plan that executes at stage-build time);
+    the query plan itself is gated cartesian-free."""
+    from kafka_streams_join_spark.queries.graph import _capped_adj0_build
+
+    build = explain_str(_capped_adj0_build(spark, SF_SMOKE))
+    assert build.count("WindowGroupLimit") >= 2, build[:2000]
     df = QUERIES["graph_common_neighbors"](spark, SF_SMOKE)
     plan = explain_str(df)
-    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
 
 
@@ -1295,9 +1301,11 @@ def test_label_propagation_bounded_chain(spark):
 
 
 def test_jaccard_neighbors_cap_and_take_ordered(spark):
+    # the cap's WindowGroupLimit is gated on the shared adj0 BUILD plan
+    # (see test_common_neighbors_cap_is_window_group_limit); the query
+    # plan reads the staged table
     df = QUERIES["graph_jaccard_neighbors"](spark, SF_SMOKE)
     plan = explain_str(df)
-    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
 
