@@ -36,16 +36,32 @@ _TYPE_SQL = {
 }
 
 
+# A deliberate ceiling: this helper renders every value into SQL text and
+# is meant for frozen parameter grids, never data-sized frames (which
+# belong in parquet/staged tables — and a megabyte SQL string would also
+# bloat plan/analysis time).
+_MAX_ROWS = 1000
+
+
 def _render(v) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # inf/nan have no SQL literal spelling; repr() would render
+        # unparseable SQL (ADVICE r14) — reject loudly instead.
+        if v != v or v in (float("inf"), float("-inf")):
+            raise ValueError(f"non-finite float has no SQL literal: {v!r}")
+        return repr(v)
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, _dt.datetime):
         return "TIMESTAMP '" + v.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
-    s = str(v).replace("'", "''")
+    # Backslashes must be doubled BEFORE quote-escaping: with the default
+    # parser (escapedStringLiterals=false) a lone backslash in a VALUES
+    # literal is an escape prefix and silently corrupts the value.
+    s = str(v).replace("\\", "\\\\").replace("'", "''")
     return f"'{s}'"
 
 
@@ -59,6 +75,20 @@ def values_frame(
     for part in schema.split(","):
         name, typ = part.strip().rsplit(" ", 1)
         cols.append((name.strip(), _TYPE_SQL[typ.strip().lower()]))
+    if not rows:
+        raise ValueError("values_frame needs at least one row ('FROM VALUES' "
+                         "with an empty list is a SQL parse error)")
+    if len(rows) > _MAX_ROWS:
+        raise ValueError(
+            f"values_frame got {len(rows)} rows (max {_MAX_ROWS}): literal "
+            "frames are for frozen parameter grids, not data"
+        )
+    for i, row in enumerate(rows):
+        if len(row) != len(cols):
+            raise ValueError(
+                f"row {i} has {len(row)} values but schema {schema!r} "
+                f"declares {len(cols)} columns"
+            )
     vals = ", ".join(
         "(" + ", ".join(_render(v) for v in row) + ")" for row in rows
     )

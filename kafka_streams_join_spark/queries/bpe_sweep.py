@@ -20,10 +20,11 @@ replace contract, byte-identical in both engines); corpus totals are
 exact BIGINT sums; fertility_ppm and chars_per_token_milli are
 truncating divs. Monotonicity (more merges never more tokens) is pinned.
 
-Scale: one corpus scan (word explode), one distinct-vocab projection
-with the four chains (vocabulary-sized, ≪ corpus), one word-keyed join
-back, ONE global aggregate, a 4-row stack. Document text never enters
-an Exchange.
+Scale: one corpus scan (word explode) collapsed map-side to per-word
+counts (the one shuffle — Zipf-bounded vocabulary rows, not corpus
+tokens), one vocab-sized projection with the four chains weighting each
+word's counts by its corpus frequency, ONE global aggregate, a 4-row
+stack. Document text never enters an Exchange.
 """
 
 from __future__ import annotations
@@ -31,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import register
 from .text import _TOKS, _TOKS_SQL
@@ -85,16 +85,20 @@ def text_bpe_merge_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     fertility (tokens per word, exact ppm), and compression (chars per
     token, exact milli). Module docstring has the prefix-table,
     vocabulary-encode, and exactness contracts."""
-    tok = _staged(
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id",
-            F.explode(F.expr(f"transform({_TOKS}, t -> lower(t))")).alias(
-                "word"
-            ),
-        )
-    )
-    enc = tok.select("word").distinct().select(
-        "word",
+    # Round 15 (guide §2.3, aggregate before you shuffle): collapse the
+    # corpus word stream to per-word COUNTS first — one map-side-combined
+    # shuffle of (word, cnt) — then encode each distinct word once and
+    # weight its token/char counts by cnt. The previous shape joined the
+    # full corpus token stream against the encoded vocabulary (a
+    # corpus-sized SortMergeJoin); corpus totals are identical integers:
+    # Σ_tokens f(word) = Σ_words cnt·f(word).
+    wc = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.expr(f"transform({_TOKS}, t -> lower(t))")).alias(
+            "word"
+        ),
+    ).groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    enc = wc.select(
+        "cnt",
         F.length("word").alias("n_chars"),
         *[
             F.expr(
@@ -103,11 +107,11 @@ def text_bpe_merge_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in _MERGE_LEVELS
         ],
     )
-    m = tok.join(enc, "word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_words"),
-        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    m = enc.agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_chars")).cast("bigint").alias("n_chars"),
         *[
-            F.sum(f"t{k}").cast("bigint").alias(f"s{k}")
+            F.sum(F.col("cnt") * F.col(f"t{k}")).cast("bigint").alias(f"s{k}")
             for k in _MERGE_LEVELS
         ],
     )

@@ -59,8 +59,11 @@ from pyspark.sql import functions as F
 from ..operators.staging import staged_table
 from ..sources.parquet import load_table
 from .dedup import (
+    _HASH_PARAMS,
     _MINHASH_SQL_PARAMS,
     _P,
+    _SHINGLE_ARRAY,
+    _TOKS as _TOKS_DEDUP,
     _TOKS_SQL,
     JACCARD_THRESHOLD,
     SHINGLE_DF_CAP,
@@ -179,10 +182,19 @@ _BUDGET_ORACLE = f"""
     """
 
 
-def _mh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mh_candidates(
+    spark: SparkSession, sf_dir: str, bands: DataFrame | None = None
+) -> DataFrame:
     """The minhash band-collision candidate stage (distinct pairs), shared
-    verbatim with ``dedup_minhash_lsh``'s candidate leg."""
-    mh_bands = _minhash_bands(_doc_shingle_sets(spark, sf_dir))
+    verbatim with ``dedup_minhash_lsh``'s candidate leg. ``bands`` lets a
+    caller that already built the band frame (the direct audit's combined
+    shingle aggregate) reuse it — one definition for both modes, so the
+    candidate spelling cannot drift (ADVICE r14)."""
+    mh_bands = (
+        bands
+        if bands is not None
+        else _minhash_bands(_doc_shingle_sets(spark, sf_dir))
+    )
     # merge hint: corpus-scaled self-join sides, never broadcastable at
     # production scale (round 14; see dedup._simhash_mih_pairs).
     x, y = mh_bands.alias("x").hint("merge"), mh_bands.alias("y")
@@ -278,6 +290,42 @@ def _verified_report(
     return _report_tail(spark, sf_dir, t)
 
 
+def _combined_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE corpus shingle pass feeding BOTH shingle-keyed tiers (round 15,
+    guide §2.4): the minhash tier's 32 permutation minima + 60-bit verify
+    sets (``_doc_shingle_sets``' exact expressions) and the ngram tier's
+    xxhash64 shingle sets (``_ngram_candidates``' exact expression) come
+    out of a single explode → project → groupBy(doc_id) aggregate. Every
+    per-tier hash value is unchanged — the tiers' candidate sets and
+    verification ratios are bit-identical to the standalone builders —
+    but the corpus is tokenized, shingled and shuffled ONCE instead of
+    once per tier, and all six downstream consumers (bands, sa/sb, the
+    inverted index, ga/gb) hang off one reusable Exchange."""
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKS_DEDUP).alias("toks")
+    )
+    sh = doc.select(
+        "doc_id", F.explode(F.expr(_SHINGLE_ARRAY)).alias("shingle")
+    )
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h32"),
+        F.xxhash64(F.md5("shingle")).alias("h60"),
+        F.xxhash64("shingle").alias("hx"),
+    )
+    minhash_cols = [
+        F.min(((F.lit(a) * F.col("h32") + F.lit(b)) % _P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_HASH_PARAMS)
+    ]
+    return hashed.groupBy("doc_id").agg(
+        *minhash_cols,
+        F.collect_set("h60").alias("hs60"),
+        F.collect_set("hx").alias("hs"),
+    )
+
+
 @register("dedup_candidate_budget_audit", oracle=_BUDGET_ORACLE)
 def dedup_candidate_budget_audit(
     spark: SparkSession, sf_dir: str
@@ -291,25 +339,19 @@ def dedup_candidate_budget_audit(
     count and the survivor count is the count of verified rows, exactly
     the relation the registered member queries define (``ok`` is the
     member's own verification predicate over the member's own frames).
-    Still deliberately unstaged between stages (intermediates out-size
-    the work above them — measured, round 13)."""
+    Round 15: the two shingle-keyed tiers share ONE combined shingle
+    aggregate (``_combined_shingle_sets``) instead of tokenizing and
+    shingling the corpus once each. Still deliberately unstaged between
+    stages (intermediates out-size the work above them — measured,
+    round 13)."""
+    # one corpus shingle pass for tiers 1+2; per-tier hash values unchanged
+    comb = _combined_shingle_sets(spark, sf_dir)
     # minhash tier: candidates = band collisions; ok = exact Jaccard >= t
     # over the same docsets frame (dedup_minhash_lsh's verification)
-    docsets = _doc_shingle_sets(spark, sf_dir)
-    bands = _minhash_bands(docsets)
-    x, y = bands.alias("x").hint("merge"), bands.alias("y")
-    mh_cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_sig") == F.col("y.band_sig"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
+    docsets = comb.select(
+        "doc_id", *[f"mh{i}" for i in range(_K)], "hs60"
     )
+    mh_cand = _mh_candidates(spark, sf_dir, bands=_minhash_bands(docsets))
     sa, sb = docsets.alias("sa"), docsets.alias("sb")
     mh_inter = F.size(F.expr("array_intersect(sa.hs60, sb.hs60)"))
     mh_union = F.size(F.col("sa.hs60")) + F.size(F.col("sb.hs60")) - mh_inter
@@ -325,8 +367,13 @@ def dedup_candidate_budget_audit(
         )
     )
     # ngram tier: candidates = rare-shingle co-occurrence; ok = exact
-    # Jaccard >= t over the shared docsets (dedup_ngram_jaccard's verify)
-    ng_cand, ng_sets = _ngram_candidates(spark, sf_dir)
+    # Jaccard >= t over the shared docsets (dedup_ngram_jaccard's verify);
+    # the docsets frame is the combined aggregate's xxhash64 sets
+    ng_cand, ng_sets = _ngram_candidates(
+        spark,
+        sf_dir,
+        docsets=comb.select("doc_id", "hs", F.size("hs").alias("n")),
+    )
     ga, gb = ng_sets.alias("ga"), ng_sets.alias("gb")
     ng_inter = F.size(F.expr("array_intersect(ga.hs, gb.hs)"))
     ng_jac = ng_inter / (F.col("ga.n") + F.col("gb.n") - ng_inter)

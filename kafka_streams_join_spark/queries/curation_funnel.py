@@ -167,7 +167,12 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter."""
     doc = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    base = _staged(
+    # Round 15: ``base`` is consumed exactly once (by flags0), so staging
+    # it only added a second corpus-sized cache materialization (toks + 5
+    # feature columns) and a barrier before the ONE persist that pays for
+    # itself (flags0, which fans out to the pair stage, the decontam
+    # probe and the final aggregate).
+    base = (
         doc.select(
             "doc_id",
             F.expr(_TOKS).alias("toks"),
@@ -222,8 +227,17 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowered = lambda df: df.select(  # noqa: E731
         "doc_id", F.expr("transform(toks, t -> lower(t))").alias("toks")
     )
+    # The bench slice is corpus-wide (every doc_id % 10 = 7, gated or not),
+    # so it does NOT need the staged flag frame: tokenize it straight off
+    # a fresh pruned scan (doc_id + text only) instead of forcing the
+    # broadcast build to wait on — and read back — the wide persisted
+    # flags0 (round 15; the probe side, by contrast, is survivor-dependent
+    # and correctly stays on flags0).
+    bench_docs = doc.filter(F.expr(_IS_BENCH)).select(
+        "doc_id", F.expr(_TOKS).alias("toks")
+    )
     bench = (
-        decontam_gram_rows(lowered(flags0.filter(F.expr(_IS_BENCH))))
+        decontam_gram_rows(lowered(bench_docs))
         .select("gram")
         .distinct()
     )

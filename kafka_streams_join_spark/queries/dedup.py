@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.components import connected_components
@@ -100,35 +100,46 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ngram_candidates(spark: SparkSession, sf_dir: str):
+def _ngram_candidates(spark: SparkSession, sf_dir: str, docsets=None):
     """(cand, docsets): the shared candidate stage of the n-gram near-dup
     family — staged per-doc shingle-hash sets, the DF-capped inverted
     index, and the distinct candidate pair list. Jaccard and containment
-    verify different ratios over the same machinery."""
-    doc = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_TOKS).alias("toks")
-    )
-    hashed = doc.select(
-        "doc_id",
-        F.explode(
-            F.expr(_SHINGLE_ARRAY)
-        ).alias("shingle"),
-    ).select("doc_id", F.xxhash64("shingle").alias("h"))
-    # collect_set dedups per-doc shingles inside the aggregate — no separate
-    # distinct() shuffle of raw shingle rows
-    docsets = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
-    docsets = _staged(docsets.select("doc_id", "hs", F.size("hs").alias("n")))
+    verify different ratios over the same machinery. A caller that already
+    holds an equivalent (doc_id, hs, n) frame (the budget audit's combined
+    shingle aggregate, round 15) passes it as ``docsets`` and the builder
+    reuses it unstaged — the candidate/verify logic stays defined HERE so
+    the two spellings cannot drift (ADVICE r14)."""
+    if docsets is None:
+        doc = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(_TOKS).alias("toks")
+        )
+        hashed = doc.select(
+            "doc_id",
+            F.explode(
+                F.expr(_SHINGLE_ARRAY)
+            ).alias("shingle"),
+        ).select("doc_id", F.xxhash64("shingle").alias("h"))
+        # collect_set dedups per-doc shingles inside the aggregate — no
+        # separate distinct() shuffle of raw shingle rows
+        docsets = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
+        docsets = _staged(
+            docsets.select("doc_id", "hs", F.size("hs").alias("n"))
+        )
     # the inverted index, re-derived from the aggregated arrays (map-side
     # explode of docsets' output — NOT a second corpus scan)
     exploded = docsets.select("doc_id", F.explode("hs").alias("h"))
-    # document frequency per shingle; the rare (sub-cap) index drives
-    # candidate generation only
-    rare = exploded.join(
-        exploded.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # document frequency per shingle via a COUNT window over the one
+    # h-partitioned exchange (round 15, guide §2.4): the previous
+    # aggregate-then-self-join spelling shuffled the index for the join
+    # AND shuffled the (h, count) aggregate separately; the window
+    # computes the same df on the already-sorted join layout, so the
+    # rare (sub-cap) index comes out of a single Exchange
+    rare = (
+        exploded.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .filter(F.col("df") <= SHINGLE_DF_CAP)
-        .select("h"),
-        "h",
+        .select("doc_id", "h")
     )
     # merge hint: both sides are the corpus-scaled rare-shingle index —
     # never broadcastable at production scale (see _simhash_mih_pairs).

@@ -110,10 +110,14 @@ def prefix_jaccard_pairs(docsets: DataFrame) -> DataFrame:
     (doc_id, hs, n) shingle-set frame, via the lossless prefix filter +
     exact full-set verification (see the module docstring)."""
     # inverted rows re-derived from the aggregated arrays (post-shuffle
-    # projection, not a rescan), then df per shingle for the global order
+    # projection, not a rescan), then df per shingle for the global order —
+    # as a COUNT window over one h-partitioned exchange rather than an
+    # aggregate joined back (round 15: same df values, one index shuffle
+    # and sort instead of two plus a join)
     exploded = docsets.select("doc_id", "n", F.explode("hs").alias("h"))
-    df_counts = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ordered = exploded.join(df_counts, "h")
+    ordered = exploded.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
     # prefix length p = n - ceil(tau·n) + 1; ceil(4n/5) = (4n + 4) div 5
     w = Window.partitionBy("doc_id").orderBy("df", "h")
     prefix = (

@@ -33,10 +33,9 @@ fold's left-to-right order is the engine-shared summation contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.staging import staged as _staged
 from ..sources.parquet import load_table
 from .registry import ORACLES as _ORACLES
 from .registry import register
@@ -52,20 +51,6 @@ _COS_AB_SQL = (
     "   * list_sum(list_transform(b.embedding,"
     "          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 )
-
-_DOT_SPARK = (
-    "aggregate(zip_with(a.embedding, b.embedding,"
-    " (x, y) -> cast(x as double) * cast(y as double)),"
-    " cast(0.0 as double), (acc, v) -> acc + v)"
-)
-
-
-def _n2_spark(side: str) -> str:
-    return (
-        f"aggregate({side}.embedding, cast(0.0 as double),"
-        " (acc, x) -> acc + cast(x as double) * cast(x as double))"
-    )
-
 
 @register(
     "sim_mmr_rerank",
@@ -139,16 +124,21 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     production candidate-source swap). ``step`` is the selection
     position — the output IS the serving order.
 
-    Scale: candidate-sized frames only (K and K²/2 rows per query);
-    all windows partition by query_id; the candidate stage scales as
-    its own registered query does."""
+    Scale: candidate-sized frames only (K rows per query, collapsed to
+    ONE array row per query); the candidate stage scales as its own
+    registered query does. Round-15 shape (guide §2.4/§1.2 "remove
+    passes"): the previous form ran the greedy walk as a DAG of
+    anti-joins, pairwise self-joins and per-step windows over two
+    persisted frames — ~30 joins and two cache materializations for
+    K=5-per-query frames. The walk is now three chained array
+    expressions over one collect_list row per query: same integer MMR
+    arithmetic (milli-cosines via the identical zip_with/aggregate fold
+    — pairwise cosine is exactly symmetric, so evaluation side never
+    matters), same argmax tie-breaks (mmr DESC, id ASC), zero joins
+    after the candidate fetch, and the collect_list order is irrelevant
+    because every step is an order-free argmax with a total tie-break."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # staged: ce fans out to the pairwise self-join, s1, and both greedy
-    # steps — left lazy, every consumer would re-execute the full-corpus
-    # candidate GEMM (the multi-consumer trap operators/staging.py
-    # documents); staged, the GEMM runs once and the re-rank reads the
-    # tiny K-rows-per-query frame
-    ce = _staged(
+    ce = (
         sim_topk_bruteforce(spark, sf_dir)
         .join(emb, F.col("neighbor_id") == F.col("vec_id"))
         .select(
@@ -159,84 +149,83 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
         )
     )
-    a, b = ce.alias("a"), ce.alias("b")
-    ps = a.join(
-        b,
-        (F.expr("a.query_id = b.query_id"))
-        & (F.expr("a.neighbor_id < b.neighbor_id")),
-    ).select(
-        F.expr("a.query_id").alias("query_id"),
-        F.expr("a.neighbor_id").alias("x"),
-        F.expr("b.neighbor_id").alias("y"),
-        F.expr(
-            f"cast(round(1000 * ({_DOT_SPARK}"
-            f" / sqrt({_n2_spark('a')} * {_n2_spark('b')}))) as bigint)"
-        ).alias("ps_m"),
-    )
-    # ps is consumed twice by the symmetrization and once per greedy step
-    ps = _staged(ps)
-    psym = ps.unionByName(
-        ps.select("query_id", F.col("y").alias("x"), F.col("x").alias("y"), "ps_m")
-    )
-    cand = ce.select("query_id", "neighbor_id", "rnk", "rel_m")
-    s1 = cand.filter("rnk = 1").select(
-        "query_id",
-        F.col("neighbor_id").alias("sid"),
-        F.expr(f"cast({_LAM10} * rel_m as bigint)").alias("mmr"),
+    # one row per query: the K-candidate array (the window above already
+    # partitioned by query_id, so this groupBy reuses that exchange)
+    per_q = ce.groupBy("query_id").agg(
+        F.collect_list(
+            F.struct("neighbor_id", "rnk", "rel_m", "embedding")
+        ).alias("cs")
     )
 
-    def _step(selected: list[DataFrame]) -> DataFrame:
-        """One greedy step: max over remaining candidates of
-        7·rel_m − 3·(max sim to any selected), id tie-break."""
-        sel = selected[0].select("query_id", F.col("sid"))
-        for s in selected[1:]:
-            sel = sel.unionByName(s.select("query_id", "sid"))
-        pool = cand.join(
-            sel.withColumnRenamed("sid", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
+    def _dot(ea: str, eb: str) -> str:
+        return (
+            f"aggregate(zip_with({ea}, {eb},"
+            " (x, y) -> cast(x as double) * cast(y as double)),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"
         )
-        ms = (
-            pool.join(
-                psym.join(
-                    sel.withColumnRenamed("sid", "y"),
-                    ["query_id", "y"],
-                ).select("query_id", F.col("x").alias("neighbor_id"), "ps_m"),
-                ["query_id", "neighbor_id"],
-            )
-            .groupBy("query_id", "neighbor_id", "rel_m")
-            .agg(F.expr("cast(max(ps_m) as bigint)").alias("ms"))
+
+    def _n2(e: str) -> str:
+        return (
+            f"aggregate({e}, cast(0.0 as double),"
+            " (acc, x) -> acc + cast(x as double) * cast(x as double))"
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("mmr"), F.asc("neighbor_id")
+
+    def _ps_m(ea: str, eb: str) -> str:
+        """The pairwise milli-cosine contract (round 9): identical fold
+        spelling, symmetric bit-for-bit (elementwise products and the
+        norm product commute exactly in IEEE doubles)."""
+        return (
+            f"cast(round(1000 * ({_dot(ea, eb)}"
+            f" / sqrt({_n2(ea)} * {_n2(eb)}))) as bigint)"
+        )
+
+    def _pick(sel_arr: str) -> str:
+        """One greedy step as an expression: among candidates not yet in
+        ``sel_arr``, maximize 7·rel_m − 3·max(sim to selected); ties to
+        the lowest id — exactly the previous per-step window ordering."""
+        scored = (
+            f"transform(filter(cs, c -> NOT array_contains("
+            f"transform({sel_arr}, s -> s.sid), c.neighbor_id)),"
+            f" c -> named_struct('sid', c.neighbor_id, 'emb', c.embedding,"
+            f" 'mmr', {_LAM10} * c.rel_m - {10 - _LAM10}"
+            f" * array_max(transform({sel_arr},"
+            f" s -> {_ps_m('c.embedding', 's.emb')}))))"
         )
         return (
-            ms.select(
-                "query_id",
-                "neighbor_id",
-                F.expr(
-                    f"cast({_LAM10} * rel_m - {10 - _LAM10} * ms as bigint)"
-                ).alias("mmr"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .select("query_id", F.col("neighbor_id").alias("sid"), "mmr")
+            f"get(array_sort({scored}, (l, r) -> CASE"
+            " WHEN l.mmr > r.mmr THEN -1 WHEN l.mmr < r.mmr THEN 1"
+            " WHEN l.sid < r.sid THEN -1 WHEN l.sid > r.sid THEN 1"
+            " ELSE 0 END), 0)"
         )
 
-    s2 = _step([s1])
-    s3 = _step([s1, s2])
-    out = (
-        s1.select("query_id", F.lit(1).alias("step"), F.col("sid"), F.col("mmr"))
-        .unionByName(
-            s2.select("query_id", F.lit(2).alias("step"), "sid", "mmr")
-        )
-        .unionByName(
-            s3.select("query_id", F.lit(3).alias("step"), "sid", "mmr")
-        )
+    s1 = (
+        "named_struct('sid', get(filter(cs, c -> c.rnk = 1), 0).neighbor_id,"
+        " 'emb', get(filter(cs, c -> c.rnk = 1), 0).embedding,"
+        f" 'mmr', cast({_LAM10}"
+        " * get(filter(cs, c -> c.rnk = 1), 0).rel_m as bigint))"
+    )
+    steps = (
+        per_q.withColumn("s1", F.expr(s1))
+        .withColumn("s2", F.expr(_pick("array(s1)")))
+        .withColumn("s3", F.expr(_pick("array(s1, s2)")))
+    )
+    # queries with < 2 or < 3 candidates have NULL s2/s3 — emit no row for
+    # those steps, matching the join-form (and the oracle's empty CTEs)
+    out = steps.select(
+        "query_id",
+        F.explode(
+            F.expr(
+                "filter(array("
+                " named_struct('step', 1, 'sid', s1.sid, 'mmr', s1.mmr),"
+                " named_struct('step', 2, 'sid', s2.sid, 'mmr', s2.mmr),"
+                " named_struct('step', 3, 'sid', s3.sid, 'mmr', s3.mmr)),"
+                " s -> s.sid IS NOT NULL)"
+            )
+        ).alias("st"),
     )
     return out.select(
         "query_id",
-        F.col("step").cast("int").alias("step"),
-        F.col("sid").alias("selected_id"),
-        F.col("mmr").cast("bigint").alias("mmr_milli"),
+        F.col("st.step").cast("int").alias("step"),
+        F.col("st.sid").alias("selected_id"),
+        F.col("st.mmr").cast("bigint").alias("mmr_milli"),
     )

@@ -804,59 +804,73 @@ def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry a join. 4-dp rounding before the global rank, doc_id ties — the
     BM25 engine-stable ordering contract.
 
-    Scale: one token scan feeds doclen (narrow shuffle) and the map-side
-    term filter; cf (3 rows) and the collection total (1 row) broadcast;
-    the rank runs over the doc-count-sized scored frame like
-    ``text_bm25_search`` (TakeOrdered at true scale)."""
-    tok = _staged(
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id",
-            F.explode(F.expr(f"transform({_TOKS}, t -> lower(t))")).alias(
-                "token"
-            ),
+    Scale (round-15 one-aggregate form, guide §2.4): the fixed |Q|=3 term
+    set means per-document term frequencies fit as THREE conditional-count
+    COLUMNS of the doclen aggregate — one corpus token scan, ONE shuffle
+    of narrow per-doc count rows, and no (doc, term)-keyed join at all.
+    The collection stats (cf per term, total) are a 1-row aggregate OF the
+    per-doc frame (cf_t = Σ_docs tf_t, exactly the oracle's token count),
+    broadcast back for the row-local score; the rank runs over the
+    doc-count-sized scored frame like ``text_bm25_search`` (TakeOrdered at
+    true scale). The previous form staged the corpus-sized token frame
+    plus three derived frames and paid a SortMergeJoin of dl ⟕ adj; this
+    plan has one corpus-scan pipeline and only bounded broadcasts."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.expr(f"transform({_TOKS}, t -> lower(t))")).alias(
+            "token"
+        ),
+    )
+    tf_cols = [
+        F.count(F.when(F.col("token") == t, F.lit(1))).alias(f"tf_{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    per_doc = _staged(
+        tok.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("doclen"), *tf_cols
         )
     )
-    dl = _staged(tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen")))
-    coll = dl.agg(F.sum("doclen").cast("bigint").alias("total"))
-    tf = _staged(
-        tok.filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # collection stats: total token count and per-term collection
+    # frequencies (sum of per-doc tfs == the oracle's corpus token count)
+    stats = per_doc.agg(
+        F.sum("doclen").cast("bigint").alias("total"),
+        *[
+            F.sum(f"tf_{i}").cast("bigint").alias(f"cf_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    cf = _staged(
-        tok.filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cf"))
-        .crossJoin(F.broadcast(coll))
-        .select("token", "cf", (F.col("cf") * 1.0 / F.col("total")).alias("p"))
+    # per-term smoothed collection probability p_t = cf_t * 1.0 / total —
+    # the oracle's spelling; terms absent from the corpus (cf = 0)
+    # contribute nothing (the oracle's cf CTE has no row for them)
+    mu = _QL_MU
+    p = [f"(cf_{i} * 1.0 / total)" for i in range(len(_BM25_TERMS))]
+    base_num = " + ".join(
+        f"CASE WHEN cf_{i} > 0 THEN ln({mu} * {p[i]}) ELSE 0.0 END"
+        for i in range(len(_BM25_TERMS))
     )
-    prior = cf.agg(
-        F.sum(F.log(F.expr(_QL_MU) * F.col("p"))).alias("base_num")
+    prior = stats.select(
+        F.expr(base_num).alias("base_num"),
+        *[F.expr(p[i]).alias(f"p_{i}") for i in range(len(_BM25_TERMS))],
     )
-    adj = (
-        tf.join(F.broadcast(cf), "token")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.log(F.col("tf") + F.expr(_QL_MU) * F.col("p"))
-                - F.log(F.expr(_QL_MU) * F.col("p"))
-            ).alias("bonus"),
-            F.count(F.lit(1)).alias("n_terms_hit"),
-        )
+    bonus = " + ".join(
+        f"CASE WHEN tf_{i} > 0"
+        f" THEN ln(tf_{i} + {mu} * p_{i}) - ln({mu} * p_{i})"
+        " ELSE 0.0 END"
+        for i in range(len(_BM25_TERMS))
     )
-    scored = (
-        dl.join(adj, "doc_id", "left")
-        .crossJoin(F.broadcast(prior))
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_terms_hit"), F.lit(0)).alias("n_terms_hit"),
-            F.round(
-                F.col("base_num")
-                + F.coalesce(F.col("bonus"), F.lit(0.0))
-                - 3 * F.log(F.col("doclen") + F.expr(_QL_MU)),
-                4,
-            ).alias("ql"),
-        )
+    hits = " + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END"
+        for i in range(len(_BM25_TERMS))
+    )
+    scored = per_doc.crossJoin(F.broadcast(prior)).select(
+        "doc_id",
+        F.expr(f"cast({hits} as bigint)").alias("n_terms_hit"),
+        F.round(
+            F.col("base_num")
+            + F.expr(bonus)
+            - 3 * F.log(F.col("doclen") + F.expr(_QL_MU)),
+            4,
+        ).alias("ql"),
     )
     w = Window.orderBy(F.col("ql").desc(), F.col("doc_id"))
     return (

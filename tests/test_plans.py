@@ -1198,13 +1198,19 @@ def test_asof_nearest_single_shuffle_per_side(spark):
 
 
 def test_query_likelihood_model_frames_broadcast(spark):
-    """Query likelihood: cf/prior/collection-total are broadcast
-    model-sized frames; only hit (doc, term) rows join; the global rank
-    runs over the scored doc frame once."""
+    """Query likelihood (round-15 one-aggregate form): per-term tfs are
+    conditional-count COLUMNS of the one per-doc aggregate, so there is
+    NO (doc, term)-keyed join at all — the only join left is the 1-row
+    prior broadcast cross; the global rank runs over the scored doc
+    frame once (TakeOrdered shape)."""
     df = QUERIES["retrieval_query_likelihood"](spark, SF_SMOKE)
     plan = explain_str(df)
-    assert plan.count("BroadcastHashJoin") >= 1, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    # one corpus aggregate + the 1-row stats rollup — nothing else shuffles
+    assert plan.count(") Exchange") <= 2, plan[:2000]
 
 
 def test_vocab_overlap_topv_is_group_limited(spark):

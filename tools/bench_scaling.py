@@ -269,6 +269,31 @@ def run_decade2(spark, reps: int, skip_gen: bool) -> int:
     return 1 if artifact["n_fail"] else 0
 
 
+def run_cores_one(spark, reps: int, skip_gen: bool, out_path: str) -> int:
+    """Core-scaling measurement arm (VERDICT r14 task 9): time the TOP10
+    heaviest entries at sf1 under THIS process's core count
+    ($SPARK_GRAFT_CPUS — master is fixed per JVM, so low/high-core arms
+    are two invocations of this mode) and write {cpus, sf, times} JSON.
+    The sf0.1 8v32 block measured JVM overhead, not parallelism; at sf1
+    the data-bound set should show real core scaling."""
+    from tools.gen_scale import amplify
+
+    if not skip_gen or not os.path.isdir(SF1):
+        print("amplifying sf0.1 x10 -> .tmp/scale/sf1 ...", flush=True)
+        amplify(spark, SF01, SF1, 10)
+    times = _time_queries(spark, SF1, reps, only=set(TOP10))
+    artifact = {
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "sf_dir": SF1,
+        "reps": reps,
+        "times": {k: round(v, 2) for k, v in times.items()},
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps(artifact))
+    return 0
+
+
 def main() -> int:
     reps = 2
     skip_gen = "--skip-gen" in sys.argv
@@ -278,6 +303,9 @@ def main() -> int:
     from kafka_streams_join_spark.session import get_spark
 
     spark = get_spark("bench_scaling")
+    if "--cores-one" in sys.argv:
+        out = sys.argv[sys.argv.index("--cores-one") + 1]
+        return run_cores_one(spark, reps, skip_gen, out)
     if "--decade2" in sys.argv:
         return run_decade2(spark, reps, skip_gen)
     if not skip_gen or not os.path.isdir(SF1):
