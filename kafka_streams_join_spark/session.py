@@ -86,6 +86,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+        # State-store backend for stateful streaming (round 15, measured
+        # A/B at fixed 300k-row input, interleaved ×3): RocksDB beat the
+        # HDFS-backed provider on the interval join in every adjacent
+        # pair (9312/8272/8792 vs 6156/7697/7731 rows/s) and on the
+        # timeout join 2 of 3 (best 8435 vs 7734). Config-only — emission
+        # semantics unchanged; parameterised so a deployment can override.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            os.environ.get(
+                "SPARK_GRAFT_STATESTORE_PROVIDER",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

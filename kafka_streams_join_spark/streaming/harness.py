@@ -100,7 +100,7 @@ def _progress_dict(p) -> dict:
 
 
 def drain_until_ingested(
-    query: StreamingQuery, total_rows: int, wait_s: float = 60.0
+    query: StreamingQuery, total_rows: int, wait_s: float = 120.0
 ) -> None:
     """``processAllAvailable`` that PROVES the source ingested
     ``total_rows`` cumulative input rows (summed over the query's progress
